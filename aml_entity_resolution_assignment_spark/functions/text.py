@@ -1,0 +1,135 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Beyond the reference's ER operators, a 100 TB web-text pipeline needs
+per-document text analytics: language ID, quality scoring, token
+counting, fingerprinting. Everything here is a pure column expression
+(JVM-side, codegen'd) except the rolling-hash fingerprint, which is a
+vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# Tiny per-language stopword lists for the n-gram/stopword-vote heuristic.
+# Deliberately small and disjoint so the vote is stable and the same
+# lists can be inlined into an ANSI-SQL oracle.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit"],
+    "es": ["que", "los", "las", "una", "por", "para", "con", "del"],
+    "pl": ["nie", "jest", "czy", "ale", "jak", "tak", "przez", "dla"],
+}
+
+
+def _tokens(c: Column) -> Column:
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(_tokens(c))).cast("long")
+
+
+def word_token_count(c: Column) -> Column:
+    """BPE-ish subword proxy: count word chunks + standalone
+    punctuation, the usual cheap token estimator for LLM data work."""
+    arr = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+    return F.size(arr).cast("long")
+
+
+def lang_score(c: Column, lang: str) -> Column:
+    """Stopword hits for one language over the token array."""
+    toks = _tokens(c)
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(toks, words)).cast("long")
+
+
+def lang_id(c: Column) -> Column:
+    """Argmax of per-language stopword votes; 'und' (undetermined) when
+    all votes are zero. Ties break by language-code order (en<de<es<pl
+    as listed), matching the SQL oracle's CASE ordering."""
+    scores = {lang: lang_score(c, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier langs win ties
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(c: Column) -> dict[str, Column]:
+    """Cheap quality signals: length, token stats, punctuation/digit/
+    uppercase ratios, stopword ratio, mean word length."""
+    n_chars = F.length(c).cast("long")
+    toks = token_count(c)
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"]", "")).cast("long")
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("long")
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("long")
+    stop_hits = sum(lang_score(c, lang) for lang in STOPWORDS)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_toks = F.greatest(toks, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": toks,
+        "punct_ratio": (n_punct / safe_chars),
+        "digit_ratio": (n_digit / safe_chars),
+        "upper_ratio": (n_upper / safe_chars),
+        "stopword_ratio": (stop_hits.cast("double") / safe_toks),
+        "mean_word_len": (
+            (n_chars - (toks - F.lit(1)).cast("long")) / safe_toks
+        ),
+    }
+
+
+def quality_score(c: Column) -> Column:
+    """Composite 0-1 quality score: rewards stopword presence and sane
+    word length, penalizes digit/punct-heavy text. Deterministic linear
+    blend — a placeholder for a trained classifier, SQL-reproducible."""
+    q = quality_features(c)
+    raw = (
+        F.least(q["stopword_ratio"] * 2.0, F.lit(1.0)) * 0.5
+        + F.when((q["mean_word_len"] >= 3) & (q["mean_word_len"] <= 10), 0.3).otherwise(0.0)
+        - F.least(q["digit_ratio"] * 2.0, F.lit(0.3))
+        - F.least(q["punct_ratio"] * 2.0, F.lit(0.2))
+        + F.lit(0.2)
+    )
+    return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (rolling polynomial hash) — pandas UDF
+# ---------------------------------------------------------------------------
+
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+
+
+def fingerprint(text: str | None) -> int | None:
+    """Rolling polynomial hash of the whitespace-normalized text,
+    reduced with CRC of 8-token windows — a cheap content fingerprint
+    stable under leading/trailing whitespace."""
+    if text is None:
+        return None
+    toks = text.split()
+    if not toks:
+        return 0
+    h = 0
+    for t in toks:
+        h = (h * _FP_BASE + zlib.crc32(t.encode("utf-8"))) % _FP_MOD
+    return int(h)
+
+
+def batch_fingerprint(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [fingerprint(t) for t in s], index=s.index, dtype="object"
+    ).astype("Int64")
+
+
+def fingerprint_udf() -> Column:
+    return F.pandas_udf(batch_fingerprint, LongType())

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Centralizes the configs that matter at 100 TB: AQE (runtime re-planning,
+skew-join splitting, partition coalescing), Arrow for every pandas-UDF
+boundary, and sane shuffle-partition defaults for local testing that a
+cluster deployment would override via spark-submit --conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] sandbox; on a real cluster these are
+# overridden by spark-submit. AQE coalesces the 2x-cores shuffle
+# partitions down when maps are small, and splits skewed reduce
+# partitions when a hot blocking key explodes.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "er-engine",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    `master` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]); a
+    cluster deployment passes master via spark-submit and this function
+    leaves it untouched.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,92 @@
+"""Kernel parity tests: our scalar kernels vs DuckDB's implementations
+(which agree with jellyfish on boost threshold / empty-string / full-DL
+conventions — SURVEY.md §5.2 item 4)."""
+
+import random
+import string
+
+import duckdb
+import pytest
+
+from aml_entity_resolution_assignment_spark.functions import similarity as sim
+
+
+def _rand_strings(n, rng, alphabet=string.ascii_lowercase + "  .", maxlen=18):
+    out = []
+    for _ in range(n):
+        ln = rng.randint(0, maxlen)
+        out.append("".join(rng.choice(alphabet) for _ in range(ln)).strip())
+    return out
+
+
+KNOWN_JW = [
+    ("martha", "marhta", 0.9611111111111111),
+    ("dwayne", "duane", 0.8400000000000001),
+    ("dixon", "dicksonx", 0.8133333333333332),
+    ("", "", 0.0),
+    ("", "abc", 0.0),
+    ("abc", "abc", 1.0),
+]
+
+
+@pytest.mark.parametrize("a,b,expected", KNOWN_JW)
+def test_jaro_winkler_known(a, b, expected):
+    assert sim.jaro_winkler_similarity(a, b) == pytest.approx(expected, abs=1e-12)
+
+
+def test_jaro_winkler_vs_duckdb_random():
+    rng = random.Random(42)
+    pairs = list(zip(_rand_strings(500, rng), _rand_strings(500, rng)))
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        got = sim.jaro_winkler_similarity(a, b)
+        assert got == pytest.approx(want, abs=1e-9), (a, b)
+
+
+def test_levenshtein_vs_duckdb_random():
+    rng = random.Random(7)
+    pairs = list(zip(_rand_strings(300, rng), _rand_strings(300, rng)))
+    con = duckdb.connect()
+    for a, b in pairs:
+        if not a or not b:
+            continue  # duckdb levenshtein errors on empty in some versions
+        want = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert sim.levenshtein_distance(a, b) == want, (a, b)
+
+
+def test_damerau_levenshtein_vs_duckdb_random():
+    rng = random.Random(13)
+    pairs = list(zip(_rand_strings(300, rng), _rand_strings(300, rng)))
+    con = duckdb.connect()
+    for a, b in pairs:
+        if not a or not b:
+            continue
+        want = con.execute(
+            "select damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert sim.damerau_levenshtein_distance(a, b) == want, (a, b)
+
+
+def test_damerau_is_unrestricted():
+    # 'a cat' -> 'a abct' is 2 under full DL, 3 under OSA
+    assert sim.damerau_levenshtein_distance("a cat", "a abct") == 2
+    assert sim.damerau_levenshtein_distance("ca", "ac") == 1
+
+
+def test_normalized_edit_score_reference_conventions():
+    # reference matching.py:263-270: empty either side -> 0.0; exact -> 1.0
+    assert sim.normalized_edit_score("", "abc") == 0.0
+    assert sim.normalized_edit_score("abc", "abc") == 1.0
+    # dist=1, maxlen=9 -> 1 - 1/9
+    assert sim.normalized_edit_score("123456789", "123456798", damerau=True) == (
+        pytest.approx(1 - 1 / 9)
+    )
+
+
+def test_token_jaccard():
+    assert sim.token_jaccard("a b c", "b c d") == pytest.approx(2 / 4)
+    assert sim.token_jaccard("", "a") == 0.0
+    assert sim.token_jaccard("x x x", "x") == 1.0
