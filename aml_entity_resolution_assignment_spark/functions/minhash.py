@@ -53,9 +53,27 @@ def _perm_params(num_perm: int = NUM_PERM, seed: int = 1) -> tuple[np.ndarray, n
 _A, _B = _perm_params()
 
 
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """CRC32 hashes of the k-char shingles of a string. Texts shorter
-    than k hash whole (reference convention, preprocessing.py:155-159)."""
+def shingle_hashes(text: str, k: int = 3, unit: str = "token") -> np.ndarray:
+    """CRC32 hashes of the shingle set of a string.
+
+    unit='char': k-char shingles — the reference's convention for SHORT
+    name strings (preprocessing.py:155-159; texts shorter than k hash
+    whole). unit='token': whitespace tokens — the right granularity for
+    body text: the signature then estimates token Jaccard, and two
+    unrelated web pages share ~0 shingles instead of ~60% of their
+    character-trigram space (which would make every LSH band a hot key
+    at 10^12 docs)."""
+    if unit == "token":
+        toks = set(text.split())
+        if not toks:
+            return np.array([zlib.crc32(text.encode("utf-8"))], dtype=np.uint64)
+        return np.unique(
+            np.fromiter(
+                (zlib.crc32(t.encode("utf-8")) for t in toks),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+        )
     data = text.encode("utf-8")
     if len(text) < k:
         return np.array([zlib.crc32(data)], dtype=np.uint64)
@@ -69,11 +87,13 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     )
 
 
-def minhash_signature(text: str | None, num_perm: int = NUM_PERM) -> list[int] | None:
+def minhash_signature(
+    text: str | None, num_perm: int = NUM_PERM, unit: str = "token"
+) -> list[int] | None:
     """MinHash signature as a Python list (None for empty input)."""
     if text is None or text == "":
         return None
-    x = shingle_hashes(text)
+    x = shingle_hashes(text, unit=unit)
     # (num_perm, n_shingles) universal hashes, min over shingles
     ph = (
         (_A[:num_perm, None] * x[None, :] + _B[:num_perm, None]) % _MERSENNE

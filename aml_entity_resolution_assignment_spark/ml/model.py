@@ -1,0 +1,127 @@
+"""Logistic match model: training + scoring (T1-T4, C1).
+
+Reference trains XGBoost (/root/reference/src/train_model.py:57-121);
+BASELINE.json north_rule pins a logistic decision boundary instead —
+simpler, deterministic, and sufficient (the features are near-linearly
+separable by construction; reference README.MD:84 reports P≈100%).
+
+Key property preserved (SURVEY.md §3.2): training candidates come from
+the SAME blocking as inference — labels are candidate pairs joined to
+ground-truth entity ids (train_model.py:43-49), so the model never sees
+pairs blocking cannot produce.
+
+Scoring uses spark.ml's LogisticRegressionModel.transform — JVM-side,
+no Python in the loop (C1).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the 7 model features (analog of train_model.py:60-64's list)
+MODEL_FEATURES = [
+    "host_score",
+    "url_score",
+    "title_score",
+    "jaccard_score",
+    "minhash_sim",
+    "simhash_sim",
+    "lang_match",
+]
+
+
+def label_pairs(features: DataFrame, truth: DataFrame, id_col: str = "url") -> DataFrame:
+    """T1 (train_model.py:43-49): label = 1 iff truth entity ids equal."""
+    t_a = truth.select(F.col(id_col).alias("id_a"), F.col("entity_id").alias("_ea"))
+    t_b = truth.select(F.col(id_col).alias("id_b"), F.col("entity_id").alias("_eb"))
+    return (
+        features.join(t_a, "id_a")
+        .join(t_b, "id_b")
+        .withColumn("label", (F.col("_ea") == F.col("_eb")).cast("double"))
+        .drop("_ea", "_eb")
+    )
+
+
+def _assemble(df: DataFrame) -> DataFrame:
+    cast = df.select(
+        "*", *[F.col(c).cast("double").alias(f"_f_{c}") for c in MODEL_FEATURES]
+    )
+    assembler = VectorAssembler(
+        inputCols=[f"_f_{c}" for c in MODEL_FEATURES], outputCol="_fvec"
+    )
+    return assembler.transform(cast)
+
+
+def train_model(
+    labeled: DataFrame,
+    model_dir: str,
+    seed: int = 42,
+    max_iter: int = 100,
+    reg_param: float = 0.0,
+) -> LogisticRegressionModel:
+    """T2-T4: seeded split, class weighting (scale_pos_weight analog,
+    train_model.py:76-78 -> weightCol), logistic fit, persisted with
+    .save() for deterministic reuse."""
+    train, _test = labeled.randomSplit([0.8, 0.2], seed=seed)
+    counts = {
+        r["label"]: r["cnt"]
+        for r in train.groupBy("label").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_pos = counts.get(1.0, 1)
+    n_neg = counts.get(0.0, 1)
+    pos_weight = n_neg / max(n_pos, 1)
+    weighted = train.withColumn(
+        "_w", F.when(F.col("label") == 1.0, F.lit(pos_weight)).otherwise(F.lit(1.0))
+    )
+    lr = LogisticRegression(
+        featuresCol="_fvec",
+        labelCol="label",
+        weightCol="_w",
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=True,
+    )
+    model = lr.fit(_assemble(weighted))
+    model.write().overwrite().save(model_dir)
+    return model
+
+
+def score_with_model(
+    spark: SparkSession, features: DataFrame, model_dir: str
+) -> DataFrame:
+    """C1: append ml_prob = P(match) via the persisted model; JVM-side
+    transform, no Python UDF."""
+    model = LogisticRegressionModel.load(model_dir)
+    scored = model.transform(_assemble(features))
+    return scored.withColumn(
+        "ml_prob", vector_to_array(F.col(model.getProbabilityCol()))[1]
+    ).drop(
+        "_fvec",
+        model.getPredictionCol(),
+        model.getRawPredictionCol(),
+        model.getProbabilityCol(),
+        *[f"_f_{c}" for c in MODEL_FEATURES],
+    )
+
+
+def evaluate_model(labeled_scored: DataFrame) -> dict[str, float]:
+    """ROC-AUC on scored labeled pairs (train_model.py:94-99 analog)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    df = _assemble(labeled_scored)
+    # reuse ml_prob as rawPrediction surrogate
+    ev = BinaryClassificationEvaluator(
+        rawPredictionCol="_p2", labelCol="label", metricName="areaUnderROC"
+    )
+    df = df.withColumn(
+        "_p2",
+        F.array(F.lit(1.0) - F.col("ml_prob"), F.col("ml_prob")).cast("array<double>"),
+    )
+    from pyspark.ml.functions import array_to_vector
+
+    df = df.withColumn("_p2", array_to_vector("_p2"))
+    return {"roc_auc": ev.evaluate(df)}

@@ -1,0 +1,121 @@
+"""Blocking-key derivation over the pages table.
+
+Analog of create_blocking_keys (/root/reference/src/preprocessing.py:
+166-230) transposed to the graft domain (north_star): deterministic
+blocking on normalized-hostname plus minhash/simhash-of-extracted-text
+keys. All keys are plain columns — the reference's pickled LSH index
+(preprocessing.py:269-291) becomes the exploded band table at join time
+(operators/candidates.py), so "rebuilding the index" is just re-reading
+the keyed table (north_rule resumability).
+
+Key inventory (reference mapping):
+  bk_host   — normalized hostname        (role of bk_nid/bk_email: strong exact key)
+  bk_title  — normalized title, len > 4  (role of bk_initial_dob: loose exact key)
+  bk_path   — last url path segment      (role of bk_phone: partial exact key)
+  bk_minhash_bands — 16 LSH bands over 128-perm MinHash of body text (bk_minhash, J1)
+  bk_simhash_bands — 4x16-bit SimHash bands of body text (north_star addition)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import minhash as mh
+from ..functions import normalize as N
+
+MIN_TITLE_KEY_LEN = 5  # analog of len>4 nid guard, preprocessing.py:201
+MIN_PATH_KEY_LEN = 5
+
+BLOCKING_KEYS = ["bk_host", "bk_title", "bk_path"]
+BAND_KEYS = ["bk_minhash_bands", "bk_simhash_bands"]
+
+
+def add_blocking_keys(pages: DataFrame) -> DataFrame:
+    """pages -> pages_keyed: normalized columns + blocking keys.
+
+    One narrow projection (no shuffle); the two pandas UDFs (minhash,
+    simhash) run over the same Arrow batch scan.
+    """
+    host = N.norm_hostname(N.url_host(F.col("url")))
+    norm_url = N.norm_url_for_match(F.col("url"))
+    norm_title = N.norm_title(N.extract_title_udf()(F.col("html")))
+    norm_text = N.norm_body_text(F.col("text"))
+    path_last = F.regexp_extract(norm_url, r"/([^/]+)/?$", 1)
+
+    keyed = pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        host.alias("host"),
+        norm_url.alias("norm_url"),
+        norm_title.alias("norm_title"),
+        norm_text.alias("norm_text"),
+    )
+    keyed = keyed.select(
+        "*",
+        F.when(F.col("host") != "", F.col("host")).alias("bk_host"),
+        F.when(
+            F.length("norm_title") >= MIN_TITLE_KEY_LEN, F.col("norm_title")
+        ).alias("bk_title"),
+        F.when(F.length(path_last) >= MIN_PATH_KEY_LEN, path_last).alias("bk_path"),
+        mh.minhash_udf()(F.when(F.col("norm_text") != "", F.col("norm_text"))).alias(
+            "minhash_sig"
+        ),
+        mh.simhash_udf()(F.when(F.col("norm_text") != "", F.col("norm_text"))).alias(
+            "simhash"
+        ),
+    )
+    keyed = keyed.select(
+        "*",
+        mh.band_hashes_udf()(F.col("minhash_sig")).alias("bk_minhash_bands"),
+        mh.simhash_bands_udf()(F.col("simhash")).alias("bk_simhash_bands"),
+    )
+    return keyed
+
+
+def key_coverage(keyed: DataFrame) -> DataFrame:
+    """B6 (preprocessing.py:250-253): how many blocking keys each record
+    carries; returns (key_count, n_records) rows."""
+    count_expr = sum(
+        F.col(k).isNotNull().cast("int") for k in BLOCKING_KEYS + BAND_KEYS
+    )
+    return (
+        keyed.select(count_expr.alias("key_count"))
+        .groupBy("key_count")
+        .agg(F.count("*").alias("n_records"))
+        .orderBy("key_count")
+    )
+
+
+def block_stats(keyed: DataFrame, keys: list[str] | None = None, top: int = 3) -> DataFrame:
+    """E7 heavy-hitter report (matching.py:50-76): top-N largest blocks
+    per key with the block size — feeds the metrics table and the
+    salting decision."""
+    keys = keys or BLOCKING_KEYS
+    parts = []
+    for k in keys:
+        parts.append(
+            keyed.where(F.col(k).isNotNull())
+            .groupBy(F.col(k).alias("block_value"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "block_value")
+            .limit(top)
+            .select(F.lit(k).alias("key"), "block_value", "cnt")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def blocking_health(keyed: DataFrame, n_pairs: int) -> dict[str, float]:
+    """Reduction ratio + pairs-per-record (matching.py:39-48)."""
+    n = keyed.count()
+    total_possible = n * (n - 1) / 2
+    return {
+        "total_records": float(n),
+        "candidate_pairs": float(n_pairs),
+        "reduction_ratio": 1.0 - (n_pairs / total_possible) if total_possible else 0.0,
+        "pairs_per_record": (n_pairs / n) if n else 0.0,
+    }

@@ -1,0 +1,146 @@
+"""Transitive closure via iterative DataFrame connected components.
+
+Reference: resolve_entities (/root/reference/src/matching.py:572-596)
+builds an in-memory networkx graph — impossible at 10^12 edges. Here:
+the alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+pure DataFrame self-joins + groupBy().min(), converging in O(log n)
+rounds regardless of component diameter. Each round localCheckpoints to
+cut lineage (SURVEY.md §4 hard part 1).
+
+Component labels are min(record_id) per component — deterministic,
+unlike the reference's enumeration-order ENT_{i} labels
+(matching.py:590-591); evaluation is label-invariant (§2.8) so parity
+holds.
+
+Step semantics (ids compared lexicographically; '<' = smaller id):
+
+  large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+  small-star(u): over down-oriented edges (v <= u):
+                 m = min(N≤(u) ∪ {u}); emit (v, m) for v ∈ N≤(u) ∪ {u}, v ≠ m
+
+Both emit down-oriented (child, parent) edges; the fixpoint is a forest
+of depth-1 stars rooted at each component's minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+
+
+def _large_star(sym_edges: DataFrame) -> DataFrame:
+    """Emit (v, m) for each neighbor v > u, m = min(N(u) ∪ {u})."""
+    mins = sym_edges.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("m")
+    )
+    return (
+        sym_edges.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("child"), F.col("m").alias("parent"))
+        .distinct()
+    )
+
+
+def _small_star(down_edges: DataFrame) -> DataFrame:
+    """Input (child, parent) with parent <= child. For each child u with
+    down-neighbors N≤(u): m = min(N≤(u)); re-hang every down-neighbor
+    and u itself onto m."""
+    mins = down_edges.groupBy("child").agg(F.min("parent").alias("m"))
+    rehung = (
+        down_edges.join(mins, "child")
+        .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
+    )
+    self_edges = mins.select(F.col("child"), F.col("m").alias("parent"))
+    return (
+        rehung.unionByName(self_edges)
+        .where(F.col("child") != F.col("parent"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    id_col: str = "url",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id_a, id_b) match edges [+ all-vertex DataFrame] ->
+    (id_col, predicted_entity_id) with label = min member id.
+
+    Singletons (vertices without edges) keep themselves as their
+    component (reference adds ALL nodes, matching.py:580).
+    """
+    e = (
+        edges.select(
+            F.col("id_a").cast("string").alias("u"),
+            F.col("id_b").cast("string").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    if e.isEmpty():
+        assign = e.select(F.col("u").alias("child"), F.col("v").alias("parent"))
+    else:
+        cur = e.localCheckpoint(eager=True)  # any orientation
+        prev: DataFrame | None = None
+        for _ in range(max_iter):
+            ls = _large_star(_symmetrize(cur))
+            ss = _small_star(ls).localCheckpoint(eager=True)
+            if prev is not None:
+                if (
+                    ss.exceptAll(prev).isEmpty()
+                    and prev.exceptAll(ss).isEmpty()
+                ):
+                    break
+            prev = ss
+            cur = ss.select(
+                F.col("child").alias("u"), F.col("parent").alias("v")
+            )
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+        assign = ss
+    # fixpoint: (child, parent=component root). Roots map to themselves.
+    assign = assign.select(
+        F.col("child").alias("member"), F.col("parent").alias("component")
+    )
+    roots = (
+        assign.select(F.col("component").alias("member"))
+        .distinct()
+        .select("member", F.col("member").alias("component"))
+    )
+    assign = (
+        assign.unionByName(roots)
+        .groupBy("member")
+        .agg(F.min("component").alias("component"))
+    )
+
+    if vertices is not None:
+        verts = (
+            vertices.select(F.col(id_col).cast("string").alias("member")).distinct()
+        )
+        assign = verts.join(assign, "member", "left").select(
+            "member", F.coalesce("component", "member").alias("component")
+        )
+    return assign.select(
+        F.col("member").alias(id_col),
+        F.col("component").alias("predicted_entity_id"),
+    )
+
+
+def resolve_entities(
+    classified: DataFrame, keyed: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """G1+G2 (matching.py:572-596): edges = pairs with is_match=1,
+    vertices = every record (singletons included)."""
+    edges = classified.where(F.col("is_match") == 1).select("id_a", "id_b")
+    return connected_components(edges, vertices=keyed, id_col=id_col)

@@ -1,0 +1,158 @@
+"""Pairwise evaluation: precision / recall / F1, label-invariant.
+
+Reference: evaluate_results (/root/reference/src/matching.py:598-679).
+Pairs-from-clusters (E2) is the within-label self-join; TP/FP/FN set
+algebra (E3) becomes left_semi / left_anti joins; review credit (E4)
+intersects FN with review pairs using least/greatest orientation
+normalization instead of the reference's dual-insert
+(matching.py:628-635).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pairs_from_clusters(labeled: DataFrame, id_col: str, label_col: str) -> DataFrame:
+    """E2: all sorted intra-cluster pairs for a labeling."""
+    a = labeled.select(F.col(id_col).alias("id_a"), F.col(label_col).alias("_l"))
+    b = labeled.select(F.col(id_col).alias("id_b"), F.col(label_col).alias("_l"))
+    return (
+        a.join(b, "_l")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+@dataclass
+class PairwiseMetrics:
+    true_pairs: int
+    pred_pairs: int
+    tp: int
+    fp: int
+    fn: int
+    caught_in_review: int
+    truly_missed: int
+    precision: float
+    recall: float
+    f1: float
+
+
+def evaluate_clusters(
+    predictions: DataFrame,
+    truth: DataFrame,
+    classified: DataFrame | None = None,
+    id_col: str = "url",
+) -> tuple[PairwiseMetrics, DataFrame, DataFrame]:
+    """E1-E6: returns (metrics, missed_pairs_df, false_pairs_df).
+
+    predictions: (id_col, predicted_entity_id); truth: (id_col,
+    entity_id); classified (optional): pair table with match_type for
+    review credit.
+    """
+    merged = predictions.join(truth, id_col).cache()
+
+    true_pairs = pairs_from_clusters(merged, id_col, "entity_id").cache()
+    pred_pairs = pairs_from_clusters(merged, id_col, "predicted_entity_id").cache()
+
+    tp = pred_pairs.join(true_pairs, ["id_a", "id_b"], "left_semi")
+    fp_pairs = pred_pairs.join(true_pairs, ["id_a", "id_b"], "left_anti").cache()
+    fn_pairs = true_pairs.join(pred_pairs, ["id_a", "id_b"], "left_anti").cache()
+
+    n_true = true_pairs.count()
+    n_pred = pred_pairs.count()
+    n_tp = tp.count()
+    n_fp = fp_pairs.count()
+    n_fn = fn_pairs.count()
+
+    caught = 0
+    if classified is not None:
+        review_pairs = (
+            classified.where(F.col("match_type") == "review")
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
+        )
+        caught = fn_pairs.join(review_pairs, ["id_a", "id_b"], "left_semi").count()
+
+    precision = n_tp / (n_tp + n_fp) if (n_tp + n_fp) else 0.0
+    recall = n_tp / (n_tp + n_fn) if (n_tp + n_fn) else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall)
+        else 0.0
+    )
+    metrics = PairwiseMetrics(
+        true_pairs=n_true,
+        pred_pairs=n_pred,
+        tp=n_tp,
+        fp=n_fp,
+        fn=n_fn,
+        caught_in_review=caught,
+        truly_missed=n_fn - caught,
+        precision=precision,
+        recall=recall,
+        f1=f1,
+    )
+    return metrics, fn_pairs, fp_pairs
+
+
+def evaluate_labeled_pairs(
+    classified: DataFrame, truth: DataFrame, id_col: str = "url"
+) -> PairwiseMetrics:
+    """BASELINE.json gate: pairwise F1 on LABELED PAIRS AT THE BLOCKING
+    KEYS — candidate pairs labeled from truth (train_model.py:43-49
+    construction), predicted positive = match_type == 'match'."""
+    t_a = truth.select(
+        F.col(id_col).alias("id_a"), F.col("entity_id").alias("ent_a")
+    )
+    t_b = truth.select(
+        F.col(id_col).alias("id_b"), F.col("entity_id").alias("ent_b")
+    )
+    labeled = (
+        classified.join(t_a, "id_a")
+        .join(t_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("ent_a") == F.col("ent_b")).cast("int").alias("label"),
+            "is_match",
+            "match_type",
+        )
+        .cache()
+    )
+    agg = labeled.agg(
+        F.sum(((F.col("label") == 1) & (F.col("is_match") == 1)).cast("int")).alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("is_match") == 1)).cast("int")).alias("fp"),
+        F.sum(((F.col("label") == 1) & (F.col("is_match") == 0)).cast("int")).alias("fn"),
+        F.sum(
+            (
+                (F.col("label") == 1)
+                & (F.col("is_match") == 0)
+                & (F.col("match_type") == "review")
+            ).cast("int")
+        ).alias("caught"),
+        F.sum(F.col("label")).alias("n_true"),
+        F.sum("is_match").alias("n_pred"),
+    ).collect()[0]
+    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
+    precision = tp / (tp + fp) if (tp + fp) else 0.0
+    recall = tp / (tp + fn) if (tp + fn) else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    return PairwiseMetrics(
+        true_pairs=int(agg["n_true"] or 0),
+        pred_pairs=int(agg["n_pred"] or 0),
+        tp=int(tp),
+        fp=int(fp),
+        fn=int(fn),
+        caught_in_review=int(agg["caught"] or 0),
+        truly_missed=int(fn - (agg["caught"] or 0)),
+        precision=precision,
+        recall=recall,
+        f1=f1,
+    )

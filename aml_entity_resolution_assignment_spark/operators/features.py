@@ -1,0 +1,140 @@
+"""Pairwise feature computation (J4 hydration + P1-P9 scoring kernel).
+
+Reference: calculate_features (/root/reference/src/matching.py:186-406)
+— two pandas merges then a joblib-forked per-row jellyfish loop. Here:
+two hydration joins against the keyed table, then one projection where
+
+  * everything expressible as SQL stays JVM-side in whole-stage codegen
+    (hostname Levenshtein via F.levenshtein — the P5 analog; simhash
+    hamming via bit_count(a ^ b); exact-match flags via when()),
+  * only the genuinely non-SQL kernels (Jaro-Winkler, token Jaccard,
+    MinHash signature agreement) run as Arrow-batched pandas UDFs —
+    no per-row Python (input_hint requirement).
+
+Graft feature mapping (north_star):
+  host_score   — Levenshtein on normalized hostnames (role of nid_score P1)
+  url_score    — Jaro-Winkler on canonical urls       (role of email_score P2)
+  title_score  — Jaro-Winkler on normalized titles    (role of name scores P4)
+  jaccard_score— token Jaccard on body text           (north_star body metric)
+  minhash_sim  — MinHash signature agreement          (north_star body metric)
+  simhash_sim  — 1 - hamming(simhash)/64              (north_star body metric)
+  lang_match   — exact lang equality                  (role of phone_match P3)
+  host_match   — exact hostname equality flag         (strong-key flag, P1 analog)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..functions import similarity as sim
+
+HYDRATION_COLS = [
+    "url",
+    "host",
+    "norm_url",
+    "norm_title",
+    "norm_text",
+    "minhash_sig",
+    "simhash",
+    "lang",
+]
+
+FEATURE_COLS = [
+    "host_score",
+    "url_score",
+    "title_score",
+    "jaccard_score",
+    "minhash_sim",
+    "simhash_sim",
+    "lang_match",
+    "host_match",
+    "title_both_present",
+]
+
+
+def hydrate_pairs(pairs: DataFrame, keyed: DataFrame, broadcast_lookup: bool = False) -> DataFrame:
+    """Join pair ids to both sides' normalized record columns
+    (matching.py:203-219). At test scale the lookup side can broadcast;
+    at 10^12 records these are shuffle-hash joins on url — pass
+    broadcast_lookup=False (default) and let AQE pick."""
+    lookup = keyed.select(*HYDRATION_COLS)
+    if broadcast_lookup:
+        lookup = F.broadcast(lookup)
+
+    a = lookup.select([F.col(c).alias(f"{c}_a") for c in HYDRATION_COLS])
+    b = lookup.select([F.col(c).alias(f"{c}_b") for c in HYDRATION_COLS])
+    return (
+        pairs.join(a, pairs.id_a == a.url_a)
+        .join(b, pairs.id_b == b.url_b)
+        .drop("url_a", "url_b")
+    )
+
+
+def _edit_similarity(a, b):
+    """1 - levenshtein/maxlen with the reference's empty-side convention
+    (matching.py:283-288) — pure JVM expression."""
+    a_len = F.length(a)
+    b_len = F.length(b)
+    return (
+        F.when((a.isNull()) | (b.isNull()) | (a_len == 0) | (b_len == 0), F.lit(0.0))
+        .when(a == b, F.lit(1.0))
+        .otherwise(
+            1.0 - F.levenshtein(a, b) / F.greatest(a_len, b_len).cast("double")
+        )
+    )
+
+
+_jw_udf = F.pandas_udf(sim.batch_jaro_winkler, DoubleType())
+_jacc_udf = F.pandas_udf(sim.batch_token_jaccard, DoubleType())
+_sigsim_udf = F.pandas_udf(sim.batch_signature_similarity, DoubleType())
+
+
+def compute_features(hydrated: DataFrame) -> DataFrame:
+    """One wide projection producing the feature vector per pair."""
+    sh_a = F.col("simhash_a")
+    sh_b = F.col("simhash_b")
+    simhash_sim = (
+        F.when(sh_a.isNull() | sh_b.isNull(), F.lit(0.0))
+        .otherwise(1.0 - F.bit_count(sh_a.bitwiseXOR(sh_b)) / F.lit(64.0))
+    )
+    minhash_sim = F.when(
+        F.col("minhash_sig_a").isNull() | F.col("minhash_sig_b").isNull(), F.lit(0.0)
+    ).otherwise(_sigsim_udf("minhash_sig_a", "minhash_sig_b"))
+
+    return hydrated.select(
+        "id_a",
+        "id_b",
+        _edit_similarity(F.col("host_a"), F.col("host_b")).alias("host_score"),
+        _jw_udf("norm_url_a", "norm_url_b").alias("url_score"),
+        _jw_udf("norm_title_a", "norm_title_b").alias("title_score"),
+        _jacc_udf("norm_text_a", "norm_text_b").alias("jaccard_score"),
+        minhash_sim.alias("minhash_sim"),
+        simhash_sim.alias("simhash_sim"),
+        F.when(
+            F.col("lang_a").isNotNull()
+            & F.col("lang_b").isNotNull()
+            & (F.col("lang_a") == F.col("lang_b")),
+            1,
+        )
+        .otherwise(0)
+        .alias("lang_match"),
+        F.when(
+            (F.col("host_a") != "")
+            & (F.col("host_b") != "")
+            & (F.col("host_a") == F.col("host_b")),
+            1,
+        )
+        .otherwise(0)
+        .alias("host_match"),
+        F.when(
+            (F.col("norm_title_a") != "") & (F.col("norm_title_b") != ""), 1
+        )
+        .otherwise(0)
+        .alias("title_both_present"),
+    )
+
+
+def pair_features(pairs: DataFrame, keyed: DataFrame, **kw) -> DataFrame:
+    return compute_features(hydrate_pairs(pairs, keyed, **kw))

@@ -23,20 +23,32 @@ def test_minhash_short_text_hashes_whole():
     assert mh.minhash_signature("ab") is not None
 
 
-def test_minhash_estimates_jaccard():
+def test_minhash_estimates_token_jaccard():
     base = "entity resolution with spark dataframes and arrow batches " * 3
     variant = base.replace("arrow", "arow").replace("spark", "spork")
     sig_a = np.array(mh.minhash_signature(base))
     sig_b = np.array(mh.minhash_signature(variant))
     est = float(np.mean(sig_a == sig_b))
 
-    def shingles(t):
-        return {t[i : i + 3] for i in range(len(t) - 2)}
-
-    sa, sb = shingles(base), shingles(variant)
+    sa, sb = set(base.split()), set(variant.split())
     true_j = len(sa & sb) / len(sa | sb)
     # 128 perms -> std err ~= sqrt(j(1-j)/128) ~= 0.04
     assert abs(est - true_j) < 0.15
+
+
+def test_minhash_char_unit_available():
+    # the reference's char-shingle mode stays available for short names
+    a = np.array(mh.minhash_signature("marek kilar", unit="char"))
+    b = np.array(mh.minhash_signature("marek kilar", unit="char"))
+    assert (a == b).all()
+
+
+def test_minhash_unrelated_docs_near_zero_similarity():
+    # the scale property: unrelated docs must NOT share signature mass,
+    # otherwise every LSH band is a hot key at web scale
+    a = np.array(mh.minhash_signature("alpha beta gamma delta epsilon zeta"))
+    b = np.array(mh.minhash_signature("one two three four five six seven"))
+    assert float(np.mean(a == b)) < 0.05
 
 
 def test_band_hashes_identical_for_identical_sigs():
@@ -48,8 +60,10 @@ def test_band_hashes_identical_for_identical_sigs():
 
 
 def test_band_hashes_share_band_for_similar():
-    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
-    near = base.replace("delta", "delte")
+    # 30 distinct tokens, one changed -> jaccard 29/31 ~= 0.94, band
+    # collision probability 1-(1-0.94^8)^16 ~= 1 - 7e-7
+    base = " ".join(f"tok{i:02d}" for i in range(30))
+    near = base.replace("tok17", "tok17x")
     b1 = set(mh.band_hashes(mh.minhash_signature(base)))
     b2 = set(mh.band_hashes(mh.minhash_signature(near)))
     assert b1 & b2, "near-duplicates should collide in >=1 LSH band"
