@@ -43,10 +43,14 @@ SIMHASH_BANDS = 4  # 16 bits per band -> catches hamming distance <= 3
 
 
 def _perm_params(num_perm: int = NUM_PERM, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic (a, b) universal-hash parameters (seeded PCG64)."""
+    """Deterministic (a, b) multiply-shift hash parameters (seeded
+    PCG64). h_i(x) = (a_i * x + b_i) >> 32 over wrapping uint64 — the
+    Dietzfelbinger multiply-shift family: universal, and ~8x faster
+    than (a*x+b) mod p because there is no 64-bit modulo in the hot
+    loop (the modulo dominated the whole signature kernel)."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * 2 + 1  # odd
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -94,21 +98,89 @@ def minhash_signature(
     if text is None or text == "":
         return None
     x = shingle_hashes(text, unit=unit)
-    # (num_perm, n_shingles) universal hashes, min over shingles
-    ph = (
-        (_A[:num_perm, None] * x[None, :] + _B[:num_perm, None]) % _MERSENNE
-    ) & _MAXH
+    # (num_perm, n_shingles) multiply-shift hashes, min over shingles
+    with np.errstate(over="ignore"):
+        ph = (
+            _A[:num_perm, None] * x[None, :] + _B[:num_perm, None]
+        ) >> np.uint64(32)
     return ph.min(axis=1).astype(np.int64).tolist()
 
 
-def batch_minhash(texts: pd.Series) -> pd.Series:
-    return pd.Series(
-        [minhash_signature(t) for t in texts], index=texts.index, dtype="object"
+def batch_minhash(texts: pd.Series, num_perm: int = NUM_PERM) -> pd.Series:
+    """Vectorized batch MinHash over token shingles.
+
+    Identical output to minhash_signature (same CRC32 base hash, same
+    multiply-shift family), computed batch-wide: pandas explode +
+    factorize produce the flat unique-token-per-row array (C code, no
+    per-token Python), CRC32 runs once per DISTINCT token in the batch
+    (webtext token frequency is Zipf — big savings), and one
+    np.minimum.reduceat over row boundaries replaces per-row matrices."""
+    a = _A[:num_perm, None]
+    b = _B[:num_perm, None]
+    n_rows = len(texts)
+    out: list[list[int] | None] = [None] * n_rows
+
+    norm = texts.reset_index(drop=True)
+    mask = norm.notna() & (norm != "")
+    if not mask.any():
+        return pd.Series(out, index=texts.index, dtype="object")
+    toks = norm[mask].str.split()
+    exploded = toks.explode()
+    # empty-after-split rows (whitespace-only text) hash the raw string
+    empty_rows = toks[toks.str.len() == 0].index
+    exploded = exploded.dropna()
+    pairs = pd.DataFrame({"row": exploded.index, "tok": exploded.to_numpy()})
+    pairs = pairs.drop_duplicates()  # minhash uses the token SET
+    for r in empty_rows:
+        pairs = pd.concat(
+            [pairs, pd.DataFrame({"row": [r], "tok": [norm.iloc[r]]})],
+            ignore_index=True,
+        )
+        pairs = pairs.sort_values("row", kind="stable")
+    codes, uniques = pd.factorize(pairs["tok"].to_numpy())
+    uniq_hash = np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) for u in uniques),
+        dtype=np.uint64,
+        count=len(uniques),
     )
+    flat_arr = uniq_hash[codes]
+    row_ids = pairs["row"].to_numpy()
+    # offsets per present row (row_ids are grouped and ascending)
+    present, counts = np.unique(row_ids, return_counts=True)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+
+    max_tokens = 65536
+    n_present = len(present)
+    row_start = 0
+    while row_start < n_present:
+        row_end = row_start
+        while (
+            row_end < n_present
+            and offsets[row_end + 1] - offsets[row_start] <= max_tokens
+        ):
+            row_end += 1
+        if row_end == row_start:
+            row_end += 1
+        s_, e_ = offsets[row_start], offsets[row_end]
+        with np.errstate(over="ignore"):
+            ph = a * flat_arr[None, s_:e_]
+            ph += b
+            ph >>= np.uint64(32)
+        bounds = offsets[row_start:row_end] - s_
+        # column-major copy so each output row is contiguous; keep as
+        # numpy (Arrow converts arrays directly, no tolist round trip)
+        mins = np.minimum.reduceat(ph, bounds, axis=1).astype(np.int64).T.copy()
+        for col, i in enumerate(range(row_start, row_end)):
+            out[present[i]] = mins[col]
+        row_start = row_end
+    return pd.Series(out, index=texts.index, dtype="object")
 
 
 def minhash_udf() -> Column:
-    return F.pandas_udf(batch_minhash, ArrayType(LongType()))
+    def _f(texts: pd.Series) -> pd.Series:
+        return batch_minhash(texts)
+
+    return F.pandas_udf(_f, ArrayType(LongType()))
 
 
 def band_hashes(sig: list[int] | None, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> list[int] | None:
@@ -126,14 +198,54 @@ def band_hashes(sig: list[int] | None, bands: int = LSH_BANDS, rows: int = LSH_R
     return out.astype(np.int64).tolist()
 
 
-def batch_band_hashes(sigs: pd.Series) -> pd.Series:
-    return pd.Series(
-        [band_hashes(s) for s in sigs], index=sigs.index, dtype="object"
-    )
+def batch_band_hashes(
+    sigs: pd.Series, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> pd.Series:
+    """Vectorized banding: stack all non-null signatures into one
+    (n, bands, rows) array, FNV-fold along the rows axis once."""
+    idx = [i for i, s in enumerate(sigs) if s is not None]
+    out: list[list[int] | None] = [None] * len(sigs)
+    if idx:
+        mat = np.asarray(
+            [sigs.iloc[i] for i in idx], dtype=np.int64
+        ).view(np.uint64).reshape(len(idx), bands, rows)
+        acc = np.full((len(idx), bands), 1469598103934665603, dtype=np.uint64)
+        prime = np.uint64(1099511628211)
+        for r in range(rows):
+            acc = (acc ^ mat[:, :, r]) * prime
+        acc = acc ^ (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(56))
+        acc = acc.view(np.int64)
+        for k, i in enumerate(idx):
+            out[i] = acc[k].tolist()
+    return pd.Series(out, index=sigs.index, dtype="object")
 
 
-def band_hashes_udf() -> Column:
-    return F.pandas_udf(batch_band_hashes, ArrayType(LongType()))
+def band_hashes_udf(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    def _f(sigs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [band_hashes(s, bands=bands, rows=rows) for s in sigs],
+            index=sigs.index,
+            dtype="object",
+        )
+
+    return F.pandas_udf(_f, ArrayType(LongType()))
+
+
+def banding_for_threshold(threshold: float, num_perm: int = NUM_PERM) -> tuple[int, int]:
+    """Pick (bands, rows) whose s-curve midpoint (1/b)^(1/r) best
+    matches the requested Jaccard threshold — the deterministic analog
+    of datasketch's threshold optimizer (reference settings.py:41)."""
+    best, best_gap = (LSH_BANDS, LSH_ROWS), 1e9
+    b = 1
+    while b <= num_perm:
+        r = num_perm // b
+        if b * r == num_perm:
+            mid = (1.0 / b) ** (1.0 / r)
+            gap = abs(mid - threshold)
+            if gap < best_gap:
+                best, best_gap = (b, r), gap
+        b *= 2
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -167,9 +279,60 @@ def simhash64(text: str | None) -> int | None:
 
 
 def batch_simhash(texts: pd.Series) -> pd.Series:
-    return pd.Series(
-        [simhash64(t) for t in texts], index=texts.index, dtype="object"
-    ).astype("Int64")
+    """Vectorized batch SimHash, identical output to simhash64: explode
+    + factorize tokenization (duplicates kept — occurrence-weighted
+    votes), 64-bit token hash once per distinct token, bit votes via
+    np.add.reduceat over row boundaries."""
+    n_rows = len(texts)
+    out: list[int | None] = [None] * n_rows
+
+    norm = texts.reset_index(drop=True)
+    mask = norm.notna() & (norm != "")
+    if not mask.any():
+        return pd.Series(out, index=texts.index, dtype="object").astype("Int64")
+    toks = norm[mask].str.split()
+    toks = toks[toks.str.len() > 0]
+    exploded = toks.explode().dropna()
+    if exploded.empty:
+        return pd.Series(out, index=texts.index, dtype="object").astype("Int64")
+    codes, uniques = pd.factorize(exploded.to_numpy())
+    uniq_hash = np.fromiter(
+        (_token_hash64(u) for u in uniques), dtype=np.uint64, count=len(uniques)
+    )
+    flat_arr = uniq_hash[codes]
+    row_ids = exploded.index.to_numpy()
+    present, counts = np.unique(row_ids, return_counts=True)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.uint64)
+    max_tokens = 262144
+    n_present = len(present)
+    row_start = 0
+    while row_start < n_present:
+        row_end = row_start
+        while (
+            row_end < n_present
+            and offsets[row_end + 1] - offsets[row_start] <= max_tokens
+        ):
+            row_end += 1
+        if row_end == row_start:
+            row_end += 1
+        s_, e_ = offsets[row_start], offsets[row_end]
+        bits = ((flat_arr[s_:e_, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        bounds = offsets[row_start:row_end] - s_
+        sums = np.add.reduceat(bits, bounds, axis=0)
+        lens = (offsets[row_start + 1 : row_end + 1] - offsets[row_start:row_end])
+        votes = sums * 2 - lens[:, None]
+        words = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        for col, i in enumerate(range(row_start, row_end)):
+            out[present[i]] = int(np.uint64(words[col]).view(np.int64))
+        row_start = row_end
+    return pd.Series(out, index=texts.index, dtype="object").astype("Int64")
 
 
 def simhash_udf() -> Column:
@@ -177,17 +340,27 @@ def simhash_udf() -> Column:
 
 
 def simhash_bands(h: int | None, bands: int = SIMHASH_BANDS) -> list[int] | None:
-    """Split a 64-bit simhash into `bands` segments, band index baked in.
-    Two documents within hamming distance (bands-1) share >= 1 band."""
+    """Manku-style blocking keys for a 64-bit simhash: split into 4
+    16-bit blocks and emit one key per PAIR of blocks (C(4,2) = 6 keys,
+    32 bits of entropy each, pair index baked into the top bits).
+
+    Recall guarantee: hamming distance <= 2 corrupts at most 2 blocks,
+    leaving >= 2 intact — some intact pair exists, so near-dups always
+    share >= 1 key. Single 16-bit blocks (the naive banding) guarantee
+    hamming <= 3 but collide randomly every ~65k docs — quadratic junk
+    pairs at web scale; 32-bit keys push random collisions out to ~4B."""
     if h is None:
         return None
     u = np.uint64(np.int64(h).view(np.uint64)) if not isinstance(h, np.uint64) else h
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
+    blocks = [int((u >> np.uint64(i * width)) & mask) for i in range(bands)]
     out = []
+    pair_idx = 0
     for i in range(bands):
-        seg = (u >> np.uint64(i * width)) & mask
-        out.append(int(seg) | (i << 60))
+        for j in range(i + 1, bands):
+            out.append((blocks[i] << width) | blocks[j] | (pair_idx << 58))
+            pair_idx += 1
     return out
 
 

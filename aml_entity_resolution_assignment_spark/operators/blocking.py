@@ -41,7 +41,9 @@ def add_blocking_keys(pages: DataFrame) -> DataFrame:
     norm_url = N.norm_url_for_match(F.col("url"))
     norm_title = N.norm_title(N.extract_title_udf()(F.col("html")))
     norm_text = N.norm_body_text(F.col("text"))
-    path_last = F.regexp_extract(norm_url, r"/([^/]+)/?$", 1)
+    # FULL path, not the last segment: a single segment is a stop-word
+    # key at web scale (quadratic blocks across unrelated hosts)
+    path_full = F.regexp_extract(norm_url, r"^[^/]+/(.+?)/?$", 1)
 
     keyed = pages.select(
         "url",
@@ -58,7 +60,7 @@ def add_blocking_keys(pages: DataFrame) -> DataFrame:
         F.when(
             F.length("norm_title") >= MIN_TITLE_KEY_LEN, F.col("norm_title")
         ).alias("bk_title"),
-        F.when(F.length(path_last) >= MIN_PATH_KEY_LEN, path_last).alias("bk_path"),
+        F.when(F.length(path_full) >= MIN_PATH_KEY_LEN, path_full).alias("bk_path"),
         mh.minhash_udf()(F.when(F.col("norm_text") != "", F.col("norm_text"))).alias(
             "minhash_sig"
         ),

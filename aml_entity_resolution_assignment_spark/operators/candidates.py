@@ -58,6 +58,17 @@ def self_join_pairs(
     )
 
     sizes = recs.groupBy("bk").agg(F.count("*").alias("cnt"))
+    oversized = sizes.where(F.col("cnt") > salt_cap)
+    if oversized.isEmpty():
+        # fast path — no hot keys: plain equi-self-join, no salt/grid
+        # machinery, no anti-joins (the common case once keys are sane)
+        return (
+            recs.alias("l")
+            .join(recs.alias("r"), F.col("l.bk") == F.col("r.bk"))
+            .where(F.col("l.rid") < F.col("r.rid"))
+            .select(F.col("l.rid").alias("id_a"), F.col("r.rid").alias("id_b"))
+        )
+
     hot_keys = sizes.where(
         (F.col("cnt") > salt_cap) & (F.col("cnt") <= drop_cap)
     ).select(
@@ -147,26 +158,46 @@ def candidate_pairs(
     salt_cap: int = DEFAULT_SALT_CAP,
     drop_cap: int = DEFAULT_DROP_CAP,
 ) -> DataFrame:
-    """J3: union-dedup of per-key exact joins + band joins
-    (matching.py:141-177). One global dropDuplicates shuffle at the end;
-    per-band dedup happens inside band_join_pairs where the duplicate
-    rate is highest."""
+    """J3: union-dedup across exact keys + LSH bands
+    (matching.py:141-177).
+
+    Physical strategy: instead of N independent self-join pipelines
+    (the reference's UNION of per-index joins — necessary for SQLite's
+    B-trees, wasteful for Spark: N shuffles + N size-scans), all keys
+    collapse into ONE tall (rid, key_hash) table — key_hash = xxhash64
+    of (key name, key value), so different key spaces cannot collide —
+    followed by ONE salted self-join and ONE global dedup: 3 shuffles
+    total regardless of how many blocking keys exist. A hash collision
+    between key spaces could only create a spurious CANDIDATE, which
+    the scorer then rejects — correctness is unaffected."""
     from .blocking import BAND_KEYS, BLOCKING_KEYS
 
     exact_keys = BLOCKING_KEYS if exact_keys is None else exact_keys
     band_keys = BAND_KEYS if band_keys is None else band_keys
 
     parts = [
-        self_join_pairs(keyed, k, id_col=id_col, salt_cap=salt_cap, drop_cap=drop_cap)
+        keyed.where(F.col(k).isNotNull()).select(
+            F.col(id_col).alias("rid"),
+            F.xxhash64(F.lit(k), F.col(k)).alias("bk"),
+        )
         for k in exact_keys
     ] + [
-        band_join_pairs(keyed, k, id_col=id_col, salt_cap=salt_cap, drop_cap=drop_cap)
+        keyed.where(F.col(k).isNotNull())
+        .select(F.col(id_col).alias("rid"), F.explode(F.col(k)).alias("_band"))
+        .select("rid", F.xxhash64(F.lit(k), F.col("_band")).alias("bk"))
         for k in band_keys
     ]
-    out = parts[0]
+    all_keys = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.dropDuplicates(["id_a", "id_b"])
+        all_keys = all_keys.unionByName(p)
+    pairs = self_join_pairs(
+        all_keys.select(F.col("bk"), F.col("rid")),
+        "bk",
+        id_col="rid",
+        salt_cap=salt_cap,
+        drop_cap=drop_cap,
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def limit_candidates_per_record(

@@ -90,17 +90,23 @@ def connected_components(
         assign = e.select(F.col("u").alias("child"), F.col("v").alias("parent"))
     else:
         cur = e.localCheckpoint(eager=True)  # any orientation
-        prev: DataFrame | None = None
+        prev_sig: tuple | None = None
         for _ in range(max_iter):
             ls = _large_star(_symmetrize(cur))
             ss = _small_star(ls).localCheckpoint(eager=True)
-            if prev is not None:
-                if (
-                    ss.exceptAll(prev).isEmpty()
-                    and prev.exceptAll(ss).isEmpty()
-                ):
-                    break
-            prev = ss
+            # convergence check in ONE job: the edge set is stable when
+            # (count, order-independent hash sum) repeats — a collision
+            # needs two distinct edge sets with equal 64-bit hash sums
+            # in the same run (~2^-64 per round)
+            row = ss.agg(
+                F.count("*").alias("n"),
+                # decimal(38,0) sum: overflow-proof under ANSI mode
+                F.sum(F.xxhash64("child", "parent").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            sig = (row["n"], row["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
             cur = ss.select(
                 F.col("child").alias("u"), F.col("parent").alias("v")
             )

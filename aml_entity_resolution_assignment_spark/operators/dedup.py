@@ -74,10 +74,14 @@ def minhash_near_dup_pairs(
     Jaccard verification at `threshold`. Candidates are O(true near-dups)
     by the LSH s-curve, so the verify join is cheap."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    # banding tuned to the requested threshold: at t=0.9 that's (8, 16),
+    # which prunes moderately-similar pairs BEFORE the verify join — on
+    # a near-dup-rich corpus the default t~0.7 banding floods verify
+    bands, rows = mh.banding_for_threshold(threshold)
     sigs = df.select(
         F.col(id_col).alias("_id"),
         norm.alias("_txt"),
-        mh.band_hashes_udf()(mh.minhash_udf()(norm)).alias("_bands"),
+        mh.band_hashes_udf(bands, rows)(mh.minhash_udf()(norm)).alias("_bands"),
     )
     pairs = band_join_pairs(sigs, "_bands", id_col="_id")
     if not verify:
@@ -96,8 +100,9 @@ def minhash_near_dup_pairs(
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: 4x16-bit banding guarantees recall for
-    hamming <= 3; verify with bit_count on the full hash (JVM-side)."""
+    """SimHash near-dup pairs: Manku block-pair banding guarantees
+    recall for hamming <= 2 (probabilistic above); verify with
+    bit_count on the full hash (JVM-side)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     hashed = df.select(
         F.col(id_col).alias("_id"),

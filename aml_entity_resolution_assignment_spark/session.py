@@ -20,11 +20,18 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # default 64m coalesces Arrow-UDF stages down to a handful of
+    # partitions, starving Python-side parallelism; pandas-UDF work is
+    # CPU-bound per row, not shuffle-bound, so aim smaller
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # single-JVM local mode: the "driver" heap is the whole cluster's
+    # memory; size it like an executor fleet, not a driver
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
 }

@@ -84,11 +84,11 @@ def test_simhash_near_duplicates_low_hamming():
     assert mh.hamming64(h1, h3) > 10
 
 
-def test_simhash_bands_collide_within_hamming_3():
-    # pigeonhole guarantee: 4 bands of 16 bits -> any two hashes with
-    # hamming distance <= 3 leave at least one band untouched
+def test_simhash_bands_collide_within_hamming_2():
+    # Manku pigeonhole guarantee: block-PAIR keys over 4 blocks -> any
+    # two hashes with hamming distance <= 2 share an intact block pair
     h1 = mh.simhash64("the quick brown fox " * 20)
-    for flipped_bits in [(0,), (5, 40), (1, 17, 63)]:
+    for flipped_bits in [(0,), (5, 40), (1, 17)]:
         h2 = h1
         for b in flipped_bits:
             h2 ^= 1 << b
@@ -96,6 +96,7 @@ def test_simhash_bands_collide_within_hamming_3():
         b1 = set(mh.simhash_bands(h1))
         b2 = set(mh.simhash_bands(h2))
         assert b1 & b2, flipped_bits
+    assert len(mh.simhash_bands(h1)) == 6
 
 
 def test_simhash_empty_none():
