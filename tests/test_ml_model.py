@@ -1,0 +1,70 @@
+"""Training pipeline (T1-T4): candidate-labeled pairs -> logistic model
+-> scoring path; model must separate match/non-match features."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aml_entity_resolution_assignment_spark.ml.model import (
+    MODEL_FEATURES,
+    evaluate_model,
+    label_pairs,
+    score_with_model,
+    train_model,
+)
+from aml_entity_resolution_assignment_spark.operators import blocking, candidates
+from aml_entity_resolution_assignment_spark.operators.features import pair_features
+from aml_entity_resolution_assignment_spark.sources.generator import generate_pages
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    # high doppelgänger rate: candidate blocking is precise, so hard
+    # negatives are rare at the default 5% — training needs both classes
+    gen = generate_pages(spark, n_entities=150, seed=23, doppel_rate=0.5).cache()
+    truth = gen.select("url", "entity_id")
+    keyed = blocking.add_blocking_keys(gen.drop("entity_id")).cache()
+    pairs = candidates.candidate_pairs(keyed)
+    feats = pair_features(pairs, keyed)
+    return label_pairs(feats, truth).cache()
+
+
+def test_labels_from_same_blocking_as_inference(labeled):
+    # key property (SURVEY.md §3.2): labels exist for every candidate
+    assert labeled.where(F.col("label").isNull()).count() == 0
+    counts = {r["label"]: r["cnt"] for r in labeled.groupBy("label").agg(F.count("*").alias("cnt")).collect()}
+    assert counts.get(1.0, 0) > 20 and counts.get(0.0, 0) > 20
+
+
+def test_train_score_roundtrip(spark, labeled, tmp_path):
+    model_dir = str(tmp_path / "lr_model")
+    model = train_model(labeled, model_dir, seed=42)
+    assert len(model.coefficients) == len(MODEL_FEATURES)
+
+    scored = score_with_model(spark, labeled, model_dir)
+    assert "ml_prob" in scored.columns
+    stats = scored.groupBy("label").agg(F.avg("ml_prob").alias("avg_p")).collect()
+    by_label = {r["label"]: r["avg_p"] for r in stats}
+    assert by_label[1.0] > 0.8, by_label
+    assert by_label[0.0] < 0.2, by_label
+
+    metrics = evaluate_model(scored)
+    assert metrics["roc_auc"] > 0.95, metrics
+
+
+def test_pipeline_with_model_improves_or_holds_f1(spark, labeled, tmp_path):
+    from aml_entity_resolution_assignment_spark.operators.classify import classify
+    from aml_entity_resolution_assignment_spark.operators.evaluate import (
+        evaluate_labeled_pairs,
+    )
+
+    model_dir = str(tmp_path / "lr_model2")
+    train_model(labeled, model_dir, seed=42)
+    scored = score_with_model(spark, labeled, model_dir)
+
+    gen = generate_pages(spark, n_entities=150, seed=23, doppel_rate=0.5)
+    truth = gen.select("url", "entity_id")
+
+    no_model = evaluate_labeled_pairs(classify(labeled.drop("label")), truth)
+    with_model = evaluate_labeled_pairs(classify(scored.drop("label")), truth)
+    assert with_model.f1 >= no_model.f1 - 1e-9, (no_model, with_model)
+    assert with_model.f1 >= 0.99

@@ -1,0 +1,91 @@
+"""Physical-plan quality gates (SURVEY.md §4): the optimizer must get
+the plans we designed for — pushdown into scans, no nested-loop joins
+in the candidate path, whole-stage codegen around the rule cascade."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aml_entity_resolution_assignment_spark.operators import blocking, candidates, classify
+from aml_entity_resolution_assignment_spark.sources.generator import generate_pages
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm  # noqa: SLF001
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
+
+
+@pytest.fixture(scope="module")
+def parquet_pages(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_pq"))
+    generate_pages(spark, n_entities=50, seed=3).drop("entity_id").write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_filter_and_projection_pushed_to_scan(spark, parquet_pages):
+    df = (
+        spark.read.parquet(parquet_pages)
+        .where(F.col("lang") == "en")
+        .select("url", "lang")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+    # column pruning: html/text must NOT be read for a url/lang projection
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "html" not in read_schema and "text" not in read_schema
+
+
+def test_candidate_join_is_not_nested_loop(spark, parquet_pages):
+    keyed = blocking.add_blocking_keys(spark.read.parquet(parquet_pages))
+    pairs = candidates.candidate_pairs(keyed)
+    plan = _plan(pairs)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_rule_cascade_is_whole_stage_codegen(spark):
+    feats = spark.createDataFrame(
+        [("a", "b", 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 1, 0, 1, 0.1)],
+        "id_a string, id_b string, host_score double, url_score double, "
+        "title_score double, jaccard_score double, minhash_sim double, "
+        "simhash_sim double, lang_match int, host_match int, "
+        "title_both_present int, ml_prob double",
+    )
+    plan = _plan(classify.classify(feats))
+    assert "codegen id" in plan  # whole-stage codegen spans present
+    # the cascade must be pure expressions: no Python evaluation nodes
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CASE WHEN" in plan  # the cascade compiled to one expression tree
+
+
+def test_feature_stage_uses_arrow_not_row_python(spark, parquet_pages):
+    from aml_entity_resolution_assignment_spark.operators.features import pair_features
+
+    keyed = blocking.add_blocking_keys(spark.read.parquet(parquet_pages))
+    pairs = candidates.candidate_pairs(keyed)
+    plan = _plan(pair_features(pairs, keyed))
+    assert "ArrowEvalPython" in plan  # vectorized kernels
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+
+
+def test_small_dim_join_broadcasts(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    q = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+    )
+    assert "BroadcastHashJoin" in _plan(q)
