@@ -99,6 +99,17 @@ def norm_phone(c: Column) -> Column:
     )
 
 
+def get_soundex(c: Column) -> Column:
+    """F6 (preprocessing.py:132-136): soundex code with the reference's
+    '0000' empty sentinel. Spark's built-in F.soundex is JVM-side; like
+    the reference, this is an AVAILABLE function, not part of the
+    default blocking flow (LSH replaced it — README.md:63)."""
+    folded = norm_text_udf()(c)
+    return F.when(
+        (c.isNull()) | (folded == ""), F.lit("0000")
+    ).otherwise(F.soundex(folded))
+
+
 # Address abbreviation expansion (preprocessing.py:100-125): short -> long
 # only, \b-anchored, applied after punctuation strip + ascii fold.
 _ADDR_REPLACEMENTS = [

@@ -1,0 +1,64 @@
+"""Table sources and sinks (S1-S7).
+
+The reference reads/writes SQLite tables and CSVs
+(/root/reference/src/generation.py:321-327, matching.py:650-661,
+preprocessing.py:256). The Spark engine's storage layer is
+parquet-directory tables with an Iceberg-style layout (one directory
+per table, overwrite-by-replace semantics); CSV is kept for human
+review exports only (S4). Secondary indexes (S6,
+preprocessing.py:263-266) have no analog — repartition/sort-within
+write options fill that role.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, base: str, name: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(os.path.join(base, name))
+
+
+def write_table(
+    df: DataFrame,
+    base: str,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    buckets: int | None = None,
+) -> str:
+    """S5 table sink (to_sql if_exists='replace' analog). `sort_by`
+    pre-sorts within partitions (the scan-locality role of the
+    reference's B-tree indexes); `partition_by` maps to Iceberg-style
+    partition dirs for partition pruning."""
+    path = os.path.join(base, name)
+    out = df
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = True) -> str:
+    """S4 human-review CSV sink (matching.py:653-661 review/missed/false
+    exports). single_file coalesces for human consumption — never use
+    on big tables."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+    return path
+
+
+def export_review_cases(classified: DataFrame, base: str) -> str:
+    """E6/matching.py:708-712: manual-review export."""
+    review = classified.where(F.col("match_type") == "review")
+    return export_csv(review, os.path.join(base, "manual_review_cases"))

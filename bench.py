@@ -220,7 +220,7 @@ def scaling_main() -> None:
 
 Same job (full ER pipeline: blocking -> salted candidates -> Arrow
 scoring -> rule cascade -> iterative CC), same deterministic input
-({results[8]["pages"]} pages from {ER_ENTITIES_SCALING} entities, seed 42),
+({results[lo]["pages"]} pages from {ER_ENTITIES_SCALING} entities, seed 42),
 two parallelism levels on one machine — the sandbox stand-in for N vs
 4N executors (see BASELINE.md note). Runs are interleaved (N, 4N, N,
 4N, ...) with best-of-{SCALING_REPEATS} per level because the sandbox

@@ -99,3 +99,11 @@ def test_extract_text_roundtrip():
     assert N.extract_text(html) == text
     assert N.extract_title(html) == "T & t"
     assert N.extract_text(b"<nope>") is None
+
+
+def test_get_soundex(spark):
+    # jellyfish soundex('Smith') == 'S530'; empty/None -> '0000'
+    assert _one(spark, N.get_soundex, "Smith") == "S530"
+    assert _one(spark, N.get_soundex, "Robert") == "R163"
+    assert _one(spark, N.get_soundex, None) == "0000"
+    assert _one(spark, N.get_soundex, "  ") == "0000"

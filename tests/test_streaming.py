@@ -86,3 +86,21 @@ def test_stream_event_counts_matches_batch(spark, tmp_path_factory):
     # row must match the batch result exactly
     assert got.count() > 0
     assert got.exceptAll(batch).count() == 0
+
+
+def test_io_table_roundtrip_and_csv_export(spark, tmp_path_factory):
+    from aml_entity_resolution_assignment_spark.sources import io as sio
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path_factory.mktemp("io_base"))
+    df = spark.createDataFrame(
+        [("a", "match", 0.9), ("b", "review", 0.6), ("c", "no_match", 0.1)],
+        "id_a string, match_type string, confidence_score double",
+    )
+    sio.write_table(df, base, "classified", sort_by=["id_a"])
+    back = sio.read_table(spark, base, "classified")
+    assert back.count() == 3
+    path = sio.export_review_cases(back, base)
+    got = spark.read.option("header", True).csv(path)
+    assert got.count() == 1
+    assert got.collect()[0]["match_type"] == "review"
