@@ -378,3 +378,62 @@ def simhash_bands_udf() -> Column:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Compact binary encodings for the scoring-join payload. The hydration
+# joins (operators/features.py) ship per-record state for BOTH pair
+# sides through a shuffle; raw text (~600B) + ArrayType signature
+# (~1.1KB with Arrow offsets) per side dominates that shuffle. Packed:
+# signature = 128 x uint32 little-endian (512B, values are 32-bit by
+# construction of the multiply-shift >> 32); token set = sorted unique
+# CRC32 uint32 (~4B per distinct token). Never shuffle raw text.
+# ---------------------------------------------------------------------------
+
+
+def batch_pack_sig(sigs: pd.Series) -> pd.Series:
+    """ArrayType(Long) signature -> 512-byte binary (uint32 LE)."""
+    out = []
+    for s in sigs:
+        if s is None:
+            out.append(None)
+        else:
+            out.append(np.asarray(s, dtype=np.uint32).tobytes())
+    return pd.Series(out, index=sigs.index, dtype="object")
+
+
+def pack_sig_udf() -> Column:
+    from pyspark.sql.types import BinaryType
+
+    return F.pandas_udf(batch_pack_sig, BinaryType())
+
+
+def batch_token_hashset(texts: pd.Series) -> pd.Series:
+    """text -> sorted unique CRC32 token hashes as uint32-LE binary.
+
+    Exact token-set Jaccard is then an intersect of sorted uint32
+    arrays (functions/similarity.py:batch_hashset_jaccard); CRC32
+    collisions perturb the score by < 1e-8 at realistic set sizes."""
+    out = []
+    for t in texts:
+        if t is None or t == "" or (isinstance(t, float) and pd.isna(t)):
+            out.append(None)
+            continue
+        toks = set(t.split())
+        if not toks:
+            out.append(b"")
+            continue
+        arr = np.fromiter(
+            (zlib.crc32(tok.encode("utf-8")) for tok in toks),
+            dtype=np.uint32,
+            count=len(toks),
+        )
+        arr.sort()
+        out.append(arr.tobytes())
+    return pd.Series(out, index=texts.index, dtype="object")
+
+
+def token_hashset_udf() -> Column:
+    from pyspark.sql.types import BinaryType
+
+    return F.pandas_udf(batch_token_hashset, BinaryType())

@@ -240,6 +240,36 @@ def batch_token_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def batch_hashset_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact Jaccard of two uint32-LE-packed sorted hash sets
+    (functions/minhash.py:batch_token_hashset) — the shuffle-compact
+    form of batch_token_jaccard."""
+    out = np.zeros(len(a), dtype="float64")
+    for i, (xa, xb) in enumerate(zip(a, b)):
+        if not xa or not xb:
+            continue
+        sa = np.frombuffer(xa, dtype=np.uint32)
+        sb = np.frombuffer(xb, dtype=np.uint32)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        if inter:
+            out[i] = inter / (len(sa) + len(sb) - inter)
+    return pd.Series(out, index=a.index, dtype="float64")
+
+
+def batch_packed_sig_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Agreement fraction of two 512-byte packed MinHash signatures
+    (uint32 LE) — the shuffle-compact form of
+    batch_signature_similarity."""
+    out = np.zeros(len(a), dtype="float64")
+    for i, (xa, xb) in enumerate(zip(a, b)):
+        if not xa or not xb:
+            continue
+        sa = np.frombuffer(xa, dtype=np.uint32)
+        sb = np.frombuffer(xb, dtype=np.uint32)
+        out[i] = float(np.mean(sa == sb))
+    return pd.Series(out, index=a.index, dtype="float64")
+
+
 def batch_signature_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
     """Fraction of equal positions between two equal-length int arrays
     (MinHash signature similarity — an unbiased Jaccard estimate)."""

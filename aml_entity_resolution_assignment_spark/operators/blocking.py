@@ -72,6 +72,10 @@ def add_blocking_keys(pages: DataFrame) -> DataFrame:
         "*",
         mh.band_hashes_udf()(F.col("minhash_sig")).alias("bk_minhash_bands"),
         mh.simhash_bands_udf()(F.col("simhash")).alias("bk_simhash_bands"),
+        # compact scoring payload (computed once here, shipped instead
+        # of raw text / ArrayType sig by the hydration joins)
+        mh.pack_sig_udf()(F.col("minhash_sig")).alias("sig_bin"),
+        mh.token_hashset_udf()(F.col("norm_text")).alias("tokens_bin"),
     )
     return keyed
 

@@ -24,7 +24,7 @@ greatest() over conditionals (C11).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -55,13 +55,6 @@ class RuleThresholds:
     veto_ml: float = 0.10
     veto_host_guard: float = 0.90
     veto_url_guard: float = 0.90
-    floors: dict = field(
-        default_factory=lambda: {
-            "r1": 0.95, "r2": 0.90, "r3": 0.85, "r4": 0.85, "r6": 0.95,
-            "review_title_lang": 0.75, "review_host": 0.60,
-            "review_title": 0.50, "review_url": 0.55,
-        }
-    )
 
 
 DEFAULT_THRESHOLDS = RuleThresholds()

@@ -30,13 +30,18 @@ from pyspark.sql.types import DoubleType
 
 from ..functions import similarity as sim
 
+# Per-side payload of the scoring shuffle. Body-text state rides in the
+# compact binary forms (tokens_bin ~4B/distinct token, sig_bin 512B)
+# rather than raw text (~600B) + ArrayType sig (~1.1KB) — the hydration
+# joins ship this for BOTH sides of every pair, so bytes here are the
+# dominant shuffle cost of the scoring stage.
 HYDRATION_COLS = [
     "url",
     "host",
     "norm_url",
     "norm_title",
-    "norm_text",
-    "minhash_sig",
+    "tokens_bin",
+    "sig_bin",
     "simhash",
     "lang",
 ]
@@ -87,8 +92,8 @@ def _edit_similarity(a, b):
 
 
 _jw_udf = F.pandas_udf(sim.batch_jaro_winkler, DoubleType())
-_jacc_udf = F.pandas_udf(sim.batch_token_jaccard, DoubleType())
-_sigsim_udf = F.pandas_udf(sim.batch_signature_similarity, DoubleType())
+_jacc_udf = F.pandas_udf(sim.batch_hashset_jaccard, DoubleType())
+_sigsim_udf = F.pandas_udf(sim.batch_packed_sig_similarity, DoubleType())
 
 
 def compute_features(hydrated: DataFrame) -> DataFrame:
@@ -100,8 +105,8 @@ def compute_features(hydrated: DataFrame) -> DataFrame:
         .otherwise(1.0 - F.bit_count(sh_a.bitwiseXOR(sh_b)) / F.lit(64.0))
     )
     minhash_sim = F.when(
-        F.col("minhash_sig_a").isNull() | F.col("minhash_sig_b").isNull(), F.lit(0.0)
-    ).otherwise(_sigsim_udf("minhash_sig_a", "minhash_sig_b"))
+        F.col("sig_bin_a").isNull() | F.col("sig_bin_b").isNull(), F.lit(0.0)
+    ).otherwise(_sigsim_udf("sig_bin_a", "sig_bin_b"))
 
     return hydrated.select(
         "id_a",
@@ -109,7 +114,7 @@ def compute_features(hydrated: DataFrame) -> DataFrame:
         _edit_similarity(F.col("host_a"), F.col("host_b")).alias("host_score"),
         _jw_udf("norm_url_a", "norm_url_b").alias("url_score"),
         _jw_udf("norm_title_a", "norm_title_b").alias("title_score"),
-        _jacc_udf("norm_text_a", "norm_text_b").alias("jaccard_score"),
+        _jacc_udf("tokens_bin_a", "tokens_bin_b").alias("jaccard_score"),
         minhash_sim.alias("minhash_sim"),
         simhash_sim.alias("simhash_sim"),
         F.when(
