@@ -363,6 +363,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k. Registered in full-probe mode
+    (n_probe == n_lists) so the exact-cosine DuckDB oracle validates the
+    whole cell-partition + probe + rank machinery; partial-probe recall
+    is covered by unit tests (test_ann)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ANN.ivf_topk(emb, q, k=5, n_lists=8, n_probe=8)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RP-LSH near-dup embedding pairs (rows-only check). The raw
     table is near-orthogonal random vectors (max pairwise cosine ~0.51),
@@ -430,6 +443,23 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (batch twin of the applyInPandasWithState stateful
+    streaming operator, streaming/stream.py:sessionize_stream)."""
+    from aml_entity_resolution_assignment_spark.streaming.stream import (
+        sessionize_batch,
+    )
+
+    out = sessionize_batch(_events(spark, sf_dir), gap_seconds=600)
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+        "sum_value",
     )
 
 
@@ -544,10 +574,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
         "tpch_pricing": q_tpch_pricing,
         "tpch_join_agg": q_tpch_join_agg,
     }
@@ -815,6 +847,8 @@ def oracle_sql() -> dict[str, str]:
     where rank <= 5
     """
 
+    sql["ann_ivf"] = sql["ann_topk"]
+
     sql["text_quality"] = """
     with t as (select doc_id, text,
                  length(text) as n_chars_q,
@@ -865,6 +899,22 @@ def oracle_sql() -> dict[str, str]:
            event_type, count(*) as n_events, round(sum(value), 6) as sum_value
     from events
     group by 1, 2
+    """
+
+    sql["events_sessionize"] = """
+    with e as (select user_id, cast(ts as timestamp) as ts, value from events),
+    l as (select user_id, ts, value,
+            case when epoch(ts) - epoch(lag(ts) over (partition by user_id order by ts)) > 600
+                 then 1 else 0 end as nf
+          from e),
+    s as (select *, sum(nf) over (partition by user_id order by ts
+                                  rows unbounded preceding) as sess from l)
+    select user_id,
+           cast(min(ts) as varchar) as session_start,
+           cast(max(ts) as varchar) as session_end,
+           count(*) as n_events,
+           round(sum(coalesce(value, 0.0)), 6) as sum_value
+    from s group by user_id, sess
     """
 
     sql["tpch_pricing"] = """

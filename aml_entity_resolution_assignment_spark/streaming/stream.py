@@ -77,6 +77,124 @@ def stream_event_counts(
     )
 
 
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_SESSION_STATE_SCHEMA = "start long, end long, n long, s double"
+
+
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_seconds: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful operator: per-user session windows with an
+    inactivity gap, via applyInPandasWithState (GroupState per user;
+    a session closes when no event arrives for `gap_seconds`, enforced
+    by the event-time timeout). Emits one row per CLOSED session.
+
+    This is the operator shape Structured Streaming cannot express with
+    built-in windows (session_window exists but not with custom
+    aggregates + custom emission); state size is O(active users)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, batches, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [s],
+                }
+            )
+            return
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        ts_us = (
+            pd.to_datetime(rows["ts"]).astype("int64") // 1000
+        ).sort_values()
+        values = rows["value"].fillna(0.0)
+        if state.exists:
+            start, end, n, s = state.get
+        else:
+            start, end, n, s = int(ts_us.iloc[0]), int(ts_us.iloc[0]), 0, 0.0
+
+        out = []
+        gap_us = gap_seconds * 1_000_000
+        for t, v in zip(ts_us, values.loc[ts_us.index]):
+            t = int(t)
+            if n > 0 and t - end > gap_us:
+                out.append((start, end, n, s))
+                start, n, s = t, 0, 0.0
+            end = max(end, t)
+            n += 1
+            s += float(v)
+        state.update((start, end, n, s))
+        state.setTimeoutTimestamp(end // 1000 + gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "session_start": [pd.Timestamp(o[0], unit="us") for o in out],
+                    "session_end": [pd.Timestamp(o[1], unit="us") for o in out],
+                    "n_events": [o[2] for o in out],
+                    "sum_value": [round(o[3], 6) for o in out],
+                }
+            )
+
+    events = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 600) -> DataFrame:
+    """Batch twin of sessionize_stream — pure window functions (lag +
+    cumulative new-session flags), fully SQL-expressible, used as the
+    correctness oracle for the stateful operator."""
+    from pyspark.sql import Window
+
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = e.withColumn(
+        "_new",
+        # microsecond precision: cast-to-long truncates to seconds and
+        # mis-splits gaps like 600.5s vs the stateful/stream semantics
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > gap_seconds * 1_000_000,
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_sess", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy("user_id", "_sess")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias("sum_value"),
+        )
+        .drop("_sess")
+    )
+
+
 def incremental_upsert(
     keyed_stream: DataFrame,
     target_path: str,

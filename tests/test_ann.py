@@ -72,3 +72,28 @@ def test_cosine_on_real_embeddings_table(spark):
     out = ann.brute_force_topk(emb, q, k=5).collect()
     assert len(out) == 10
     assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in out)
+
+
+def test_ivf_topk_recall_vs_exact(spark, vectors):
+    base, df = vectors
+    queries = df.limit(6).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = ann.brute_force_topk(df, queries, k=5)
+    approx = ann.ivf_topk(df, queries, k=5, n_lists=8, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall
+    # planted near-dups (cosine ~1.0) must be found by IVF
+    got41 = {r["neighbor_id"] for r in approx.collect() if r["query_id"] == 40}
+    if 40 in {r["query_id"] for r in approx.collect()}:
+        assert 41 in got41
+
+
+def test_ivf_probe_all_cells_equals_exact(spark, vectors):
+    _, df = vectors
+    queries = df.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = ann.brute_force_topk(df, queries, k=3)
+    full = ann.ivf_topk(df, queries, k=3, n_lists=6, n_probe=6)
+    e = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect())
+    f = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in full.collect())
+    assert e == f

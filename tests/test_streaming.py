@@ -104,3 +104,51 @@ def test_io_table_roundtrip_and_csv_export(spark, tmp_path_factory):
     got = spark.read.option("header", True).csv(path)
     assert got.count() == 1
     assert got.collect()[0]["match_type"] == "review"
+
+
+def test_sessionize_batch_matches_python_oracle(spark):
+    rows = [
+        # user 1: two sessions split by a >600s gap
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:05:00", 2.0),
+        (1, "2024-01-01 00:30:00", 3.0),  # gap 1500s -> new session
+        # user 2: single event
+        (2, "2024-01-01 01:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"])
+        for r in S.sessionize_batch(df, gap_seconds=600).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", 2, 3.0),
+        (1, "2024-01-01 00:30:00", 1, 3.0),
+        (2, "2024-01-01 01:00:00", 1, 5.0),
+    }
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path_factory):
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    src = str(tmp_path_factory.mktemp("events_sess"))
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id") < 20
+    )
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        S.sessionize_stream(stream, gap_seconds=600)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from sessions")
+
+    batch = S.sessionize_batch(spark.read.parquet(src), gap_seconds=600)
+    # append mode only emits CLOSED sessions (watermark passed); every
+    # emitted session must exist identically in the batch result
+    assert got.count() > 0
+    assert got.exceptAll(batch.select(*got.columns)).count() == 0
