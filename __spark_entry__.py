@@ -14,7 +14,20 @@ result sets are non-trivial but bounded at sf0.01.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the engine package importable regardless of the harness cwd —
+# Spark PYTHON WORKERS also need it, so export via env for child procs
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+os.environ["PYTHONPATH"] = (
+    _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+    if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    else os.environ["PYTHONPATH"]
+)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
