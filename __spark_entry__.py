@@ -241,6 +241,29 @@ def q_pair_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DL = F.pandas_udf(
+    lambda a, b: SIM.batch_edit_score(a, b, damerau=True), DoubleType()
+)
+
+
+def q_pair_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: unrestricted Damerau-Levenshtein normalized score (the
+    reference's nid_score kernel, matching.py:263-270) vs DuckDB's
+    damerau_levenshtein — pins the DL kernel to an oracle, not just
+    unit tests."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring(F.lower(F.trim("text")), 1, 16).alias("prefix")
+    )
+    pairs = q_candidate_pairs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(_DL("pa", "pb"), 6).alias("dl_score"))
+    )
+
+
 def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2-C12: the when()-cascade classifier over deterministic derived
     features (full cascade incl. review rules + veto)."""
@@ -346,10 +369,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs with exact verify (NO SQL oracle —
-    hash-family dependent; driver records rows-only)."""
-    d = _docs(spark, sf_dir)
-    out = D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.9)
+    """MinHash-LSH near-dup pairs in the recall-forced configuration:
+    bands=32, rows=4 puts the banding miss probability for a
+    jaccard>=0.9 pair at (1-0.9^4)^32 ≈ 1.5e-15, so the verified output
+    EQUALS exact all-pairs token-set Jaccard >= 0.9 — which the DuckDB
+    oracle brute-forces. Capped at doc_id < 1000 (same convention as
+    dedup_ngram_jaccard) because this synthetic corpus's 31-token
+    vocabulary makes nearly every pair moderately similar; production
+    callers use the threshold-matched banding default over the full
+    table (exercised by the er_pipeline bench + unit tests)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 1000)
+    out = D.minhash_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.9, bands=32, rows=4
+    )
     return out.select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"),
         F.round("jaccard", 6).alias("jaccard"),
@@ -357,9 +389,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs at max_hamming=2 — inside the Manku
+    block-pair recall GUARANTEE (<=2 corrupted bits leave an intact
+    block pair), so the output equals exact all-pairs hamming<=2. The
+    md5-based token hash (functions/minhash.py:_token_hash64) is
+    DuckDB md5_number_lower, so the oracle recomputes the full simhash
+    in SQL."""
     d = _docs(spark, sf_dir)
-    out = D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=8)
+    out = D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=2)
     return out.select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "hamming"
     )
@@ -390,10 +427,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RP-LSH near-dup embedding pairs (rows-only check). The raw
-    table is near-orthogonal random vectors (max pairwise cosine ~0.51),
-    so plant scaled copies (cosine exactly 1.0) of the first 20 vectors:
-    LSH banding must recover every planted pair."""
+    """RP-LSH near-dup embedding pairs. The raw table is
+    near-orthogonal random vectors (max pairwise cosine ~0.51), so
+    plant scaled copies (cosine exactly 1.0) of the first 20 vectors.
+    A planted pair has an IDENTICAL sign signature (scaling preserves
+    every hyperplane side), so banding recalls it deterministically,
+    and no other pair reaches min_cosine — the output equals exact
+    all-pairs cosine >= 0.99, which the DuckDB oracle brute-forces."""
     emb = _emb(spark, sf_dir)
     planted = emb.where(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -436,7 +476,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint (rows-only check)."""
+    """Rolling-hash document fingerprint: h = (h*1000003 +
+    md5_64(tok)) mod 2^61-1 over whitespace tokens. The token hash is
+    DuckDB md5_number_lower, so the oracle reproduces it with
+    list_reduce over HUGEINT."""
     d = _docs(spark, sf_dir)
     return d.select("doc_id", T.fingerprint_udf()(F.col("text")).alias("fp"))
 
@@ -576,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_pairs": q_candidate_pairs,
         "pair_features": q_pair_features,
         "pair_jw": q_pair_jw,
+        "pair_dl": q_pair_dl,
         "rule_cascade": q_rule_cascade,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
@@ -714,6 +758,18 @@ def oracle_sql() -> dict[str, str]:
     d as (select doc_id, substr(lower(trim(text)), 1, 20) as prefix from documents)
     select p.id_a, p.id_b,
            round(jaro_winkler_similarity(da.prefix, db.prefix), 6) as jw_score
+    from pairs p join d da on p.id_a = da.doc_id join d db on p.id_b = db.doc_id
+    """
+
+    sql["pair_dl"] = f"""
+    with pairs as ({_pairs}),
+    d as (select doc_id, substr(lower(trim(text)), 1, 16) as prefix from documents)
+    select p.id_a, p.id_b,
+           case when da.prefix = '' or db.prefix = '' then 0.0
+                when da.prefix = db.prefix then 1.0
+                else round(1.0 - damerau_levenshtein(da.prefix, db.prefix)
+                     / cast(greatest(length(da.prefix), length(db.prefix)) as double), 6)
+           end as dl_score
     from pairs p join d da on p.id_a = da.doc_id join d db on p.id_b = db.doc_id
     """
 
@@ -952,6 +1008,87 @@ def oracle_sql() -> dict[str, str]:
     group by n_name
     """
 
-    # dedup_minhash / dedup_simhash / ann_lsh / fingerprint: hash-family
-    # dependent -> rows-only checks (intentionally no oracle)
+    # recall-forced MinHash-LSH config == exact all-pairs Jaccard >= 0.9
+    # (see q_dedup_minhash: miss prob 1.5e-15 per true pair)
+    sql["dedup_minhash"] = """
+    with d as (
+      select doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) as toks
+      from documents where doc_id < 1000 and trim(text) <> ''
+    ),
+    p as (
+      select a.doc_id as id_a, b.doc_id as id_b,
+             len(list_intersect(a.toks, b.toks)) as i,
+             len(a.toks) as na, len(b.toks) as nb
+      from d a join d b on a.doc_id < b.doc_id
+    )
+    select id_a, id_b, round(i * 1.0 / (na + nb - i), 6) as jaccard
+    from p where i * 1.0 / (na + nb - i) >= 0.9
+    """
+
+    # full simhash recomputed in SQL: token hash = md5_number_lower
+    # (functions/minhash.py:_token_hash64), occurrence-weighted bit
+    # votes, signed-64 reassembly, exact all-pairs hamming <= 2
+    # (== the Manku block-pair recall guarantee used by the query)
+    sql["dedup_simhash"] = """
+    with tok as (
+      select doc_id,
+             unnest(regexp_split_to_array(
+               lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) as t
+      from documents where trim(text) <> ''
+    ),
+    h as (select doc_id, md5_number_lower(t)::UBIGINT as hv from tok),
+    bits as (
+      select doc_id, b.bit,
+             sum(case when (hv >> b.bit) & 1 = 1 then 1 else -1 end) as vote
+      from h, (select unnest(generate_series(0, 63)) as bit) b
+      group by doc_id, b.bit
+    ),
+    sh_u as (
+      select doc_id,
+             sum(case when vote > 0 then (1::HUGEINT << bit) else 0::HUGEINT end) as u
+      from bits group by doc_id
+    ),
+    sh as (
+      select doc_id,
+             (case when u >= 9223372036854775808::HUGEINT
+                   then u - 18446744073709551616::HUGEINT else u end)::BIGINT as s
+      from sh_u
+    )
+    select a.doc_id as id_a, b.doc_id as id_b,
+           bit_count(xor(a.s, b.s)) as hamming
+    from sh a join sh b on a.doc_id < b.doc_id
+    where bit_count(xor(a.s, b.s)) <= 2
+    """
+
+    # exact all-pairs cosine >= 0.99 over corpus + planted scaled copies
+    # (planted pairs have identical sign signatures -> LSH recall is
+    # deterministic; nothing else reaches 0.99)
+    sql["ann_lsh"] = """
+    with all_v as (
+      select vec_id, embedding::DOUBLE[] as v from embeddings
+      union all
+      select vec_id + 1000000, [x * 1.5 for x in embedding::DOUBLE[]]
+      from embeddings where vec_id < 20
+    ),
+    p as (
+      select a.vec_id as id_a, b.vec_id as id_b,
+             list_cosine_similarity(a.v, b.v) as c
+      from all_v a join all_v b on a.vec_id < b.vec_id
+    )
+    select id_a, id_b, round(c, 6) as cosine from p where c >= 0.99
+    """
+
+    sql["fingerprint"] = """
+    select doc_id,
+      case when trim(text) = '' then 0
+      else (list_reduce(
+         list_prepend(0::HUGEINT,
+           [md5_number_lower(t)::HUGEINT
+            for t in regexp_split_to_array(trim(text), '\\s+')]),
+         (h, x) -> (h * 1000003 + x) % 2305843009213693951
+      ))::BIGINT end as fp
+    from documents
+    """
+
     return sql

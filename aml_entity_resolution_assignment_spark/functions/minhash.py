@@ -176,9 +176,12 @@ def batch_minhash(texts: pd.Series, num_perm: int = NUM_PERM) -> pd.Series:
     return pd.Series(out, index=texts.index, dtype="object")
 
 
-def minhash_udf() -> Column:
+def minhash_udf(num_perm: int = NUM_PERM) -> Column:
+    if num_perm > len(_A):
+        raise ValueError(f"num_perm {num_perm} > precomputed {len(_A)} permutations")
+
     def _f(texts: pd.Series) -> pd.Series:
-        return batch_minhash(texts)
+        return batch_minhash(texts, num_perm=num_perm)
 
     return F.pandas_udf(_f, ArrayType(LongType()))
 
@@ -254,9 +257,13 @@ def banding_for_threshold(threshold: float, num_perm: int = NUM_PERM) -> tuple[i
 
 
 def _token_hash64(tok: str) -> int:
-    """64-bit deterministic token hash built from two salted CRC32s."""
-    b = tok.encode("utf-8")
-    return (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+    """64-bit deterministic token hash: the LAST 8 bytes of the MD5
+    digest, little-endian — chosen because it is exactly DuckDB's
+    md5_number_lower(tok), so the full simhash is recomputable in
+    ANSI SQL for the correctness oracle (dedup_simhash)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[8:16], "little")
 
 
 def simhash64(text: str | None) -> int | None:

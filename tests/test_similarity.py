@@ -90,3 +90,70 @@ def test_token_jaccard():
     assert sim.token_jaccard("a b c", "b c d") == pytest.approx(2 / 4)
     assert sim.token_jaccard("", "a") == 0.0
     assert sim.token_jaccard("x x x", "x") == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch kernels vs their scalar oracles (no per-row Python on
+# the hot path — the scalar kernels exist only as parity oracles here).
+# ---------------------------------------------------------------------------
+
+
+def test_batch_jaro_winkler_matches_scalar():
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(99)
+    a = _rand_strings(800, rng, maxlen=40)
+    b = _rand_strings(800, rng, maxlen=40)
+    # force the fast paths + the scalar long-string fallback + unicode
+    a += ["", "same", "żółć gęśla jaźń", "x" * 400, "pref match here"]
+    b += ["x", "same", "zolc gesla jazn", "x" * 399 + "y", "pref match there"]
+    got = sim.batch_jaro_winkler(pd.Series(a), pd.Series(b)).to_numpy()
+    want = np.array([sim.jaro_winkler_similarity(x, y) for x, y in zip(a, b)])
+    assert np.allclose(got, want, atol=0)
+
+
+def test_batch_hashset_jaccard_matches_token_jaccard():
+    import numpy as np
+    import pandas as pd
+
+    from aml_entity_resolution_assignment_spark.functions.minhash import (
+        batch_token_hashset,
+    )
+
+    rng = random.Random(3)
+    a = _rand_strings(600, rng, maxlen=60) + [None, "", "a b", "solo"]
+    b = _rand_strings(600, rng, maxlen=60) + ["a", None, "b c", "solo"]
+    pa = batch_token_hashset(pd.Series(a))
+    pb = batch_token_hashset(pd.Series(b))
+    got = sim.batch_hashset_jaccard(pa, pb).to_numpy()
+    want = np.array(
+        [sim.token_jaccard(x or "", y or "") for x, y in zip(a, b)]
+    )
+    assert np.allclose(got, want)
+
+
+def test_batch_packed_sig_similarity_matches_elementwise():
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    sigs = [
+        rng.integers(0, 2**32, 128, dtype=np.uint32).tobytes() for _ in range(64)
+    ]
+    a = sigs + [None, sigs[0]]
+    b = [sigs[0]] * 64 + [sigs[1], None]
+    got = sim.batch_packed_sig_similarity(pd.Series(a), pd.Series(b)).to_numpy()
+    want = []
+    for xa, xb in zip(a, b):
+        if not xa or not xb:
+            want.append(0.0)
+        else:
+            want.append(
+                float(
+                    np.mean(
+                        np.frombuffer(xa, np.uint32) == np.frombuffer(xb, np.uint32)
+                    )
+                )
+            )
+    assert np.allclose(got, np.array(want))
