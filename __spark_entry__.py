@@ -790,7 +790,7 @@ def oracle_sql() -> dict[str, str]:
     r as (
       select *,
         (host_score >= 0.90 and title_score > 0.85) as r1,
-        ((url_score > 0.95 or lang_match = 1) and title_score > 0.80
+        ((url_score > 0.95 or host_match = 1) and title_score > 0.80
           and (jaccard_score > 0.5 or minhash_sim > 0.6 or simhash_sim > 0.9)) as r2,
         (title_score > 0.85 and jaccard_score > 0.60) as r3,
         (title_score > 0.90 and url_score > 0.80) as r4,

@@ -56,6 +56,58 @@ def _assemble(df: DataFrame) -> DataFrame:
     return assembler.transform(cast)
 
 
+def stratified_split(
+    labeled: DataFrame, train_frac: float = 0.8, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """T2 (train_model.py:70 `stratify=y`): per-class seeded sampling —
+    the train set holds ~train_frac of EACH class, unlike randomSplit
+    whose minority-class fraction drifts on skewed labels. One pass:
+    sampleBy picks train, a seeded anti-join complement is the test
+    side (same hash, so the sides are disjoint and exhaustive)."""
+    train = labeled.sampleBy(
+        "label", fractions={0.0: train_frac, 1.0: train_frac}, seed=seed
+    )
+    test = labeled.exceptAll(train)
+    return train, test
+
+
+def cross_validate_auc(
+    labeled: DataFrame,
+    n_folds: int = 5,
+    seed: int = 42,
+    max_iter: int = 100,
+    reg_param: float = 0.0,
+) -> dict[str, float]:
+    """T4 (train_model.py:94-99 StratifiedKFold cross_val_score): 5-fold
+    CV ROC-AUC. Folds are assigned by a seeded hash (deterministic,
+    partition-invariant); each fold fits on the other k-1 and scores
+    held-out rows with BinaryClassificationEvaluator — the spark.ml
+    twin of sklearn's cross_val_score(scoring='roc_auc')."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    df = _assemble(labeled).withColumn(
+        "_fold", F.pmod(F.xxhash64(F.struct("*"), F.lit(seed)), F.lit(n_folds))
+    )
+    df = df.persist()
+    ev = BinaryClassificationEvaluator(
+        rawPredictionCol="rawPrediction", labelCol="label",
+        metricName="areaUnderROC",
+    )
+    aucs = []
+    for k in range(n_folds):
+        lr = LogisticRegression(
+            featuresCol="_fvec", labelCol="label", maxIter=max_iter,
+            regParam=reg_param, standardization=True,
+        )
+        model = lr.fit(df.where(F.col("_fold") != k))
+        aucs.append(ev.evaluate(model.transform(df.where(F.col("_fold") == k))))
+    df.unpersist()
+    out = {f"cv_fold{k}_roc_auc": a for k, a in enumerate(aucs)}
+    out["cv_mean_roc_auc"] = sum(aucs) / len(aucs)
+    out["cv_folds"] = float(n_folds)
+    return out
+
+
 def train_model(
     labeled: DataFrame,
     model_dir: str,
@@ -63,10 +115,10 @@ def train_model(
     max_iter: int = 100,
     reg_param: float = 0.0,
 ) -> LogisticRegressionModel:
-    """T2-T4: seeded split, class weighting (scale_pos_weight analog,
-    train_model.py:76-78 -> weightCol), logistic fit, persisted with
-    .save() for deterministic reuse."""
-    train, _test = labeled.randomSplit([0.8, 0.2], seed=seed)
+    """T2-T4: stratified seeded split, class weighting
+    (scale_pos_weight analog, train_model.py:76-78 -> weightCol),
+    logistic fit, persisted with .save() for deterministic reuse."""
+    train, _test = stratified_split(labeled, 0.8, seed=seed)
     counts = {
         r["label"]: r["cnt"]
         for r in train.groupBy("label").agg(F.count("*").alias("cnt")).collect()

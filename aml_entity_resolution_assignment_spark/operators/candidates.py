@@ -57,30 +57,26 @@ def self_join_pairs(
         F.col(key).alias("bk"), F.col(id_col).alias("rid")
     )
 
-    sizes = recs.groupBy("bk").agg(F.count("*").alias("cnt"))
-    oversized = sizes.where(F.col("cnt") > salt_cap)
-    if oversized.isEmpty():
-        # fast path — no hot keys: plain equi-self-join, no salt/grid
-        # machinery, no anti-joins (the common case once keys are sane)
-        return (
-            recs.alias("l")
-            .join(recs.alias("r"), F.col("l.bk") == F.col("r.bk"))
-            .where(F.col("l.rid") < F.col("r.rid"))
-            .select(F.col("l.rid").alias("id_a"), F.col("r.rid").alias("id_b"))
-        )
+    # The whole hot/cold split is LAZY — no eager pre-job to test for
+    # hot keys (at 10^12 rows that test is a full extra pass). The
+    # oversized-key table is tiny by construction (every row represents
+    # > salt_cap records), so it broadcasts; when no key is hot, the
+    # anti-join is against an empty broadcast (near-free) and AQE
+    # collapses the empty hot-pair branch at runtime. `oversized` is
+    # persisted so the key-size aggregation shuffles ONCE and its tiny
+    # result feeds all three broadcast builds from cache (Catalyst does
+    # not reuse an exchange nested under distinct broadcast stages).
+    from pyspark import StorageLevel
 
-    hot_keys = sizes.where(
-        (F.col("cnt") > salt_cap) & (F.col("cnt") <= drop_cap)
-    ).select(
+    sizes = recs.groupBy("bk").agg(F.count("*").alias("cnt"))
+    oversized = sizes.where(F.col("cnt") > salt_cap).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    hot_keys = oversized.where(F.col("cnt") <= drop_cap).select(
         "bk", F.ceil(F.col("cnt") / salt_cap).cast("int").alias("n_salt")
     )
-    # hot_keys is tiny by construction (every row represents > salt_cap
-    # records) -> broadcast both uses below
-    cold = recs.join(F.broadcast(hot_keys), "bk", "left_anti").join(
-        F.broadcast(sizes.where(F.col("cnt") > drop_cap).select("bk")),
-        "bk",
-        "left_anti",
-    )
+    cold = recs.join(F.broadcast(oversized.select("bk")), "bk", "left_anti")
 
     cold_pairs = (
         cold.alias("l")

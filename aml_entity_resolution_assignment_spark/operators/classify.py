@@ -11,7 +11,11 @@ graft features (host = strong identifier, title = name, body-text
 similarity = corroboration):
 
   R1 matching.py:426-429  same host + strong title           -> match >=0.95
-  R2 matching.py:434-439  strong url/lang + title + content   -> match >=0.90
+  R2 matching.py:434-439  strong url/host + title + content   -> match >=0.90
+     (the reference's R2 is an OR of two STRONG identifiers — email
+      score or phone exact-match; the graft pairs url_score with
+      host_match, NOT lang_match: same-language is a weak prior and
+      as a substitute signal it mass-matches same-language pages)
   R3 matching.py:443-446  strong title + content overlap      -> match >=0.85
   R4 matching.py:450-453  near-identical url + host           -> match >=0.85
   R5 matching.py:458-471  ml_prob > 0.8                       -> match
@@ -72,7 +76,7 @@ def _rules(t: RuleThresholds) -> dict[str, tuple[Column, str, float | None]]:
             0.95,
         ),
         "r2": (
-            ((F.col("url_score") > t.r2_url) | (F.col("lang_match") == 1))
+            ((F.col("url_score") > t.r2_url) | (F.col("host_match") == 1))
             & (title_avg > t.r2_title)
             & (
                 (F.col("jaccard_score") > t.r2_corroborate_jaccard)

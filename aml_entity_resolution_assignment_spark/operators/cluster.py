@@ -30,13 +30,22 @@ from pyspark.sql import functions as F
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Precondition: `edges` is distinct and single-orientation (the
+    canonicalized input, or small-star output, which is down-oriented)
+    — so the union IS the distinct symmetric set and needs no extra
+    dedup shuffle per round."""
     return edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    )
 
 
 def _large_star(sym_edges: DataFrame) -> DataFrame:
-    """Emit (v, m) for each neighbor v > u, m = min(N(u) ∪ {u})."""
+    """Emit (v, m) for each neighbor v > u, m = min(N(u) ∪ {u}).
+
+    Output may contain duplicate (child, parent) rows (two neighbors of
+    v sharing the same min) — small-star's min-agg is duplicate-blind
+    and its final distinct dedupes, so skipping a distinct here saves a
+    full shuffle per round."""
     mins = sym_edges.groupBy("u").agg(
         F.least(F.min("v"), F.col("u")).alias("m")
     )
@@ -44,7 +53,6 @@ def _large_star(sym_edges: DataFrame) -> DataFrame:
         sym_edges.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("child"), F.col("m").alias("parent"))
-        .distinct()
     )
 
 
@@ -77,10 +85,16 @@ def connected_components(
     Singletons (vertices without edges) keep themselves as their
     component (reference adds ALL nodes, matching.py:580).
     """
+    # canonical orientation + distinct: _symmetrize's no-dedup union
+    # relies on the input never containing both (a,b) and (b,a)
     e = (
         edges.select(
-            F.col("id_a").cast("string").alias("u"),
-            F.col("id_b").cast("string").alias("v"),
+            F.least(
+                F.col("id_a").cast("string"), F.col("id_b").cast("string")
+            ).alias("u"),
+            F.greatest(
+                F.col("id_a").cast("string"), F.col("id_b").cast("string")
+            ).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
@@ -93,11 +107,14 @@ def connected_components(
         prev_sig: tuple | None = None
         for _ in range(max_iter):
             ls = _large_star(_symmetrize(cur))
-            ss = _small_star(ls).localCheckpoint(eager=True)
-            # convergence check in ONE job: the edge set is stable when
-            # (count, order-independent hash sum) repeats — a collision
-            # needs two distinct edge sets with equal 64-bit hash sums
-            # in the same run (~2^-64 per round)
+            # LAZY checkpoint: the signature aggregation below is the
+            # action that materializes it, so each round is ONE job
+            # (checkpoint write + convergence check fused), not two
+            ss = _small_star(ls).localCheckpoint(eager=False)
+            # convergence check: the edge set is stable when (count,
+            # order-independent hash sum) repeats — a collision needs
+            # two distinct edge sets with equal 64-bit hash sums in the
+            # same run (~2^-64 per round)
             row = ss.agg(
                 F.count("*").alias("n"),
                 # decimal(38,0) sum: overflow-proof under ANSI mode

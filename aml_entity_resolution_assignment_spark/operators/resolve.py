@@ -66,14 +66,22 @@ def find_candidates(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out = out.where(F.col("query_id") != F.col("candidate_id")).dropDuplicates(
-        ["query_id", "candidate_id"]
+    # dedup doubles as a relevance proxy: candidates hitting MORE
+    # blocking keys rank first, so the per-query cap keeps the likeliest
+    # matches instead of the lexicographically-smallest urls (the
+    # reference's bare LIMIT 50, api.py:163, drops arbitrarily)
+    out = (
+        out.where(F.col("query_id") != F.col("candidate_id"))
+        .groupBy("query_id", "candidate_id")
+        .agg(F.count("*").alias("n_shared_keys"))
     )
-    w = Window.partitionBy("query_id").orderBy("candidate_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_shared_keys"), F.asc("candidate_id")
+    )
     return (
         out.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= limit)
-        .drop("_rn")
+        .drop("_rn", "n_shared_keys")
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import blocking, candidates, classify, cluster, features
+from ..sources import io
 from ..operators.classify import RuleThresholds
 
 
@@ -35,6 +36,28 @@ class PipelineConfig:
     resume: bool = True
     pair_partitions: int | None = None
     extra: dict = field(default_factory=dict)
+
+    def fingerprint(self) -> str:
+        """Stable hash of every config field that changes stage OUTPUT
+        (resume/pair_partitions affect only execution). Folded into
+        each stage fingerprint so a rerun with different thresholds,
+        caps, or model never silently reuses stale parquet."""
+        import hashlib
+
+        payload = json.dumps(
+            {
+                "salt_cap": self.salt_cap,
+                "drop_cap": self.drop_cap,
+                "thresholds": None
+                if self.thresholds is None
+                else sorted(vars(self.thresholds).items()),
+                "model_path": self.model_path,
+                "extra": sorted(self.extra.items()),
+            },
+            default=str,
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 class StageRunner:
@@ -69,11 +92,11 @@ class StageRunner:
                 manifest = json.load(f)
             if manifest.get("fingerprint") == fingerprint:
                 self.metric(stage, "resumed", 1.0)
-                return self.spark.read.parquet(dpath)
+                return io.read_table(self.spark, self.cfg.work_dir, f"stage={stage}")
         t0 = time.monotonic()
         df = build()
-        df.write.mode("overwrite").parquet(dpath)
-        out = self.spark.read.parquet(dpath)
+        io.write_table(df, self.cfg.work_dir, f"stage={stage}")
+        out = io.read_table(self.spark, self.cfg.work_dir, f"stage={stage}")
         n = out.count()
         wall = time.monotonic() - t0
         with open(mpath, "w") as f:
@@ -110,9 +133,7 @@ class StageRunner:
             [tuple(m.values()) for m in self.metrics],
             "run_id string, stage string, metric string, value double, detail string",
         )
-        df.write.mode("append").parquet(
-            os.path.join(self.cfg.work_dir, "metrics")
-        )
+        io.write_table(df, self.cfg.work_dir, "metrics", mode="append")
         self.metrics = []
 
 
@@ -124,9 +145,21 @@ def run_pipeline(
     input_fingerprint: str = "",
 ) -> dict[str, DataFrame]:
     """pages -> {keyed, pairs, features, classified, entity_map} with
-    per-stage checkpoint/resume under cfg.work_dir."""
+    per-stage checkpoint/resume under cfg.work_dir.
+
+    Stage fingerprints = input_fingerprint + config hash, so changing
+    thresholds/caps/model (or pointing a different input at the same
+    work_dir) invalidates every stage. Resume REQUIRES a non-empty
+    input_fingerprint — with no way to tell inputs apart, reuse would
+    be a silent-wrong-result hazard."""
+    if cfg.resume and not input_fingerprint:
+        raise ValueError(
+            "resume=True requires a non-empty input_fingerprint: stage "
+            "reuse cannot be validated without identifying the input "
+            "(pass resume=False for a one-shot run)"
+        )
     r = StageRunner(spark, cfg, run_id)
-    fp = input_fingerprint
+    fp = f"{input_fingerprint}|cfg={cfg.fingerprint()}"
 
     keyed = r.run("pages_keyed", fp, lambda: blocking.add_blocking_keys(pages))
 
@@ -187,4 +220,4 @@ def run_pipeline(
 
 
 def read_metrics(spark: SparkSession, work_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(work_dir, "metrics"))
+    return io.read_table(spark, work_dir, "metrics")

@@ -9,6 +9,7 @@ cluster deployment would override via spark-submit --conf.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -54,6 +55,12 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    # shuffle partitions track the core count (2x cores, like a cluster
+    # sized via spark-submit): at local[4] 32 partitions is pure task-
+    # scheduling overhead per stage; at local[32] 64 gives AQE headroom
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    if m:
+        conf["spark.sql.shuffle.partitions"] = str(max(8, 2 * int(m.group(1))))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -1,4 +1,4 @@
-"""Table sources and sinks (S1-S7).
+"""Table sources and sinks (S1-S7) — the ONE place table format lives.
 
 The reference reads/writes SQLite tables and CSVs
 (/root/reference/src/generation.py:321-327, matching.py:650-661,
@@ -8,6 +8,16 @@ per table, overwrite-by-replace semantics); CSV is kept for human
 review exports only (S4). Secondary indexes (S6,
 preprocessing.py:263-266) have no analog — repartition/sort-within
 write options fill that role.
+
+TABLE_FORMAT centralizes the storage format: every engine table write
+(stage checkpoints in plans/pipeline.py included) funnels through
+write_table/read_table, so moving this sandbox's plain-parquet layout
+to real Iceberg on a cluster with a catalog is a one-module swap:
+set TABLE_FORMAT = "iceberg" and route the writer through
+``df.writeTo(f"{catalog}.{name}").using("iceberg")`` here. The mapping
+is 1:1 — stage directory = Iceberg table, _MANIFEST_<stage>.json
+(plans/pipeline.py) = table snapshot metadata, overwrite-by-replace =
+replace snapshot, partition_by dirs = Iceberg partition spec.
 """
 
 from __future__ import annotations
@@ -17,12 +27,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# "parquet" in this catalog-less sandbox; "iceberg" on a cluster
+TABLE_FORMAT = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+
 
 def read_table(spark: SparkSession, base: str, name: str, schema=None) -> DataFrame:
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(os.path.join(base, name))
+    return reader.format(TABLE_FORMAT).load(os.path.join(base, name))
 
 
 def write_table(
@@ -42,10 +55,10 @@ def write_table(
     out = df
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
-    writer = out.write.mode(mode)
+    writer = out.write.mode(mode).format(TABLE_FORMAT)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.save(path)
     return path
 
 

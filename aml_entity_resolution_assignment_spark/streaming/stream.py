@@ -137,7 +137,19 @@ def sessionize_stream(
             n += 1
             s += float(v)
         state.update((start, end, n, s))
-        state.setTimeoutTimestamp(end // 1000 + gap_seconds * 1000)
+        # clamp: for a group whose last event already trails the
+        # watermark by more than the gap, end+gap <= watermark and
+        # setTimeoutTimestamp rejects it — fire at watermark+1ms
+        # instead (the session is due immediately). NOTE on ordering:
+        # a cross-micro-batch late event inside the gap extends the
+        # open session but never rewinds session_start — batch
+        # (sessionize_batch) and stream agree on watermark-respecting
+        # inputs; later-than-watermark stragglers diverge by design.
+        timeout_ms = max(
+            end // 1000 + gap_seconds * 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
         if out:
             yield pd.DataFrame(
                 {
@@ -200,13 +212,24 @@ def incremental_upsert(
     target_path: str,
     checkpoint_path: str,
 ):
-    """foreachBatch append of each micro-batch of keyed pages into the
-    keyed table path. Returns the StreamingQuery (AvailableNow trigger:
-    drains what exists, then stops — suits both tests and scheduled
-    incremental runs)."""
+    """foreachBatch sink writing each micro-batch of keyed pages under
+    the keyed table path. Returns the StreamingQuery (AvailableNow
+    trigger: drains what exists, then stops — suits both tests and
+    scheduled incremental runs).
+
+    IDEMPOTENT under replay: foreachBatch is at-least-once, so a
+    micro-batch re-delivered after a failure/restart must not duplicate
+    rows. Each batch writes to its own `batch=<id>` partition directory
+    with mode=overwrite — the replay overwrites the same directory
+    byte-for-byte instead of appending a second copy (the parquet-
+    directory stand-in for a transactional table format's MERGE; see
+    sources/io.py). Read the table back with `read_incremental_table`
+    (drops the bookkeeping partition column)."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(target_path)
+        batch_df.write.mode("overwrite").parquet(
+            f"{target_path}/batch={batch_id}"
+        )
 
     return (
         keyed_stream.writeStream.foreachBatch(_upsert)
@@ -214,3 +237,9 @@ def incremental_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_incremental_table(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read an incremental_upsert target; `batch` is sink bookkeeping,
+    not data."""
+    return spark.read.parquet(target_path).drop("batch")

@@ -42,10 +42,12 @@ CASES = [
     # R1 misses (title == 0.85 not >): review_host fires and host_score
     # 0.90 equals the veto guard (not < 0.9) so the veto is blocked
     (dict(host_score=0.90, title_score=0.85), "review", 0.60),
-    # Rule 2: (url > .95 | lang) & title > .80 & corroboration
+    # Rule 2: (url > .95 | host_match) & title > .80 & corroboration
     (dict(url_score=0.96, title_score=0.81, jaccard_score=0.51), "match", 0.90),
-    (dict(lang_match=1, title_score=0.81, minhash_sim=0.61), "match", 0.90),
-    (dict(lang_match=1, title_score=0.81, simhash_sim=0.91), "match", 0.90),
+    (dict(host_match=1, title_score=0.81, minhash_sim=0.61), "match", 0.90),
+    (dict(host_match=1, title_score=0.81, simhash_sim=0.91), "match", 0.90),
+    # lang alone must NOT substitute for a strong identifier
+    (dict(lang_match=1, title_score=0.81, jaccard_score=0.99), "no_match", 0.0),
     (dict(url_score=0.96, title_score=0.81), "no_match", 0.0),  # no corroboration
     # Rule 3: title > .85 & jaccard > .60
     (dict(title_score=0.86, jaccard_score=0.61), "match", 0.85),

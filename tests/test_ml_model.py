@@ -68,3 +68,28 @@ def test_pipeline_with_model_improves_or_holds_f1(spark, labeled, tmp_path):
     with_model = evaluate_labeled_pairs(classify(scored.drop("label")), truth)
     assert with_model.f1 >= no_model.f1 - 1e-9, (no_model, with_model)
     assert with_model.f1 >= 0.99
+
+
+def test_stratified_split_preserves_class_fractions(labeled):
+    from aml_entity_resolution_assignment_spark.ml.model import stratified_split
+
+    train, test = stratified_split(labeled, 0.8, seed=42)
+    n = {r["label"]: r["c"] for r in labeled.groupBy("label").agg(F.count("*").alias("c")).collect()}
+    tr = {r["label"]: r["c"] for r in train.groupBy("label").agg(F.count("*").alias("c")).collect()}
+    # both classes individually near 80% (randomSplit only guarantees the total)
+    for lbl, total in n.items():
+        frac = tr.get(lbl, 0) / total
+        assert 0.65 <= frac <= 0.95, (lbl, frac)
+    # disjoint + exhaustive
+    assert train.count() + test.count() == labeled.count()
+
+
+def test_cross_validate_auc_five_folds(labeled):
+    from aml_entity_resolution_assignment_spark.ml.model import cross_validate_auc
+
+    m = cross_validate_auc(labeled, n_folds=5, seed=42)
+    assert m["cv_folds"] == 5.0
+    fold_keys = [k for k in m if k.startswith("cv_fold") and k.endswith("_roc_auc")]
+    assert len(fold_keys) == 5
+    # features are near-linearly separable by construction (T4 bar)
+    assert m["cv_mean_roc_auc"] >= 0.95, m

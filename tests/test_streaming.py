@@ -152,3 +152,89 @@ def test_sessionize_stream_matches_batch(spark, tmp_path_factory):
     # emitted session must exist identically in the batch result
     assert got.count() > 0
     assert got.exceptAll(batch.select(*got.columns)).count() == 0
+
+
+def test_incremental_upsert_replay_is_idempotent(spark, pages_dir, tmp_path_factory):
+    # foreachBatch is at-least-once: simulate a replayed micro-batch by
+    # re-invoking the sink's write for an already-committed batch_id —
+    # the per-batch overwrite directory must not duplicate rows
+    d, n = pages_dir
+    out_dir = str(tmp_path_factory.mktemp("keyed_out3"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt3"))
+    q = S.incremental_upsert(
+        S.stream_pages_keyed(S.read_pages_stream(spark, d)), out_dir, ckpt
+    )
+    q.awaitTermination(120)
+    before = S.read_incremental_table(spark, out_dir)
+    n_before = before.count()
+    assert n_before == n
+    # replay batch 0 verbatim (what a post-crash restart would do);
+    # stage a copy first — a real replay re-reads the SOURCE, not the
+    # sink directory it is about to overwrite
+    staged = str(tmp_path_factory.mktemp("replay0"))
+    spark.read.parquet(f"{out_dir}/batch=0").write.parquet(staged, mode="overwrite")
+    spark.read.parquet(staged).write.mode("overwrite").parquet(f"{out_dir}/batch=0")
+    after = S.read_incremental_table(spark, out_dir)
+    assert after.count() == n_before
+    assert "batch" not in after.columns
+
+
+def test_streaming_new_vs_all_candidates_match_batch_diff(spark, tmp_path_factory):
+    """North-rule incremental path: candidates for a second micro-batch
+    (new-vs-all two-sided join) must equal the batch-recompute diff
+    candidate_pairs(all) - candidate_pairs(old)."""
+    from aml_entity_resolution_assignment_spark.operators.blocking import (
+        add_blocking_keys,
+    )
+    from aml_entity_resolution_assignment_spark.operators.candidates import (
+        candidate_pairs,
+    )
+    from aml_entity_resolution_assignment_spark.operators.resolve import (
+        find_candidates,
+    )
+
+    gen = generate_pages(spark, n_entities=60, seed=11).drop("entity_id").cache()
+    old_pages = gen.where(F.xxhash64("url") % 2 == 0).cache()
+    # the second micro-batch must carry event times past the watermark
+    # the first batch advanced (otherwise the stream rightly drops it
+    # as late data) — a real crawl's new arrivals are newer; warc_ts is
+    # not a blocking key, so candidate pairs are unaffected
+    max_ts = old_pages.agg(F.max("warc_ts")).collect()[0][0]
+    new_pages = (
+        gen.exceptAll(old_pages)
+        .withColumn("warc_ts", F.lit(max_ts) + F.expr("INTERVAL 1 HOUR"))
+        .cache()
+    )
+
+    src = str(tmp_path_factory.mktemp("pages_inc"))
+    out_dir = str(tmp_path_factory.mktemp("keyed_inc"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_inc"))
+    old_pages.write.mode("overwrite").parquet(src)
+    q = S.incremental_upsert(
+        S.stream_pages_keyed(S.read_pages_stream(spark, src)), out_dir, ckpt
+    )
+    q.awaitTermination(120)
+    # second micro-batch arrives
+    new_pages.write.mode("append").parquet(src)
+    q2 = S.incremental_upsert(
+        S.stream_pages_keyed(S.read_pages_stream(spark, src)), out_dir, ckpt
+    )
+    q2.awaitTermination(120)
+    all_keyed = S.read_incremental_table(spark, out_dir).cache()
+    assert all_keyed.count() == gen.count()
+
+    new_keyed = add_blocking_keys(new_pages)
+    got = (
+        find_candidates(new_keyed, all_keyed, limit=10_000)
+        .select(
+            F.least("query_id", "candidate_id").alias("id_a"),
+            F.greatest("query_id", "candidate_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    want = candidate_pairs(add_blocking_keys(gen)).exceptAll(
+        candidate_pairs(add_blocking_keys(old_pages))
+    )
+    got_s = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    want_s = {(r["id_a"], r["id_b"]) for r in want.collect()}
+    assert got_s == want_s and len(want_s) > 0
