@@ -340,6 +340,61 @@ def q_topk_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _resolve_keyed(spark: SparkSession, sf_dir: str, query_side: bool) -> DataFrame:
+    """Pre-keyed table for q_resolve, every column SQL-expressible:
+    exact blocking keys only (band keys + signatures NULL, so
+    minhash_sim/simhash_sim fall to their 0.0 null-guards) and
+    tokens_bin carrying the exact token set (hashset jaccard == exact
+    token jaccard on this collision-free vocabulary)."""
+    d = _docs(spark, sf_dir)
+    if query_side:
+        d = d.where(F.col("doc_id") % 10 == 0)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    norm_title = F.concat_ws(" ", F.slice(toks, 1, 4))
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    norm_url = F.concat(
+        F.col("source"), F.lit("/doc/"), (F.col("doc_id") % 40).cast("string")
+    )
+    return d.select(
+        F.concat(F.lit("q" if query_side else "c"), F.col("doc_id").cast("string")).alias("url"),
+        host.alias("host"),
+        norm_url.alias("norm_url"),
+        norm_title.alias("norm_title"),
+        "lang",
+        host.alias("bk_host"),
+        F.when(F.length(norm_title) >= 5, norm_title).alias("bk_title"),
+        F.when(
+            F.col("n_chars") > 150,
+            F.concat(F.lit("p"), (F.col("doc_id") % 7).cast("string")),
+        ).alias("bk_path"),
+        F.lit(None).cast("array<long>").alias("bk_minhash_bands"),
+        F.lit(None).cast("array<long>").alias("bk_simhash_bands"),
+        F.lit(None).cast("long").alias("simhash"),
+        F.lit(None).cast("binary").alias("sig_bin"),
+        MH.token_hashset_udf()(F.lower(F.trim("text"))).alias("tokens_bin"),
+    )
+
+
+def q_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4 serving path end-to-end: blocked candidate lookup with the
+    shared-key relevance cap, full feature computation, rule cascade +
+    veto, identity-conflict detection, host-dedup, best-match ranking —
+    against a complete ANSI-SQL twin."""
+    from aml_entity_resolution_assignment_spark.operators.resolve import resolve
+
+    corpus = _resolve_keyed(spark, sf_dir, query_side=False)
+    queries_k = _resolve_keyed(spark, sf_dir, query_side=True)
+    out = resolve(queries_k, corpus, limit=25, top_n=1, already_keyed=True)
+    return out.select(
+        "query_id",
+        "matched_url",
+        "match_type",
+        F.round("confidence_score", 6).alias("confidence_score"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("identity_conflict").cast("int").alias("identity_conflict"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops
 # ---------------------------------------------------------------------------
@@ -459,6 +514,34 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(qf["digit_ratio"], 6).alias("digit_ratio"),
         F.round(qf["stopword_ratio"], 6).alias("stopword_ratio"),
     )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 0-1 quality score (functions/text.py:quality_score) —
+    the deterministic linear blend, fully SQL-reproducible."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace tokens + the BPE-ish
+    word-chunk/punctuation estimator (functions/text.py)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.word_token_count(F.col("text")).alias("word_tokens"),
+    )
+
+
+def q_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup keep-min: exact-key duplicate pairs resolved
+    through the shared CC operator; survivors = min doc_id per group
+    (SQL twin: min-over-group window)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", _doc_key(F.col("text")).alias("k"))
+    pairs = C.self_join_pairs(d, "k", id_col="doc_id")
+    kept = D.dedup_keep_min(d, pairs, "doc_id")
+    return kept.select("doc_id")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_jw": q_pair_jw,
         "pair_dl": q_pair_dl,
         "rule_cascade": q_rule_cascade,
+        "resolve_best_match": q_resolve,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
         "connected_components": q_connected_components,
@@ -633,6 +717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_quality": q_text_quality,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "dedup_keep_min": q_dedup_keep_min,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "events_window": q_events_window,
@@ -830,6 +917,141 @@ def oracle_sql() -> dict[str, str]:
     from c
     """
 
+    # A1-A4 twin: candidate lookup (shared-key count cap) -> features ->
+    # cascade+veto -> conflict -> host-dedup -> best-match ranking
+    sql["resolve_best_match"] = """
+    with d as (
+      select doc_id, source, lang, n_chars,
+             lower(trim(text)) as ntext,
+             array_to_string(
+               (regexp_split_to_array(lower(trim(text)), '\\s+'))[1:4], ' ') as norm_title
+      from documents
+    ),
+    k as (
+      select doc_id, lang, ntext, norm_title,
+             source || '.example.com' as host,
+             source || '/doc/' || cast(doc_id % 40 as varchar) as norm_url,
+             source || '.example.com' as bk_host,
+             case when length(norm_title) >= 5 then norm_title end as bk_title,
+             case when n_chars > 150 then 'p' || cast(doc_id % 7 as varchar) end as bk_path
+      from d
+    ),
+    q as (select 'q' || cast(doc_id as varchar) as id, * from k where doc_id % 10 = 0),
+    c as (select 'c' || cast(doc_id as varchar) as id, * from k),
+    hits as (
+      select q.id as qid, c.id as cid from q join c on q.bk_host = c.bk_host
+        where q.bk_host is not null
+      union all
+      select q.id, c.id from q join c on q.bk_title = c.bk_title
+        where q.bk_title is not null
+      union all
+      select q.id, c.id from q join c on q.bk_path = c.bk_path
+        where q.bk_path is not null
+    ),
+    cand as (
+      select qid, cid from (
+        select qid, cid,
+               row_number() over (partition by qid
+                 order by count(*) desc, cid) as rn
+        from hits group by qid, cid) t
+      where rn <= 25
+    ),
+    f as (
+      select cand.qid, cand.cid,
+        case when qa.host = '' or ca.host = '' then 0.0
+             when qa.host = ca.host then 1.0
+             else 1.0 - levenshtein(qa.host, ca.host)
+                  / cast(greatest(length(qa.host), length(ca.host)) as double)
+        end as host_score,
+        jaro_winkler_similarity(qa.norm_url, ca.norm_url) as url_score,
+        jaro_winkler_similarity(qa.norm_title, ca.norm_title) as title_score,
+        len(list_intersect(list_distinct(regexp_split_to_array(qa.ntext, '\\s+')),
+                           list_distinct(regexp_split_to_array(ca.ntext, '\\s+')))) * 1.0
+          / (len(list_distinct(regexp_split_to_array(qa.ntext, '\\s+')))
+             + len(list_distinct(regexp_split_to_array(ca.ntext, '\\s+')))
+             - len(list_intersect(list_distinct(regexp_split_to_array(qa.ntext, '\\s+')),
+                                  list_distinct(regexp_split_to_array(ca.ntext, '\\s+')))))
+          as jaccard_score,
+        (qa.lang is not null and ca.lang is not null and qa.lang = ca.lang)::int as lang_match,
+        (qa.host <> '' and ca.host <> '' and qa.host = ca.host)::int as host_match,
+        ca.host as host_b,
+        0.0 as ml_prob
+      from cand join q qa on cand.qid = qa.id join c ca on cand.cid = ca.id
+    ),
+    r as (
+      select *,
+        (host_score >= 0.90 and title_score > 0.85) as r1,
+        ((url_score > 0.95 or host_match = 1) and title_score > 0.80
+          and (jaccard_score > 0.5)) as r2,
+        (title_score > 0.85 and jaccard_score > 0.60) as r3,
+        (title_score > 0.90 and url_score > 0.80) as r4,
+        false as r5,
+        (title_score > 0.75 and jaccard_score > 0.80 and host_score > 0.80) as r6,
+        (title_score > 0.93 and lang_match = 1) as v1,
+        false as v2,
+        (host_score >= 0.85) as v3,
+        (title_score > 0.90) as v4,
+        (url_score = 1.0) as v5
+      from f
+    ),
+    cls as (
+      select qid, cid, host_b,
+        case when (r1 or r2 or r3 or r4 or r5 or r6) then 'match'
+             when (v1 or v2 or v3 or v4 or v5)
+                  and not (host_score < 0.90 and url_score < 0.90) then 'review'
+             else 'no_match' end as match_type,
+        round(case when (r1 or r2 or r3 or r4 or r5 or r6) then greatest(ml_prob,
+                     case when r1 then 0.95 else 0 end,
+                     case when r2 then 0.90 else 0 end,
+                     case when r3 then 0.85 else 0 end,
+                     case when r4 then 0.85 else 0 end,
+                     case when r6 then 0.95 else 0 end)
+             when (v1 or v2 or v3 or v4 or v5)
+                  and not (host_score < 0.90 and url_score < 0.90)
+             then greatest(ml_prob,
+                     case when v1 then 0.75 else 0 end,
+                     case when v3 then 0.60 else 0 end,
+                     case when v4 then 0.50 else 0 end,
+                     case when v5 then 0.55 else 0 end)
+             else ml_prob end, 6) as confidence_score,
+        host_score, title_score
+      from r
+    ),
+    conflict as (
+      select qid,
+        (count(case when host_score >= 0.9 then 1 end) > 0
+         and count(case when title_score > 0.9 then 1 end) > 0
+         and count(case when host_score >= 0.9 and title_score > 0.9 then 1 end) = 0
+        ) as identity_conflict
+      from cls group by qid
+    ),
+    pri as (
+      select cls.*, case match_type when 'match' then 2 when 'review' then 1 else 0 end as priority
+      from cls
+    ),
+    hostdedup as (
+      select * from (
+        select *, row_number() over (partition by qid, host_b
+          order by priority desc, confidence_score desc, cid) as hr
+        from pri) t
+      where hr = 1
+    ),
+    best as (
+      select * from (
+        select *, row_number() over (partition by qid
+          order by priority desc, confidence_score desc, cid) as rank
+        from hostdedup) t
+      where rank <= 1
+    )
+    select b.qid as query_id, b.cid as matched_url,
+           case when coalesce(cf.identity_conflict, false) and b.match_type = 'match'
+                then 'review' else b.match_type end as match_type,
+           b.confidence_score,
+           b.rank,
+           coalesce(cf.identity_conflict, false)::int as identity_conflict
+    from best b left join conflict cf on b.qid = cf.qid
+    """
+
     sql["pairs_from_clusters"] = """
     select a.doc_id as id_a, b.doc_id as id_b
     from documents a join documents b on a.source = b.source
@@ -938,6 +1160,54 @@ def oracle_sql() -> dict[str, str]:
            round(n_digit / cast(greatest(n_chars_q, 1) as double), 6) as digit_ratio,
            round(stop_hits / cast(greatest(n_tokens, 1) as double), 6) as stopword_ratio
     from s
+    """
+
+    sql["quality_score"] = """
+    with t as (select doc_id, text,
+                 length(text) as n_chars,
+                 case when trim(text) = '' then 0
+                      else len(regexp_split_to_array(lower(trim(text)), '\\s+')) end as n_tokens,
+                 length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) as n_punct,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) as n_digit
+               from documents),
+    s as (select doc_id, n_chars, n_tokens, n_punct, n_digit,
+            (select count(distinct x) from unnest(regexp_split_to_array(lower(trim(t.text)), '\\s+')) w(x)
+             where x in ('the','and','of','to','in','is','that','with',
+                         'der','die','und','das','nicht','ist','ein','mit',
+                         'que','los','las','una','por','para','con','del',
+                         'nie','jest','czy','ale','jak','tak','przez','dla')) as stop_hits
+          from t),
+    r as (select doc_id,
+            stop_hits / cast(greatest(n_tokens, 1) as double) as stop_ratio,
+            n_digit / cast(greatest(n_chars, 1) as double) as digit_ratio,
+            n_punct / cast(greatest(n_chars, 1) as double) as punct_ratio,
+            (n_chars - (n_tokens - 1)) / cast(greatest(n_tokens, 1) as double) as mwl
+          from s)
+    select doc_id,
+           round(greatest(least(
+             least(stop_ratio * 2.0, 1.0) * 0.5
+             + case when mwl >= 3 and mwl <= 10 then 0.3 else 0.0 end
+             - least(digit_ratio * 2.0, 0.3)
+             - least(punct_ratio * 2.0, 0.2)
+             + 0.2, 1.0), 0.0), 6) as quality
+    from r
+    """
+
+    sql["token_counts"] = """
+    select doc_id,
+           case when trim(text) = '' then 0
+                else len(regexp_split_to_array(lower(trim(text)), '\\s+')) end as ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) as word_tokens
+    from documents
+    """
+
+    # CC labels compare ids LEXICOGRAPHICALLY (operators/cluster.py
+    # casts to string), so the group representative is the string-min id
+    sql["dedup_keep_min"] = """
+    with d as (select doc_id,
+                 array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[1:2], ' ') as k
+               from documents)
+    select arg_min(doc_id, cast(doc_id as varchar)) as doc_id from d group by k
     """
 
     sql["lang_id"] = """

@@ -34,14 +34,73 @@ _FEATURE_SCHEMA = (
 )
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB: real implementation would Pillow/turbojpeg-decode to HxWxC.
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """REAL decoder for binary Netpbm images — P5 (PGM grayscale,
+    HxW) and P6 (PPM RGB, HxWx3) — in pure numpy: header parse +
+    frombuffer. Netpbm is the one mainstream raster format that needs
+    no codec library, so this path is genuinely end-to-end; other
+    formats (JPEG/PNG/...) still raise below."""
+    if not payload or payload[:1] != b"P":
+        raise ValueError("not a netpbm payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    i += 1  # single whitespace after maxval
+    magic = payload[:2]
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    flat = np.frombuffer(payload, dtype=np.uint8, offset=i)
+    if magic == b"P5":
+        return flat[: width * height].reshape(height, width)
+    if magic == b"P6":
+        return flat[: width * height * 3].reshape(height, width, 3)
+    raise ValueError(f"unsupported netpbm magic {magic!r}")
 
-    Deterministic fake: derive a pseudo-pixel array from the payload
-    bytes so downstream shapes/statistics are exercised end-to-end."""
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    """Inverse of decode_netpbm for P5 — test/generator helper."""
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure numpy (index-map gather) — the
+    standard cheap pre-featurization resize."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload. Netpbm (P5/P6) decodes for real in
+    numpy; compressed formats need codec libraries absent from this
+    container and raise (clearly-marked stub boundary)."""
+    if payload and payload[:1] == b"P" and payload[1:2] in (b"5", b"6"):
+        return decode_netpbm(payload)
     raise NotImplementedError(
-        "image decoding requires Pillow/libjpeg — not available in this "
-        "container; use extract_media_features(deterministic_fake=True)"
+        "JPEG/PNG decoding requires Pillow/libjpeg — not available in "
+        "this container; netpbm (P5/P6) payloads decode natively, or "
+        "use extract_media_features(deterministic_fake=True)"
     )
 
 
@@ -57,22 +116,47 @@ def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return hist / total if total else hist
 
 
+def _image_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real image feature: decode -> grayscale -> nearest-resize to
+    sqrt(dim)^2 thumbnail -> [0,1] floats. A stand-in for a CNN/CLIP
+    embedding with the same fixed-width contract."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    img = _decode_image(payload)
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    side = max(int(np.sqrt(dim)), 1)
+    small = resize_nearest(img, side, side).astype(np.float32) / 255.0
+    out = np.zeros(dim, dtype=np.float32)
+    flat = small.reshape(-1)[:dim]
+    out[: len(flat)] = flat
+    return out
+
+
 def extract_media_features(
     media: DataFrame, deterministic_fake: bool = True, dim: int = FEATURE_DIM
 ) -> DataFrame:
     """media table -> (media_id, kind, n_bytes, feature[dim]).
 
     mapInPandas so each Arrow batch is one vectorized pass; payloads are
-    dropped from the output (never re-shuffle binary)."""
+    dropped from the output (never re-shuffle binary). With
+    deterministic_fake=False, image rows with netpbm payloads decode
+    FOR REAL (decode_netpbm); audio/video and compressed image formats
+    fall back to the byte-histogram feature (codec libs absent here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload in pdf["payload"]:
-                if deterministic_fake:
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if (
+                    not deterministic_fake
+                    and kind == "image"
+                    and payload
+                    and payload[:1] == b"P"
+                ):
+                    feats.append(_image_feature(payload, dim))
+                else:
                     feats.append(_fake_feature(payload, dim))
-                else:  # pragma: no cover - requires decode libs
-                    feats.append(_decode_image(payload).mean(axis=(0, 1)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

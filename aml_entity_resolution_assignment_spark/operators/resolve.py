@@ -91,10 +91,14 @@ def resolve(
     thresholds: RuleThresholds | None = None,
     limit: int = CANDIDATE_LIMIT,
     top_n: int = 1,
+    already_keyed: bool = False,
 ) -> DataFrame:
     """Batch resolve: pages-shaped queries -> best candidate(s) per
-    query with match_type/confidence/explanation + conflict flag."""
-    query_keyed = add_blocking_keys(queries)
+    query with match_type/confidence/explanation + conflict flag.
+    Pass already_keyed=True when `queries` is a pre-keyed table (same
+    schema as corpus_keyed) — e.g. a stage checkpoint, or the oracle
+    harness that constructs keys in SQL-expressible form."""
+    query_keyed = queries if already_keyed else add_blocking_keys(queries)
     cand = find_candidates(query_keyed, corpus_keyed, limit=limit)
 
     # hydrate both sides (queries from query_keyed, candidates from corpus)

@@ -35,10 +35,13 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_keep_min",
+    "resolve_best_match",
     "ann_topk",
     "text_quality",
     "lang_id",
     "events_window",
+    "events_sessionize",
     "tpch_pricing",
     "tpch_join_agg",
 ]

@@ -52,3 +52,53 @@ def test_media_stats(media):
     assert stats["m1"]["n_pixels"] == 64 * 48
     assert stats["m1"]["aspect_ratio"] == pytest.approx(64 / 48)
     assert stats["m4"]["aspect_ratio"] is None
+
+
+def test_netpbm_decode_roundtrip_and_resize():
+    import numpy as np
+
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        decode_netpbm, encode_pgm, encode_ppm, resize_nearest,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    gray = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    assert np.array_equal(decode_netpbm(encode_pgm(gray)), gray)
+    rgb = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_netpbm(encode_ppm(rgb)), rgb)
+    # comments + extra whitespace in header
+    weird = b"P5\n# a comment\n 5   7 \n255\n" + gray.tobytes()
+    assert np.array_equal(decode_netpbm(weird), gray)
+    small = resize_nearest(rgb, 3, 3)
+    assert small.shape == (3, 3, 3)
+    assert np.array_equal(resize_nearest(gray, 7, 5), gray)  # identity
+
+
+def test_real_image_features_through_spark(spark):
+    import numpy as np
+
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        FEATURE_DIM, encode_pgm, extract_media_features,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    rows = []
+    for i in range(8):
+        img = rng.integers(0, 256, (16, 12), dtype=np.uint8)
+        rows.append((f"m{i}", "image", bytearray(encode_pgm(img)), "image/x-pgm", 12, 16, None))
+    rows.append(("mnull", "image", None, "image/x-pgm", 0, 0, None))
+    rows.append(("aud0", "audio", bytearray(b"\x01\x02\x03" * 50), "audio/raw", None, None, 1500))
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    out = extract_media_features(media, deterministic_fake=False).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(by_id) == 10
+    for i in range(8):
+        f = np.array(by_id[f"m{i}"]["feature"])
+        assert f.shape == (FEATURE_DIM,)
+        assert (f >= 0).all() and (f <= 1).all() and f.std() > 0
+    assert np.allclose(by_id["mnull"]["feature"], 0.0)
+    assert len(by_id["aud0"]["feature"]) == FEATURE_DIM  # histogram fallback
