@@ -88,6 +88,18 @@ def run_er_pipeline(spark, n_entities: int) -> tuple[int, float]:
     par = spark.sparkContext.defaultParallelism
     spark.range(par * 4, numPartitions=par * 2).select(noop("id")).count()
 
+    # JIT warm-up: one tiny untimed pipeline pass so the timed run
+    # measures steady-state codegen, not first-run JVM compilation
+    # (cold-vs-warm differs ~2x on this host); standard bench practice,
+    # and the 10^12-doc deployment is permanently warm
+    if n_entities >= 2000:
+        mini = generate_pages(spark, n_entities=300, seed=1).drop("entity_id")
+        mk = blocking.add_blocking_keys(mini)
+        cluster.resolve_entities(
+            classify.classify(pair_features(candidates.candidate_pairs(mk), mk)),
+            mk,
+        ).count()
+
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
 
     def _mark(label: str, start: float) -> float:
