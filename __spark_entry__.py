@@ -423,6 +423,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram dedup with the max_df stop-shingle cap engaged — jaccard
+    computed over the surviving (non-stop) gram sets; the oracle
+    mirrors the document-frequency filter."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    out = D.ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.03, max_df=15)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E5: full pairwise evaluation (precision/recall/F1) between
+    predicted clusters (bk_lang_size blocks) and truth (source)."""
+    d = q_blocking_keys(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    )
+    m = E.evaluate_clusters(
+        d.select("doc_id", F.col("bk_lang_size").alias("predicted_entity_id")),
+        d.select("doc_id", F.col("source").alias("entity_id")),
+        id_col="doc_id",
+    )[0]
+    return spark.createDataFrame(
+        [(m.true_pairs, m.pred_pairs, m.tp, m.fp, m.fn,
+          round(m.precision, 6), round(m.recall, 6), round(m.f1, 6))],
+        "true_pairs long, pred_pairs long, tp long, fp long, fn long, "
+        "precision double, recall double, f1 double",
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs in the recall-forced configuration:
     bands=32, rows=4 puts the banding miss probability for a
@@ -711,6 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_ranking": q_topk_ranking,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_capped": q_dedup_ngram_capped,
+        "eval_prf": q_eval_prf,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
@@ -1276,6 +1309,52 @@ def oracle_sql() -> dict[str, str]:
     join customer on o_custkey = c_custkey
     join nation on c_nationkey = n_nationkey
     group by n_name
+    """
+
+    sql["dedup_ngram_capped"] = """
+    with d as (select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+               from documents where doc_id < 200),
+    grams0 as (
+      select distinct doc_id,
+             unnest([array_to_string(toks[i:i+1], ' ')
+                     for i in generate_series(1, greatest(len(toks)-1, 1))]) as g
+      from d),
+    keep as (select g from (select g, count(*) as c from grams0 group by g) t
+             where c <= 15),
+    grams as (select grams0.* from grams0 semi join keep using (g)),
+    sizes as (select doc_id, count(*) as n from grams group by doc_id)
+    select a.doc_id as id_a, b.doc_id as id_b,
+           round(count(*) * 1.0 / (sa.n + sb.n - count(*)), 6) as jaccard
+    from grams a join grams b on a.g = b.g and a.doc_id < b.doc_id
+    join sizes sa on sa.doc_id = a.doc_id
+    join sizes sb on sb.doc_id = b.doc_id
+    group by a.doc_id, b.doc_id, sa.n, sb.n
+    having count(*) * 1.0 / (sa.n + sb.n - count(*)) >= 0.03
+    """
+
+    sql["eval_prf"] = f"""
+    with bk as ({_bk}),
+    lab as (select bk.doc_id, bk.bk_lang_size as pred, d.source as tru
+            from bk join documents d on bk.doc_id = d.doc_id),
+    tp_pairs as (select a.doc_id as id_a, b.doc_id as id_b
+                 from lab a join lab b on a.pred = b.pred and a.doc_id < b.doc_id),
+    tr_pairs as (select a.doc_id as id_a, b.doc_id as id_b
+                 from lab a join lab b on a.tru = b.tru and a.doc_id < b.doc_id),
+    c as (select
+      (select count(*) from tr_pairs) as true_pairs,
+      (select count(*) from tp_pairs) as pred_pairs,
+      (select count(*) from (select * from tp_pairs intersect select * from tr_pairs)) as tp,
+      (select count(*) from (select * from tp_pairs except select * from tr_pairs)) as fp,
+      (select count(*) from (select * from tr_pairs except select * from tp_pairs)) as fn)
+    select true_pairs, pred_pairs, tp, fp, fn,
+      round(case when tp + fp > 0 then tp * 1.0 / (tp + fp) else 0.0 end, 6) as precision,
+      round(case when tp + fn > 0 then tp * 1.0 / (tp + fn) else 0.0 end, 6) as recall,
+      round(case when (case when tp+fp>0 then tp*1.0/(tp+fp) else 0 end
+                 + case when tp+fn>0 then tp*1.0/(tp+fn) else 0 end) > 0
+            then 2 * (tp*1.0/(tp+fp)) * (tp*1.0/(tp+fn))
+                 / ((tp*1.0/(tp+fp)) + (tp*1.0/(tp+fn)))
+            else 0.0 end, 6) as f1
+    from c
     """
 
     # recall-forced MinHash-LSH config == exact all-pairs Jaccard >= 0.9
