@@ -598,6 +598,47 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.fingerprint_udf()(F.col("text")).alias("fp"))
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path END-TO-END with a hard oracle: build an
+    8x8 grayscale PGM payload from each document's first 64 text bytes
+    (ASCII corpus), run the REAL netpbm decoder + nearest-resize 4x4
+    thumbnail featurizer (operators/multimodal.py), and emit the
+    thumbnail pixels as bytes — which the SQL twin reads directly from
+    the text with ord(substr(...)) at the nearest-map positions."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def _to_pgm(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:64]
+            out.append(b"P5\n8 8\n255\n" + raw)
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    pgm_udf = F.pandas_udf(_to_pgm, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 64)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        pgm_udf(F.col("text")).alias("payload"),
+        F.lit("image/x-pgm").alias("mime"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.posexplode(F.col("feature")).alias("k", "v"),
+    ).select(
+        "doc_id", "k", F.round(F.col("v") * 255).cast("long").alias("pix")
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-equivalent tumbling-window aggregation (batch form)."""
     e = _events(spark, sf_dir)
@@ -755,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_min": q_dedup_keep_min,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "tpch_pricing": q_tpch_pricing,
@@ -1264,6 +1306,20 @@ def oracle_sql() -> dict[str, str]:
            when s_es = greatest(s_en, s_de, s_es, s_pl) then 'es'
            else 'pl' end as lang_pred
     from v
+    """
+
+    # nearest-resize 8x8 -> 4x4 picks rows/cols [0,2,4,6]; pixel (i,j)
+    # of the thumbnail = byte (2i*8 + 2j) of the image = that character
+    # of the (ASCII) text — read straight from the source column
+    sql["multimodal_decode"] = """
+    with pos as (
+      select i, j, (i * 4 + j) as k, (2*i*8 + 2*j + 1) as p
+      from (select unnest(generate_series(0, 3)) as i),
+           (select unnest(generate_series(0, 3)) as j)
+    )
+    select d.doc_id, pos.k, ord(substr(d.text, pos.p, 1)) as pix
+    from documents d, pos
+    where d.n_chars >= 64
     """
 
     sql["events_window"] = """
