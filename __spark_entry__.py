@@ -133,6 +133,21 @@ def q_norm_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_norm_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: full address normalizer (ascii fold + punctuation strip + 18
+    \\b-anchored abbreviation expansions) over synthesized messy
+    addresses (ASCII inputs, so the fold reduces to lower/trim and the
+    SQL twin can mirror every step)."""
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("Ul. "), F.col("source"), F.lit(" St. "),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(", Apt "), (F.col("doc_id") % 9).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" Blvd")).otherwise(F.lit(" Ave")),
+    )
+    return d.select("doc_id", N.norm_address(raw).alias("norm_addr"))
+
+
 def q_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1-B5 analog: derive blocking keys over documents."""
     d = _docs(spark, sf_dir)
@@ -768,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_project": q_norm_project,
         "norm_email_phone": q_norm_email_phone,
         "norm_dates": q_norm_dates,
+        "norm_address": q_norm_address,
         "blocking_keys": q_blocking_keys,
         "key_coverage": q_key_coverage,
         "block_stats": q_block_stats,
@@ -854,6 +870,36 @@ def oracle_sql() -> dict[str, str]:
            strftime(dt, '%Y-%m-%d') as norm_dob,
            coalesce(lpad(cast(year(dt) as varchar), 4, '0'), '0000') as norm_dob_year
     from parsed
+    """
+
+
+    sql["norm_address"] = """
+    with raw as (
+      select doc_id,
+             'Ul. ' || source || ' St. ' || cast(doc_id % 100 as varchar)
+             || ', Apt ' || cast(doc_id % 9 as varchar)
+             || case when doc_id % 2 = 0 then ' Blvd' else ' Ave' end as a
+      from documents
+    ),
+    folded as (select doc_id, regexp_replace(lower(trim(a)), '[^\\w\\s]', '', 'g') as t from raw)
+    select doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(
+        t,
+        '\\bst\\b', 'street', 'g'), '\\bave\\b', 'avenue', 'g'),
+        '\\brd\\b', 'road', 'g'), '\\bblvd\\b', 'boulevard', 'g'),
+        '\\bdr\\b', 'drive', 'g'), '\\bln\\b', 'lane', 'g'),
+        '\\bapt\\b', 'apartment', 'g'), '\\bste\\b', 'suite', 'g'),
+        '\\bul\\b', 'ulica', 'g'), '\\bal\\b', 'aleja', 'g'),
+        '\\bos\\b', 'osiedle', 'g'), '\\bm\\b', 'mieszkanie', 'g'),
+        '\\bc\\b', 'calle', 'g'), '\\bav\\b', 'avenida', 'g'),
+        '\\bpza\\b', 'plaza', 'g'), '\\bpso\\b', 'paseo', 'g'),
+        '\\bstr\\b', 'strasse', 'g'), '\\bpl\\b', 'platz', 'g')
+      as norm_addr
+    from folded
     """
 
     _bk = """
