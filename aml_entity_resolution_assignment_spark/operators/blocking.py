@@ -77,7 +77,12 @@ def add_blocking_keys(pages: DataFrame) -> DataFrame:
         mh.pack_sig_udf()(F.col("minhash_sig")).alias("sig_bin"),
         mh.token_hashset_udf()(F.col("norm_text")).alias("tokens_bin"),
     )
-    return keyed
+    # norm_text (~text-sized) and the ArrayType signature (~1KB/row)
+    # are DERIVATION intermediates: every downstream consumer uses the
+    # packed forms (tokens_bin / sig_bin / band columns). Dropping them
+    # halves the persisted/checkpointed keyed table — at 10^12 docs
+    # that is the difference between a 1x and 2-3x stage-table footprint
+    return keyed.drop("norm_text", "minhash_sig")
 
 
 def key_coverage(keyed: DataFrame) -> DataFrame:

@@ -43,14 +43,16 @@ PAGES_KEYED_EXTRA = [
     ("host", StringType()),
     ("norm_url", StringType()),
     ("norm_title", StringType()),
-    ("norm_text", StringType()),
     ("bk_host", StringType()),
     ("bk_title", StringType()),
     ("bk_path", StringType()),
-    ("minhash_sig", ArrayType(LongType())),
     ("simhash", LongType()),
     ("bk_minhash_bands", ArrayType(LongType())),
     ("bk_simhash_bands", ArrayType(LongType())),
+    # compact payloads only: norm_text and the ArrayType minhash
+    # signature are derivation intermediates, dropped before persist
+    ("sig_bin", BinaryType()),
+    ("tokens_bin", BinaryType()),
 ]
 
 CANDIDATE_PAIRS = StructType(

@@ -28,7 +28,7 @@ def test_stream_pages_keyed_roundtrip(spark, pages_dir, tmp_path_factory):
     got = spark.read.parquet(out_dir)
     assert got.count() == n
     assert "bk_host" in got.columns and "bk_minhash_bands" in got.columns
-    assert got.where(F.col("minhash_sig").isNotNull()).count() == n
+    assert got.where(F.col("sig_bin").isNotNull()).count() == n
 
 
 def test_stream_restart_is_incremental(spark, pages_dir, tmp_path_factory):
