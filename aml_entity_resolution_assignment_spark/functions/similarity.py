@@ -325,9 +325,8 @@ def _jaro_winkler_block(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
     out_s = np.zeros(n, dtype=np.float64)
     out_s[has] = jaro[has]
     out_s[~valid_s] = 0.0
-    len1_s, len2_s = len1, len2
     # Winkler boost happens in sorted space; un-sort at the end
-    out_s = _winkler_boost(out_s, A, B, len1_s, len2_s, l1m, l2m)
+    out_s = _winkler_boost(out_s, A, B, len1, len2, l1m, l2m)
     out[order] = out_s
     return out
 
