@@ -243,3 +243,55 @@ def read_incremental_table(spark: SparkSession, target_path: str) -> DataFrame:
     """Read an incremental_upsert target; `batch` is sink bookkeeping,
     not data."""
     return spark.read.parquet(target_path).drop("batch")
+
+
+def resolve_stream(
+    pages_stream: DataFrame,
+    corpus_path: str,
+    results_path: str,
+    checkpoint_path: str,
+    thresholds=None,
+    limit: int = 50,
+):
+    """Streaming END-TO-END entity resolution: each micro-batch of new
+    pages is blocking-keyed, resolved against the accumulated keyed
+    corpus (new-vs-all two-sided join — the streaming-compatible form
+    of the batch self-join), its best matches appended, and the new
+    pages merged into the corpus.
+
+    Both sinks are idempotent under foreachBatch's at-least-once replay
+    (per-batch overwrite directories, like incremental_upsert). A
+    replayed batch resolving against a corpus that already contains its
+    own pages is harmless: self-candidates are excluded by url equality
+    in find_candidates. Returns the StreamingQuery (AvailableNow)."""
+    from ..operators.resolve import resolve
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed_new = add_blocking_keys(batch_df)
+        try:
+            corpus = read_incremental_table(spark, corpus_path)
+            have_corpus = True
+        except Exception:
+            have_corpus = False  # first batch: nothing to resolve against
+        if have_corpus:
+            res = resolve(
+                keyed_new,
+                corpus,
+                thresholds=thresholds,
+                limit=limit,
+                already_keyed=True,
+            )
+            res.write.mode("overwrite").parquet(
+                f"{results_path}/batch={batch_id}"
+            )
+        keyed_new.write.mode("overwrite").parquet(
+            f"{corpus_path}/batch={batch_id}"
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

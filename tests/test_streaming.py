@@ -238,3 +238,48 @@ def test_streaming_new_vs_all_candidates_match_batch_diff(spark, tmp_path_factor
     got_s = {(r["id_a"], r["id_b"]) for r in got.collect()}
     want_s = {(r["id_a"], r["id_b"]) for r in want.collect()}
     assert got_s == want_s and len(want_s) > 0
+
+
+def test_resolve_stream_matches_batch_resolve(spark, tmp_path_factory):
+    """Streaming end-to-end ER: the second micro-batch's best matches
+    must equal batch resolve(new, accumulated corpus)."""
+    from aml_entity_resolution_assignment_spark.operators.blocking import (
+        add_blocking_keys,
+    )
+    from aml_entity_resolution_assignment_spark.operators.resolve import resolve
+
+    gen = generate_pages(spark, n_entities=50, seed=17).drop("entity_id").cache()
+    old_pages = gen.where(F.xxhash64("url") % 3 != 0).cache()
+    new_pages = gen.exceptAll(old_pages).cache()
+
+    src = str(tmp_path_factory.mktemp("pages_rs"))
+    corpus = str(tmp_path_factory.mktemp("corpus_rs"))
+    results = str(tmp_path_factory.mktemp("results_rs"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_rs"))
+
+    old_pages.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = S.read_pages_stream(spark, src)
+    q = S.resolve_stream(stream, corpus, results, ckpt, limit=100)
+    q.awaitTermination(180)
+    # batch 0 had no prior corpus -> no results yet
+    assert S.read_incremental_table(spark, corpus).count() == old_pages.count()
+
+    new_pages.coalesce(1).write.mode("append").parquet(src)
+    q2 = S.resolve_stream(
+        S.read_pages_stream(spark, src), corpus, results, ckpt, limit=100
+    )
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(results).drop("batch")
+    want = resolve(
+        add_blocking_keys(new_pages),
+        add_blocking_keys(old_pages),
+        limit=100,
+        already_keyed=True,
+    )
+    cols = ["query_id", "matched_url", "match_type", "rank"]
+    g = {tuple(r) for r in got.select(*cols).collect()}
+    w = {tuple(r) for r in want.select(*cols).collect()}
+    assert g == w and len(w) > 0
+    # corpus now holds everything
+    assert S.read_incremental_table(spark, corpus).count() == gen.count()
