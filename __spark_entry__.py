@@ -497,7 +497,25 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB md5_number_lower, so the oracle recomputes the full simhash
     in SQL."""
     d = _docs(spark, sf_dir)
-    out = D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=2)
+    out = D.simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=2, token_hash="md5"
+    )
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "hamming"
+    )
+
+
+def q_dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION simhash near-dup path: identical plan to
+    q_dedup_simhash but with the vectorized SipHash token hash
+    (token_hash='fast') instead of the md5 oracle twin — the form a
+    10^12-doc deployment runs. No SQL oracle (SipHash is not
+    reproducible in DuckDB); the md5 variant carries the hard oracle,
+    this entry carries the bench headline + rows-only check."""
+    d = _docs(spark, sf_dir)
+    out = D.simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=2, token_hash="fast"
+    )
     return out.select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "hamming"
     )
@@ -610,7 +628,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB md5_number_lower, so the oracle reproduces it with
     list_reduce over HUGEINT."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", T.fingerprint_udf()(F.col("text")).alias("fp"))
+    return d.select(
+        "doc_id", T.fingerprint_udf(token_hash="md5")(F.col("text")).alias("fp")
+    )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_prf": q_eval_prf,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_fast": q_dedup_simhash_fast,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,

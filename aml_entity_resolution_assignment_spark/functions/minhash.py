@@ -266,14 +266,32 @@ def _token_hash64(tok: str) -> int:
     return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[8:16], "little")
 
 
-def simhash64(text: str | None) -> int | None:
+def _token_hash_array(toks: np.ndarray, token_hash: str) -> np.ndarray:
+    """(n,) object array of token strings -> (n,) uint64 hashes.
+
+    token_hash='md5': the oracle twin (DuckDB md5_number_lower) — one
+    Python hashlib call per distinct token; correct but the slowest
+    per-token step in the signature kernels.
+    token_hash='fast': the PRODUCTION path — pandas' vectorized SipHash
+    (pd.util.hash_array: one C call for the whole array, deterministic
+    across processes/platforms with the fixed default key). Same
+    downstream semantics; not SQL-reproducible, so oracle queries pin
+    'md5' explicitly."""
+    if token_hash == "fast":
+        return pd.util.hash_array(np.asarray(toks, dtype=object))
+    return np.fromiter(
+        (_token_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+
+
+def simhash64(text: str | None, token_hash: str = "fast") -> int | None:
     """Charikar SimHash over whitespace tokens (unweighted)."""
     if text is None or text == "":
         return None
     toks = text.split()
     if not toks:
         return None
-    hashes = np.fromiter((_token_hash64(t) for t in toks), dtype=np.uint64)
+    hashes = _token_hash_array(np.array(toks, dtype=object), token_hash)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int32
     )
@@ -285,11 +303,12 @@ def simhash64(text: str | None) -> int | None:
     return int(out.astype(np.int64).view(np.int64))
 
 
-def batch_simhash(texts: pd.Series) -> pd.Series:
+def batch_simhash(texts: pd.Series, token_hash: str = "fast") -> pd.Series:
     """Vectorized batch SimHash, identical output to simhash64: explode
     + factorize tokenization (duplicates kept — occurrence-weighted
-    votes), 64-bit token hash once per distinct token, bit votes via
-    np.add.reduceat over row boundaries."""
+    votes), 64-bit token hash once per distinct token (vectorized
+    SipHash by default; token_hash='md5' for the SQL oracle twin), bit
+    votes via np.add.reduceat over row boundaries."""
     n_rows = len(texts)
     out: list[int | None] = [None] * n_rows
 
@@ -303,9 +322,7 @@ def batch_simhash(texts: pd.Series) -> pd.Series:
     if exploded.empty:
         return pd.Series(out, index=texts.index, dtype="object").astype("Int64")
     codes, uniques = pd.factorize(exploded.to_numpy())
-    uniq_hash = np.fromiter(
-        (_token_hash64(u) for u in uniques), dtype=np.uint64, count=len(uniques)
-    )
+    uniq_hash = _token_hash_array(uniques, token_hash)
     flat_arr = uniq_hash[codes]
     row_ids = exploded.index.to_numpy()
     present, counts = np.unique(row_ids, return_counts=True)
@@ -342,8 +359,11 @@ def batch_simhash(texts: pd.Series) -> pd.Series:
     return pd.Series(out, index=texts.index, dtype="object").astype("Int64")
 
 
-def simhash_udf() -> Column:
-    return F.pandas_udf(batch_simhash, LongType())
+def simhash_udf(token_hash: str = "fast") -> Column:
+    def _f(texts: pd.Series) -> pd.Series:
+        return batch_simhash(texts, token_hash=token_hash)
+
+    return F.pandas_udf(_f, LongType())
 
 
 def simhash_bands(h: int | None, bands: int = SIMHASH_BANDS) -> list[int] | None:

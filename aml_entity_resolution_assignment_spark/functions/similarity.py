@@ -281,8 +281,11 @@ def _jaro_winkler_block(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
     avail = np.ones((n, l2m), dtype=bool)  # s2 chars not yet matched
     avail &= j_idx[None, :] < len2[:, None]
     common = np.zeros(n, dtype=np.int64)
-    # number of active pairs per step (len1 sorted desc)
-    n_active = np.searchsorted(-len1, -i_idx, side="right")
+    # number of active pairs per step (len1 sorted desc): side="left"
+    # counts strictly len1 > i — a pair with len1 == i has no char at
+    # index i, only zero padding, and a literal NUL in the other string
+    # could match that padding and inflate `common` past len1
+    n_active = np.searchsorted(-len1, -i_idx, side="left")
     lo_all = i_idx[None, :] - search[:, None]  # (n, l1m) window lows
     arange_n = np.arange(n)
 
@@ -365,7 +368,14 @@ def batch_jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
     equal = np.equal(sa, sb) & (la > 0)
     out[equal] = 1.0
     todo = ~equal & (la > 0) & (lb > 0)
-    long_mask = todo & ((la + 1) * (lb + 1) > _JW_VEC_CELL_CAP)
+    # numpy U-dtype cannot represent TRAILING NULs (indistinguishable
+    # from padding), so NUL-bearing strings take the scalar kernel
+    has_nul = np.fromiter(
+        (("\x00" in x) or ("\x00" in y) for x, y in zip(sa, sb)),
+        dtype=bool,
+        count=n,
+    )
+    long_mask = todo & (((la + 1) * (lb + 1) > _JW_VEC_CELL_CAP) | has_nul)
     vec_mask = todo & ~long_mask
     if vec_mask.any():
         out[vec_mask] = _jaro_winkler_block(
@@ -379,14 +389,125 @@ def batch_jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out, index=a.index, dtype="float64")
 
 
+# Above this (len1+1)*(len2+1) product a pair falls back to the scalar
+# DP (keeps one pathological long string from inflating the whole
+# batch's DP tensor); vectorized pairs process in chunks of _EDIT_CHUNK
+# rows so the (n, L1+2, L2+2) Damerau score tensor stays ~tens of MB.
+_EDIT_VEC_CELL_CAP = 4096
+_EDIT_CHUNK = 2048
+
+
+def _edit_distance_block(
+    sa: np.ndarray, sb: np.ndarray, damerau: bool
+) -> np.ndarray:
+    """Vectorized (Damerau-)Levenshtein distances over two (n,) unicode
+    arrays: the whole batch advances through the Wagner-Fischer DP
+    together — the (i, j) loops are over STRING POSITIONS (bounded by
+    _EDIT_VEC_CELL_CAP), every cell update is a numpy op over all n
+    pairs at once; no per-pair Python. Bit-exact vs
+    levenshtein_distance / damerau_levenshtein_distance (unrestricted
+    variant — tests/test_similarity.py parity suite).
+
+    State for the unrestricted-DL transposition term mirrors the scalar
+    kernel: i1_row[:, j] is da[s2[j]] (last row where A matched B's
+    char j, updated AFTER each row), db is the in-row last-match column
+    (updated after each cell)."""
+    n = len(sa)
+    len1 = np.char.str_len(sa).astype(np.int64)
+    len2 = np.char.str_len(sb).astype(np.int64)
+    L1 = max(int(len1.max()), 1)
+    L2 = max(int(len2.max()), 1)
+    A = _codepoints(sa, L1)
+    B = _codepoints(sb, L2)
+    rng = np.arange(n)
+
+    if not damerau:
+        prev = np.tile(np.arange(L2 + 1, dtype=np.int32), (n, 1))
+        cur = np.empty_like(prev)
+        res = np.zeros(n, dtype=np.int32)
+        res[len1 == 0] = len2[len1 == 0].astype(np.int32)
+        for i in range(1, L1 + 1):
+            cur[:, 0] = i
+            ai = A[:, i - 1]
+            for j in range(1, L2 + 1):
+                cost = (B[:, j - 1] != ai).astype(np.int32)
+                cur[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                    prev[:, j - 1] + cost,
+                )
+            done = len1 == i
+            if done.any():
+                res[done] = cur[done, len2[done]]
+            prev, cur = cur, prev
+        return res
+
+    INF = np.int32(L1 + L2 + 10)
+    score = np.empty((n, L1 + 2, L2 + 2), dtype=np.int32)
+    score[:, 0, :] = INF
+    score[:, :, 0] = INF
+    score[:, 1, 1:] = np.arange(L2 + 1, dtype=np.int32)[None, :]
+    score[:, 1:, 1] = np.arange(L1 + 1, dtype=np.int32)[None, :]
+    i1_row = np.zeros((n, L2), dtype=np.int64)  # da[B char at column j]
+    for i in range(1, L1 + 1):
+        ai = A[:, i - 1]
+        eq_row = B == ai[:, None]  # (n, L2)
+        db = np.zeros(n, dtype=np.int64)
+        for j in range(1, L2 + 1):
+            eq = eq_row[:, j - 1]
+            cost = (~eq).astype(np.int32)
+            best = np.minimum(
+                score[:, i, j] + cost,
+                np.minimum(score[:, i + 1, j] + 1, score[:, i, j + 1] + 1),
+            )
+            i1 = i1_row[:, j - 1]
+            trans = (
+                score[rng, i1, db]
+                + (i - i1 - 1)
+                + 1
+                + (j - db - 1)
+            ).astype(np.int32)
+            score[:, i + 1, j + 1] = np.minimum(best, trans)
+            db = np.where(eq, j, db)
+        i1_row = np.where(eq_row, i, i1_row)
+    return score[rng, len1 + 1, len2 + 1]
+
+
 def batch_edit_score(a: pd.Series, b: pd.Series, damerau: bool = False) -> pd.Series:
+    """Normalized edit score (1 - dist/max_len) over Arrow batches —
+    vectorized DP for the whole batch (see _edit_distance_block), with
+    the same fast paths and outlier fallback as batch_jaro_winkler."""
     a = _as_str(a)
     b = _as_str(b)
-    return pd.Series(
-        [normalized_edit_score(x, y, damerau=damerau) for x, y in zip(a, b)],
-        index=a.index,
-        dtype="float64",
+    sa = a.to_numpy(dtype=object)
+    sb = b.to_numpy(dtype=object)
+    n = len(sa)
+    la = np.fromiter((len(x) for x in sa), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in sb), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.float64)
+    equal = np.equal(sa, sb) & (la > 0)
+    out[equal] = 1.0
+    todo = ~equal & (la > 0) & (lb > 0)
+    has_nul = np.fromiter(
+        (("\x00" in x) or ("\x00" in y) for x, y in zip(sa, sb)),
+        dtype=bool,
+        count=n,
     )
+    long_mask = todo & (((la + 1) * (lb + 1) > _EDIT_VEC_CELL_CAP) | has_nul)
+    vec_idx = np.nonzero(todo & ~long_mask)[0]
+    # order by DP size so each chunk's (L1max, L2max) tracks its own
+    # pairs: short pairs stop paying for the batch's longest string
+    vec_idx = vec_idx[np.argsort(la[vec_idx] * lb[vec_idx], kind="stable")]
+    for s in range(0, vec_idx.size, _EDIT_CHUNK):
+        idx = vec_idx[s : s + _EDIT_CHUNK]
+        dist = _edit_distance_block(
+            np.asarray(sa[idx], dtype=np.str_),
+            np.asarray(sb[idx], dtype=np.str_),
+            damerau,
+        )
+        out[idx] = 1.0 - dist / np.maximum(la[idx], lb[idx])
+    for i in np.nonzero(long_mask)[0]:
+        out[i] = normalized_edit_score(sa[i], sb[i], damerau=damerau)
+    return pd.Series(out, index=a.index, dtype="float64")
 
 
 def batch_token_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:

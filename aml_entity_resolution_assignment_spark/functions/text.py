@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -119,44 +120,58 @@ def _fp_token_hash(tok: str) -> int:
     return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[8:16], "little")
 
 
-def fingerprint(text: str | None) -> int | None:
+def fingerprint(text: str | None, token_hash: str = "fast") -> int | None:
     """Rolling polynomial hash over whitespace tokens mod 2^61-1 — a
     cheap order-sensitive content fingerprint stable under leading/
-    trailing/repeated whitespace. h = (h*B + md5_64(tok)) mod M."""
+    trailing/repeated whitespace. h = (h*B + hash64(tok)) mod M.
+    token_hash='md5' pins the DuckDB-reproducible token hash for the
+    SQL oracle; 'fast' (default) is the vectorized production hash
+    (functions/minhash._token_hash_array)."""
     if text is None:
         return None
     toks = text.split()
     if not toks:
         return 0
+    from .minhash import _token_hash_array
+
+    hashes = _token_hash_array(np.array(toks, dtype=object), token_hash)
     h = 0
-    for t in toks:
-        h = (h * _FP_BASE + _fp_token_hash(t)) % _FP_MOD
+    for x in hashes:
+        h = (h * _FP_BASE + int(x)) % _FP_MOD
     return int(h)
 
 
-def batch_fingerprint(s: pd.Series) -> pd.Series:
-    """Batch fingerprint: md5 runs once per DISTINCT token in the batch
-    (token frequency is Zipf); the rolling fold is per row over
-    precomputed hashes."""
+def batch_fingerprint(s: pd.Series, token_hash: str = "fast") -> pd.Series:
+    """Batch fingerprint: the token hash runs once per DISTINCT token in
+    the batch (token frequency is Zipf; vectorized SipHash by default,
+    'md5' for the SQL oracle twin); the rolling fold is per row over
+    precomputed hashes (inherently sequential — the 61-bit modular state
+    carries across tokens)."""
+    from .minhash import _token_hash_array
+
     out: list[int | None] = [None] * len(s)
     tok_lists: list[list[str] | None] = [
         None if t is None or (isinstance(t, float) and pd.isna(t)) else str(t).split()
         for t in s
     ]
-    cache: dict[str, int] = {}
+    uniq = sorted({t for toks in tok_lists if toks for t in toks})
+    if uniq:
+        hashes = _token_hash_array(np.array(uniq, dtype=object), token_hash)
+        cache = {t: int(x) for t, x in zip(uniq, hashes)}
+    else:
+        cache = {}
     for i, toks in enumerate(tok_lists):
         if toks is None:
             continue
         h = 0
         for t in toks:
-            x = cache.get(t)
-            if x is None:
-                x = _fp_token_hash(t)
-                cache[t] = x
-            h = (h * _FP_BASE + x) % _FP_MOD
+            h = (h * _FP_BASE + cache[t]) % _FP_MOD
         out[i] = h
     return pd.Series(out, index=s.index, dtype="object").astype("Int64")
 
 
-def fingerprint_udf() -> Column:
-    return F.pandas_udf(batch_fingerprint, LongType())
+def fingerprint_udf(token_hash: str = "fast") -> Column:
+    def _f(s: pd.Series) -> pd.Series:
+        return batch_fingerprint(s, token_hash=token_hash)
+
+    return F.pandas_udf(_f, LongType())

@@ -59,15 +59,24 @@ def _assemble(df: DataFrame) -> DataFrame:
 def stratified_split(
     labeled: DataFrame, train_frac: float = 0.8, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:
-    """T2 (train_model.py:70 `stratify=y`): per-class seeded sampling —
+    """T2 (train_model.py:70 `stratify=y`): per-class seeded split —
     the train set holds ~train_frac of EACH class, unlike randomSplit
-    whose minority-class fraction drifts on skewed labels. One pass:
-    sampleBy picks train, a seeded anti-join complement is the test
-    side (same hash, so the sides are disjoint and exhaustive)."""
-    train = labeled.sampleBy(
-        "label", fractions={0.0: train_frac, 1.0: train_frac}, seed=seed
-    )
-    test = labeled.exceptAll(train)
+    whose minority-class fraction drifts on skewed labels.
+
+    Assignment is a DETERMINISTIC row hash (xxhash64 of all columns +
+    seed), not sampleBy: sampleBy draws per-partition RNG samples, so
+    under a nondeterministic upstream (shuffle without ordering) the
+    train set and its exceptAll complement could re-evaluate
+    differently — leaking rows into both sides or neither. A content
+    hash makes the two sides disjoint and exhaustive by construction,
+    independent of partitioning and lineage re-evaluation. Hash
+    uniformity within each class gives the stratified ~train_frac per
+    class (same approximation sampleBy provides)."""
+    buckets = 1_000_000
+    side = F.pmod(F.xxhash64(F.struct("*"), F.lit(seed)), F.lit(buckets))
+    cut = int(train_frac * buckets)
+    train = labeled.where(side < cut)
+    test = labeled.where(side >= cut)
     return train, test
 
 

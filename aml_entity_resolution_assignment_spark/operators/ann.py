@@ -107,42 +107,51 @@ def rp_band_udf(
     Fully vectorized: the batch stacks into ONE (m, dim) matrix, one
     matmul against the hyperplanes gives all sign bits, and band words
     pack via a weights dot — no per-row or per-bit Python. `dim` may be
-    None: it is inferred from the first non-null vector of each batch
-    (the hyperplanes are seeded, so every worker derives the identical
-    planes for a given dim — no driver-side probe job needed)."""
+    None: each DISTINCT vector length in the batch is hashed against
+    its own seeded hyperplanes (the planes are seeded per dim, so every
+    worker and every batch derives identical planes for a given dim —
+    banding is deterministic and partitioning-invariant even on
+    mixed-dimension input; the dim is also mixed into the band word so
+    different-dim vectors never share a bucket). With `dim` set,
+    other-length vectors get NULL bands (excluded from banding)."""
     width = bits // bands
     mask = np.uint64((1 << width) - 1)
     planes_cache: dict[int, np.ndarray] = {}
     if dim is not None:
         planes_cache[dim] = _hyperplanes(dim, bits, seed)
 
-    def _f(vecs: pd.Series) -> pd.Series:
-        out: list[list[int] | None] = [None] * len(vecs)
-        lens = {len(v) for v in vecs if v is not None}
-        want = dim if dim is not None else (min(lens) if lens else None)
-        if want is None:
-            return pd.Series(out, index=vecs.index, dtype="object")
+    def _hash_group(vecs_np: np.ndarray, want: int) -> np.ndarray:
         if want not in planes_cache:
             planes_cache[want] = _hyperplanes(want, bits, seed)
         planes = planes_cache[want]
-        idx = [
-            i for i, v in enumerate(vecs) if v is not None and len(v) == want
-        ]
-        if not idx:
-            return pd.Series(out, index=vecs.index, dtype="object")
-        mat = np.asarray([vecs.iloc[i] for i in idx], dtype=np.float64)
-        signs = (mat @ planes.T) > 0  # (m, bits)
+        signs = (vecs_np @ planes.T) > 0  # (m, bits)
         weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
         words = (signs.astype(np.uint64) * weights[None, :]).sum(
             axis=1, dtype=np.uint64
         )
         shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))
-        band_tags = (np.arange(bands, dtype=np.uint64) << np.uint64(58))
-        all_bands = (
+        # band index in the top bits, dim in the next 10: band words of
+        # different dims are disjoint key spaces by construction
+        band_tags = (np.arange(bands, dtype=np.uint64) << np.uint64(54)) | (
+            np.uint64(want & 0x3FF) << np.uint64(44)
+        )
+        return (
             ((words[:, None] >> shifts[None, :]) & mask) | band_tags[None, :]
         ).astype(np.int64)
-        for k, i in enumerate(idx):
-            out[i] = all_bands[k].tolist()
+
+    def _f(vecs: pd.Series) -> pd.Series:
+        out: list[list[int] | None] = [None] * len(vecs)
+        groups: dict[int, list[int]] = {}
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) > 0:
+                groups.setdefault(len(v), []).append(i)
+        if dim is not None:
+            groups = {dim: groups[dim]} if dim in groups else {}
+        for want, idx in groups.items():
+            mat = np.asarray([vecs.iloc[i] for i in idx], dtype=np.float64)
+            all_bands = _hash_group(mat, want)
+            for k, i in enumerate(idx):
+                out[i] = all_bands[k].tolist()
         return pd.Series(out, index=vecs.index, dtype="object")
 
     return F.pandas_udf(_f, ArrayType(LongType()))

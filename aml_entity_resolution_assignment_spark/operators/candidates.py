@@ -29,6 +29,28 @@ from pyspark.sql import functions as F
 DEFAULT_SALT_CAP = 2000  # block size above which the self-join is salted
 DEFAULT_DROP_CAP = 200_000  # block size above which the block is dropped
 
+# Intermediates persisted by self_join_pairs (the oversized-key table)
+# live until the consumer has materialized its output — the producer
+# cannot unpersist inside a lazy plan. Handles are tracked here and
+# released at materialization boundaries (StageRunner after a stage
+# write, bench after each query); long-lived sessions should call
+# release_persisted() after collecting/writing any candidate-derived
+# DataFrame, else cached blocks accumulate for the session's lifetime.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every intermediate cached by self_join_pairs since the
+    last release. Safe to call once downstream output is materialized
+    (written/collected); a later re-execution of an un-released plan
+    just recomputes the tiny key table."""
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped: nothing to release
+
 
 def _pair_cols(l_id: str = "l_id", r_id: str = "r_id"):
     return [
@@ -72,6 +94,7 @@ def self_join_pairs(
     oversized = sizes.where(F.col("cnt") > salt_cap).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _PERSISTED.append(oversized)  # released via release_persisted()
 
     hot_keys = oversized.where(F.col("cnt") <= drop_cap).select(
         "bk", F.ceil(F.col("cnt") / salt_cap).cast("int").alias("n_salt")

@@ -112,15 +112,21 @@ def minhash_near_dup_pairs(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    token_hash: str = "fast",
 ) -> DataFrame:
     """SimHash near-dup pairs: Manku block-pair banding guarantees
     recall for hamming <= 2 (probabilistic above); verify with
-    bit_count on the full hash (JVM-side)."""
+    bit_count on the full hash (JVM-side). token_hash='fast' is the
+    production vectorized token hash; 'md5' selects the SQL-twin hash
+    for the correctness oracle (functions/minhash._token_hash_array)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     hashed = df.select(
         F.col(id_col).alias("_id"),
-        mh.simhash_udf()(norm).alias("_sh"),
+        mh.simhash_udf(token_hash)(norm).alias("_sh"),
     ).withColumn("_bands", mh.simhash_bands_udf()(F.col("_sh")))
     pairs = band_join_pairs(hashed, "_bands", id_col="_id")
     a = hashed.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))

@@ -98,6 +98,9 @@ class StageRunner:
         io.write_table(df, self.cfg.work_dir, f"stage={stage}")
         out = io.read_table(self.spark, self.cfg.work_dir, f"stage={stage}")
         n = out.count()
+        # stage output is on disk: intermediates cached inside lazy
+        # candidate plans (oversized-key tables) are no longer needed
+        candidates.release_persisted()
         wall = time.monotonic() - t0
         with open(mpath, "w") as f:
             json.dump(

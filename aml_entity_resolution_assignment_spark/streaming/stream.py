@@ -28,12 +28,15 @@ from ..schemas import PAGES
 
 
 def read_pages_stream(
-    spark: SparkSession, path: str, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 16,
 ) -> DataFrame:
     return (
         spark.readStream.format(fmt)
         .schema(PAGES)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
 
@@ -245,6 +248,68 @@ def read_incremental_table(spark: SparkSession, target_path: str) -> DataFrame:
     return spark.read.parquet(target_path).drop("batch")
 
 
+def _list_partition_ids(spark: SparkSession, path: str, key: str) -> list[int]:
+    """Ids of `<key>=<int>` subdirectories under `path` (Hadoop FS API —
+    works on any cluster filesystem, not just local). Missing parent
+    directory is an empty list; any OTHER filesystem error propagates
+    so a transient failure retries the micro-batch instead of being
+    silently treated as 'no data'."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(key + "="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+CORPUS_PK_BUCKETS = 32  # partition count of the compacted corpus store
+
+
+def read_resolve_corpus(
+    spark: SparkSession, corpus_path: str, before_batch: int
+) -> DataFrame | None:
+    """Corpus snapshot as of (strictly before) `before_batch`: the
+    newest compacted base snapshot plus the <= compact_every incremental
+    batch dirs after it. Returns None when no data exists yet (explicit
+    first-batch detection — NOT exception-driven, so corrupt files or
+    transient FS errors propagate and the micro-batch retries rather
+    than being silently skipped, per-batch results never lost).
+
+    The per-batch input stays BOUNDED as the stream ages: one
+    pk-partitioned base table (O(corpus) rows but a fixed, compacted
+    file count) + a bounded tail of small inc dirs — without compaction
+    the file/dir count grows O(total batches) and every micro-batch
+    pays the full listing + footer cost."""
+    bases = [m for m in _list_partition_ids(spark, f"{corpus_path}/base", "upto")
+             if m < before_batch]
+    incs = [n for n in _list_partition_ids(spark, f"{corpus_path}/inc", "batch")
+            if n < before_batch]
+    m = max(bases) if bases else -1
+    tail = [n for n in incs if n > m]
+    parts = []
+    if m >= 0:
+        parts.append(
+            spark.read.parquet(f"{corpus_path}/base/upto={m}").drop("_pk")
+        )
+    parts.extend(
+        spark.read.parquet(f"{corpus_path}/inc/batch={n}") for n in tail
+    )
+    if not parts:
+        return None
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def resolve_stream(
     pages_stream: DataFrame,
     corpus_path: str,
@@ -252,6 +317,7 @@ def resolve_stream(
     checkpoint_path: str,
     thresholds=None,
     limit: int = 50,
+    compact_every: int = 16,
 ):
     """Streaming END-TO-END entity resolution: each micro-batch of new
     pages is blocking-keyed, resolved against the accumulated keyed
@@ -259,22 +325,29 @@ def resolve_stream(
     of the batch self-join), its best matches appended, and the new
     pages merged into the corpus.
 
-    Both sinks are idempotent under foreachBatch's at-least-once replay
-    (per-batch overwrite directories, like incremental_upsert). A
-    replayed batch resolving against a corpus that already contains its
-    own pages is harmless: self-candidates are excluded by url equality
-    in find_candidates. Returns the StreamingQuery (AvailableNow)."""
+    Corpus layout (bounded per-batch scan):
+      corpus_path/inc/batch=<id>   one dir per micro-batch (overwrite)
+      corpus_path/base/upto=<id>   compacted snapshots: all pages from
+                                   batches <= id, hash-partitioned by
+                                   _pk = xxhash64(url) % CORPUS_PK_BUCKETS
+    Every `compact_every` batches the inc tail folds into a new base
+    snapshot, so a micro-batch reads ONE compacted store + <=
+    compact_every small dirs instead of O(total batches) dirs
+    (tests/test_streaming.py asserts inputFiles stays bounded).
+
+    All writes are idempotent under foreachBatch's at-least-once
+    replay: inc dirs and base snapshots are per-batch-id overwrite
+    directories with deterministic content (a replay rewrites the same
+    bytes), and the corpus read uses only ids < current batch — a
+    replayed batch resolves against exactly the state its first attempt
+    saw. Returns the StreamingQuery (AvailableNow)."""
     from ..operators.resolve import resolve
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         keyed_new = add_blocking_keys(batch_df)
-        try:
-            corpus = read_incremental_table(spark, corpus_path)
-            have_corpus = True
-        except Exception:
-            have_corpus = False  # first batch: nothing to resolve against
-        if have_corpus:
+        corpus = read_resolve_corpus(spark, corpus_path, batch_id)
+        if corpus is not None:
             res = resolve(
                 keyed_new,
                 corpus,
@@ -286,8 +359,27 @@ def resolve_stream(
                 f"{results_path}/batch={batch_id}"
             )
         keyed_new.write.mode("overwrite").parquet(
-            f"{corpus_path}/batch={batch_id}"
+            f"{corpus_path}/inc/batch={batch_id}"
         )
+
+        bases = _list_partition_ids(spark, f"{corpus_path}/base", "upto")
+        last_base = max((m for m in bases if m < batch_id), default=-1)
+        if batch_id - last_base >= compact_every:
+            snapshot = read_resolve_corpus(spark, corpus_path, batch_id)
+            snapshot = (
+                keyed_new if snapshot is None
+                else snapshot.unionByName(keyed_new)
+            )
+            (
+                snapshot.withColumn(
+                    "_pk",
+                    F.pmod(F.xxhash64("url"), F.lit(CORPUS_PK_BUCKETS)),
+                )
+                .repartition("_pk")
+                .write.mode("overwrite")
+                .partitionBy("_pk")
+                .parquet(f"{corpus_path}/base/upto={batch_id}")
+            )
 
     return (
         pages_stream.writeStream.foreachBatch(_process)

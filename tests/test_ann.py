@@ -97,3 +97,28 @@ def test_ivf_probe_all_cells_equals_exact(spark, vectors):
     e = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect())
     f = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in full.collect())
     assert e == f
+
+
+def test_rp_band_udf_mixed_dims_deterministic(spark):
+    """Mixed-dimension input: each length group hashes against its own
+    seeded hyperplanes, so banding is batch-composition-invariant and
+    different-dim vectors never share a bucket."""
+    import numpy as np
+
+    from aml_entity_resolution_assignment_spark.operators.ann import rp_band_udf
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(20)]
+    rows += [(100 + i, rng.standard_normal(16).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    udf = rp_band_udf(dim=None)
+    one = {r["vec_id"]: r["b"] for r in
+           df.repartition(1).select("vec_id", udf("embedding").alias("b")).collect()}
+    many = {r["vec_id"]: r["b"] for r in
+            df.repartition(13).select("vec_id", udf("embedding").alias("b")).collect()}
+    assert one == many
+    assert all(v is not None for v in one.values())
+    # cross-dim buckets are disjoint
+    bands8 = {b for k, v in one.items() if k < 100 for b in v}
+    bands16 = {b for k, v in one.items() if k >= 100 for b in v}
+    assert not (bands8 & bands16)

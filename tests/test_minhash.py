@@ -128,3 +128,50 @@ def test_udfs_run_in_spark(spark):
 
     scalar = mh.minhash_signature("spark entity resolution text body")
     assert list(rows["a"]["sig"]) == scalar, "UDF path must equal scalar path"
+
+
+def test_simhash_token_hash_paths_batch_scalar_parity():
+    """Both token-hash paths: batch == scalar, and the two paths are
+    internally consistent (near-dup structure preserved) though their
+    hash values differ."""
+    import pandas as pd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different content here entirely",
+        "",
+        None,
+    ]
+    for th in ("fast", "md5"):
+        batch = mh.batch_simhash(pd.Series(texts), token_hash=th)
+        for t, got in zip(texts, batch):
+            want = mh.simhash64(t, token_hash=th)
+            if want is None:
+                assert pd.isna(got)
+            else:
+                assert int(got) == want, (th, t)
+        h1 = mh.simhash64(texts[0], token_hash=th)
+        h2 = mh.simhash64(texts[1], token_hash=th)
+        h3 = mh.simhash64(texts[2], token_hash=th)
+        assert mh.hamming64(h1, h2) < mh.hamming64(h1, h3)
+
+
+def test_fingerprint_token_hash_paths():
+    import pandas as pd
+
+    from aml_entity_resolution_assignment_spark.functions import text as T
+
+    texts = ["a b c", "  a b c ", "c b a", "", None, "solo"]
+    for th in ("fast", "md5"):
+        batch = T.batch_fingerprint(pd.Series(texts), token_hash=th)
+        for t, got in zip(texts, batch):
+            want = T.fingerprint(t, token_hash=th)
+            if want is None:
+                assert pd.isna(got)
+            else:
+                assert int(got) == want, (th, t)
+    # whitespace-invariant, order-sensitive
+    f = lambda s: T.fingerprint(s, token_hash="fast")  # noqa: E731
+    assert f("a b c") == f("  a b c ")
+    assert f("a b c") != f("c b a")

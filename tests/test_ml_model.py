@@ -93,3 +93,17 @@ def test_cross_validate_auc_five_folds(labeled):
     assert len(fold_keys) == 5
     # features are near-linearly separable by construction (T4 bar)
     assert m["cv_mean_roc_auc"] >= 0.95, m
+
+
+def test_stratified_split_deterministic_under_repartition(labeled):
+    """The split is a content hash, not per-partition RNG: re-evaluating
+    either side under a different partitioning yields the same rows —
+    no train/test leakage from nondeterministic upstream lineage."""
+    from aml_entity_resolution_assignment_spark.ml.model import stratified_split
+
+    train1, test1 = stratified_split(labeled, 0.8, seed=42)
+    train2, test2 = stratified_split(labeled.repartition(7), 0.8, seed=42)
+    assert train1.exceptAll(train2).count() == 0
+    assert train2.exceptAll(train1).count() == 0
+    # disjoint: no row appears on both sides
+    assert train1.intersect(test1).count() == 0

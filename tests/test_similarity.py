@@ -157,3 +157,53 @@ def test_batch_packed_sig_similarity_matches_elementwise():
                 )
             )
     assert np.allclose(got, np.array(want))
+
+
+def test_batch_edit_score_matches_scalar():
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(17)
+    a = _rand_strings(800, rng, maxlen=40)
+    b = _rand_strings(800, rng, maxlen=40)
+    # fast paths + long-string scalar fallback + unicode + near-misses
+    a += ["", "same", "żółć gęśla", "x" * 200, "a cat", "ca", "abcdef"]
+    b += ["x", "same", "zolc gesla", "x" * 199 + "y", "a abct", "ac", "abdcef"]
+    for damerau in (False, True):
+        got = sim.batch_edit_score(
+            pd.Series(a), pd.Series(b), damerau=damerau
+        ).to_numpy()
+        want = np.array(
+            [sim.normalized_edit_score(x, y, damerau=damerau) for x, y in zip(a, b)]
+        )
+        assert np.allclose(got, want, atol=0), damerau
+
+
+def test_batch_jaro_winkler_nul_codepoints():
+    """A literal NUL in either string must not match zero padding
+    (would inflate `common` past len1 and produce jaro > 1)."""
+    import numpy as np
+    import pandas as pd
+
+    a = ["ab", "ab\x00", "\x00\x00", "abc"]
+    b = ["ab\x00\x00", "ab", "ab", "a\x00c"]
+    got = sim.batch_jaro_winkler(pd.Series(a), pd.Series(b)).to_numpy()
+    want = np.array([sim.jaro_winkler_similarity(x, y) for x, y in zip(a, b)])
+    assert (got <= 1.0).all()
+    assert np.allclose(got, want, atol=0)
+
+
+def test_batch_edit_score_nul_codepoints():
+    import numpy as np
+    import pandas as pd
+
+    a = ["ab", "ab\x00", "\x00\x00", "abc"]
+    b = ["ab\x00\x00", "ab", "ab", "a\x00c"]
+    for damerau in (False, True):
+        got = sim.batch_edit_score(
+            pd.Series(a), pd.Series(b), damerau=damerau
+        ).to_numpy()
+        want = np.array(
+            [sim.normalized_edit_score(x, y, damerau=damerau) for x, y in zip(a, b)]
+        )
+        assert np.allclose(got, want, atol=0)
