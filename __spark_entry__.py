@@ -342,6 +342,69 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_review_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: review credit over the rule-cascade output — true pairs
+    (same source), missed by match_type='match', caught by
+    match_type='review' (matching.py:628-651 semantics)."""
+    classified = q_rule_cascade(spark, sf_dir)
+    true_pairs = q_pairs_from_clusters(spark, sf_dir)
+    return E.review_credit(
+        true_pairs,
+        classified.where(F.col("match_type") == "match").select("id_a", "id_b"),
+        classified.where(F.col("match_type") == "review").select("id_a", "id_b"),
+    )
+
+
+def q_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: soundex (H/W-transparent, vowel-reset US variant — Spark's
+    JVM built-in) with the reference's '0000' empty sentinel
+    (preprocessing.py:132-136), over the letters-only first token of
+    each document. The oracle reimplements the full algorithm as a
+    DuckDB list_reduce fold (no soundex built-in there)."""
+    d = _docs(spark, sf_dir)
+    word = F.regexp_replace(
+        F.element_at(F.split(F.trim("text"), r"\s+"), 1), r"[^a-zA-Z]", ""
+    )
+    return d.select("doc_id", N.get_soundex(word).alias("sdx"))
+
+
+_ML_COEFS = [2.5, -1.0, 0.5, 1.5, 3.0, -0.25, 0.75]  # MODEL_FEATURES order
+_ML_INTERCEPT = -1.0
+
+
+def q_ml_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 end-to-end: the PRODUCTION scoring path — a binomial
+    LogisticRegressionModel with pinned coefficients, persisted with
+    .save() and scored via score_with_model (load -> VectorAssembler ->
+    JVM transform -> probability[1]) — against the closed-form
+    sigmoid(w.x + b) oracle. Features are deterministic doc_id-derived
+    columns so the twin is exact."""
+    import tempfile
+
+    from aml_entity_resolution_assignment_spark.ml.model import (
+        model_from_coefficients,
+        score_with_model,
+    )
+
+    d = _docs(spark, sf_dir)
+    feats = d.select(
+        "doc_id",
+        F.round(F.pmod(F.col("doc_id") * 31, F.lit(100)) / 100.0, 6).alias("host_score"),
+        F.round(F.pmod(F.col("doc_id") * 17 + 3, F.lit(100)) / 100.0, 6).alias("url_score"),
+        F.round(F.pmod(F.col("doc_id") * 7 + 11, F.lit(100)) / 100.0, 6).alias("title_score"),
+        F.round(F.pmod(F.col("doc_id") * 13 + 5, F.lit(100)) / 100.0, 6).alias("jaccard_score"),
+        F.round(F.pmod(F.col("doc_id") * 29 + 1, F.lit(100)) / 100.0, 6).alias("minhash_sim"),
+        F.round(F.pmod(F.col("doc_id") * 23 + 7, F.lit(100)) / 100.0, 6).alias("simhash_sim"),
+        F.pmod(F.col("doc_id"), F.lit(2)).cast("double").alias("lang_match"),
+    )
+    model_dir = os.path.join(tempfile.gettempdir(), "spark_graft_ml_prob_model")
+    model_from_coefficients(spark, _ML_COEFS, _ML_INTERCEPT).write().overwrite().save(
+        model_dir
+    )
+    scored = score_with_model(spark, feats, model_dir)
+    return scored.select("doc_id", F.round("ml_prob", 6).alias("ml_prob"))
+
+
 def q_topk_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: best-N ranking per group via window."""
     from pyspark.sql import Window
@@ -815,6 +878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_best_match": q_resolve,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
+        "review_credit": q_review_credit,
+        "soundex": q_soundex,
+        "ml_prob": q_ml_prob,
         "connected_components": q_connected_components,
         "topk_ranking": q_topk_ranking,
         "dedup_exact": q_dedup_exact,
@@ -1198,6 +1264,85 @@ def oracle_sql() -> dict[str, str]:
     select a.doc_id as id_a, b.doc_id as id_b
     from documents a join documents b on a.source = b.source
     where a.doc_id < b.doc_id
+    """
+
+    sql["review_credit"] = f"""
+    with rc as ({sql["rule_cascade"]}),
+    true_p as (select a.doc_id as id_a, b.doc_id as id_b
+               from documents a join documents b on a.source = b.source
+               where a.doc_id < b.doc_id),
+    fn as (select id_a, id_b from true_p
+           except
+           select id_a, id_b from rc where match_type = 'match'),
+    caught as (select id_a, id_b from fn
+               intersect
+               select id_a, id_b from rc where match_type = 'review')
+    select (select count(*) from fn) as n_fn,
+           (select count(*) from caught) as caught_in_review,
+           (select count(*) from fn) - (select count(*) from caught) as truly_missed
+    """
+
+    # full soundex (H/W-transparent, vowel-reset US variant) as
+    # positional window SQL: a digit is emitted iff it differs from the
+    # code of the nearest earlier non-H/W character (H/W transparent,
+    # vowels reset to '0'); first-3-emitted == Spark's append-until-4.
+    # (A list_reduce fold formulation hit a DuckDB 1.0 vectorization
+    # bug — full-scan vs filtered runs returned different folds.)
+    sql["soundex"] = """
+    with t as (
+      select doc_id,
+             upper(regexp_replace(split_part(trim(text), ' ', 1),
+                                  '[^a-zA-Z]', '', 'g')) as w
+      from documents),
+    chars as (
+      select doc_id, w,
+             generate_subscripts(split(w, ''), 1) as i,
+             unnest(list_transform(split(w, ''), ch ->
+               case when ch in ('B','F','P','V') then '1'
+                    when ch in ('C','G','J','K','Q','S','X','Z') then '2'
+                    when ch in ('D','T') then '3'
+                    when ch = 'L' then '4'
+                    when ch in ('M','N') then '5'
+                    when ch = 'R' then '6'
+                    when ch in ('H','W') then '7'
+                    else '0' end)) as code
+      from t),
+    marked as (
+      select doc_id, i, code,
+             last_value(case when code <> '7' then code end ignore nulls)
+               over (partition by doc_id order by i
+                     rows between unbounded preceding and 1 preceding) as prevc
+      from chars),
+    digits as (
+      select doc_id,
+             string_agg(code, '' order by i)
+               filter (where i > 1 and code not in ('0','7')
+                       and code is distinct from prevc) as ds
+      from marked group by doc_id)
+    select t.doc_id,
+           case when t.w = '' then '0000'
+                else rpad(t.w[1] || coalesce(substr(d.ds, 1, 3), ''), 4, '0')
+           end as sdx
+    from t left join digits d using (doc_id)
+    """
+
+    sql["ml_prob"] = """
+    with f as (
+      select doc_id,
+             round((doc_id * 31) % 100 / 100.0, 6) as host_score,
+             round((doc_id * 17 + 3) % 100 / 100.0, 6) as url_score,
+             round((doc_id * 7 + 11) % 100 / 100.0, 6) as title_score,
+             round((doc_id * 13 + 5) % 100 / 100.0, 6) as jaccard_score,
+             round((doc_id * 29 + 1) % 100 / 100.0, 6) as minhash_sim,
+             round((doc_id * 23 + 7) % 100 / 100.0, 6) as simhash_sim,
+             cast(doc_id % 2 as double) as lang_match
+      from documents)
+    select doc_id,
+           round(1.0 / (1.0 + exp(-(
+             2.5 * host_score - 1.0 * url_score + 0.5 * title_score
+             + 1.5 * jaccard_score + 3.0 * minhash_sim - 0.25 * simhash_sim
+             + 0.75 * lang_match - 1.0))), 6) as ml_prob
+    from f
     """
 
     sql["set_algebra"] = f"""

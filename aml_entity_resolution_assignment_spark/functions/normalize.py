@@ -105,8 +105,11 @@ def get_soundex(c: Column) -> Column:
     the reference, this is an AVAILABLE function, not part of the
     default blocking flow (LSH replaced it — README.md:63)."""
     folded = norm_text_udf()(c)
+    # '0000' also for non-codable input (no leading letter): Spark's
+    # built-in passes such strings through unchanged, which would leak
+    # raw values into a blocking key
     return F.when(
-        (c.isNull()) | (folded == ""), F.lit("0000")
+        (c.isNull()) | (~folded.rlike("^[a-zA-Z]")), F.lit("0000")
     ).otherwise(F.soundex(folded))
 
 

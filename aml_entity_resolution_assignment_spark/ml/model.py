@@ -151,6 +151,36 @@ def train_model(
     return model
 
 
+def model_from_coefficients(
+    spark: SparkSession, coefficients: list[float], intercept: float
+) -> LogisticRegressionModel:
+    """Construct a binomial LogisticRegressionModel with PINNED
+    coefficients — no training. Lets the production scoring path (C1:
+    save -> load -> JVM transform) be exercised against a closed-form
+    sigmoid(w.x + b) oracle, and lets a model fitted elsewhere (e.g. on
+    a sample, or offline) be deployed as a deterministic artifact.
+
+    Uses the JVM constructor (Scala `private[spark]` is public in
+    bytecode, stable across Spark 3.x/4.x: (uid, coefficientMatrix
+    row-major, interceptVector, numClasses, isMultinomial))."""
+    from pyspark.ml.common import _py2java
+    from pyspark.ml.linalg import DenseMatrix, Vectors
+
+    mat = DenseMatrix(1, len(coefficients), list(coefficients), True)
+    jm = spark._jvm.org.apache.spark.ml.classification.LogisticRegressionModel(
+        "fixed_coefficients",
+        _py2java(spark, mat),
+        _py2java(spark, Vectors.dense([float(intercept)])),
+        2,
+        False,
+    )
+    model = LogisticRegressionModel(jm)
+    # match this module's assembler column so score_with_model can
+    # consume the model exactly like a train_model artifact
+    model.setFeaturesCol("_fvec")
+    return model
+
+
 def score_with_model(
     spark: SparkSession, features: DataFrame, model_dir: str
 ) -> DataFrame:

@@ -27,6 +27,30 @@ def pairs_from_clusters(labeled: DataFrame, id_col: str, label_col: str) -> Data
     )
 
 
+def review_credit(
+    true_pairs: DataFrame, match_pairs: DataFrame, review_pairs: DataFrame
+) -> DataFrame:
+    """E4 (matching.py:628-651): of the true pairs MISSED by the match
+    decision (FN), how many landed in the review queue (caught — a
+    human reviewer still sees them) vs truly missed. Pure semi/anti
+    joins; pair orientation is normalized with least/greatest instead
+    of the reference's dual-insert. Single-row DataFrame."""
+    norm = lambda df: df.select(  # noqa: E731
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).distinct()
+    t, m, r = norm(true_pairs), norm(match_pairs), norm(review_pairs)
+    fn = t.join(m, ["id_a", "id_b"], "left_anti")
+    caught = fn.join(r, ["id_a", "id_b"], "left_semi")
+    return fn.agg(F.count("*").alias("n_fn")).crossJoin(
+        caught.agg(F.count("*").alias("caught_in_review"))
+    ).select(
+        "n_fn",
+        "caught_in_review",
+        (F.col("n_fn") - F.col("caught_in_review")).alias("truly_missed"),
+    )
+
+
 @dataclass
 class PairwiseMetrics:
     true_pairs: int

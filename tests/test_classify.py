@@ -102,3 +102,20 @@ def test_ml_prob_column_added_when_missing(spark):
     )
     out = classify(df)
     assert "ml_prob" in out.columns
+
+
+def test_review_credit_counts(spark):
+    from aml_entity_resolution_assignment_spark.operators.evaluate import (
+        review_credit,
+    )
+
+    true_pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    match_pairs = spark.createDataFrame([(2, 1)], "id_a long, id_b long")
+    review_pairs = spark.createDataFrame(
+        [(3, 1), (9, 8)], "id_a long, id_b long"
+    )
+    row = review_credit(true_pairs, match_pairs, review_pairs).collect()[0]
+    # FN = {(1,3),(2,3),(4,5)}; caught = {(1,3)} (orientation-normalized)
+    assert (row["n_fn"], row["caught_in_review"], row["truly_missed"]) == (3, 1, 2)

@@ -107,3 +107,28 @@ def test_stratified_split_deterministic_under_repartition(labeled):
     assert train2.exceptAll(train1).count() == 0
     # disjoint: no row appears on both sides
     assert train1.intersect(test1).count() == 0
+
+
+def test_model_from_coefficients_pins_sigmoid(spark, tmp_path):
+    """C1 production path with pinned coefficients: save -> load ->
+    transform must equal closed-form sigmoid(w.x + b)."""
+    import math
+
+    from aml_entity_resolution_assignment_spark.ml.model import (
+        MODEL_FEATURES,
+        model_from_coefficients,
+        score_with_model,
+    )
+
+    coefs = [0.5, -1.0, 2.0, 0.25, 1.5, -0.75, 1.0]
+    b = -0.5
+    model_dir = str(tmp_path / "fixed_lr")
+    model_from_coefficients(spark, coefs, b).write().overwrite().save(model_dir)
+    rows = [tuple((i * (j + 2)) % 10 / 10.0 for j in range(7)) for i in range(25)]
+    df = spark.createDataFrame(
+        rows, ", ".join(f"{c} double" for c in MODEL_FEATURES)
+    )
+    got = score_with_model(spark, df, model_dir).collect()
+    for r in got:
+        margin = sum(w * r[c] for w, c in zip(coefs, MODEL_FEATURES)) + b
+        assert abs(r["ml_prob"] - 1 / (1 + math.exp(-margin))) < 1e-12

@@ -107,3 +107,18 @@ def test_get_soundex(spark):
     assert _one(spark, N.get_soundex, "Robert") == "R163"
     assert _one(spark, N.get_soundex, None) == "0000"
     assert _one(spark, N.get_soundex, "  ") == "0000"
+
+
+def test_soundex_variant_and_sentinel(spark):
+    from aml_entity_resolution_assignment_spark.functions.normalize import (
+        get_soundex,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Robert",), ("honeyman",), ("Ashcraft",), ("",), (None,), ("123",)],
+        "w string",
+    )
+    got = [r["s"] for r in df.select(get_soundex(F.col("w")).alias("s")).collect()]
+    # vowel-reset H/W-transparent US variant + '0000' empty sentinel
+    assert got == ["R163", "H555", "A261", "0000", "0000", "0000"]

@@ -1,98 +1,58 @@
-"""Local stand-in for the driver's correctness gate: run every
-queries() entry against its oracle_sql() twin on DuckDB and compare
-row count + sorted-column value multiset. Usage:
-
-    python tools/check_oracles.py [sf_dir] [query ...]
-"""
-
-from __future__ import annotations
-
+"""Driver-mimic correctness harness: run every queries() entry on Spark
+at sf0.01 and its DuckDB oracle twin, compare rows/schema/values after
+column-name sort. Usage: python tools/check_oracles.py [name ...]"""
 import sys
-import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, "/root/repo")
 
-import duckdb
-import pandas as pd
+import duckdb  # noqa: E402
 
+import __spark_entry__ as e  # noqa: E402
+from aml_entity_resolution_assignment_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
-        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    import __spark_entry__ as entrymod
-    from aml_entity_resolution_assignment_spark.session import get_spark
-
-    spark = get_spark("oracle-check", master="local[8]")
+    spark = get_spark("oracle-check", master="local[16]")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
+            f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
         )
-
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    failures = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.monotonic()
+    q, o = e.queries(), e.oracle_sql()
+    names = sys.argv[1:] or list(q)
+    failed = []
+    for name in names:
         try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as exc:  # noqa: BLE001
-            print(f"[SPARK-FAIL] {name}: {exc}")
-            failures.append(name)
-            continue
-        wall = time.monotonic() - t0
-        if name not in oracles:
-            print(f"[ROWS-ONLY ] {name}: {len(sdf)} rows ({wall:.1f}s)")
-            continue
-        try:
-            odf = con.execute(oracles[name]).df()
-        except Exception as exc:  # noqa: BLE001
-            print(f"[DUCK-FAIL ] {name}: {exc}")
-            failures.append(name)
-            continue
-        a, b = canon(sdf), canon(odf)
-        if list(a.columns) != list(b.columns):
-            print(f"[SCHEMA-MM ] {name}: spark={list(a.columns)} duck={list(b.columns)}")
-            failures.append(name)
-            continue
-        if len(a) != len(b):
-            print(f"[COUNT-MM  ] {name}: spark={len(a)} duck={len(b)}")
-            failures.append(name)
-            continue
-        if not a.equals(b):
-            neq = (a != b) & ~(a.isna() & b.isna())
-            bad = neq.any(axis=1)
-            print(f"[VALUE-MM  ] {name}: {bad.sum()} mismatching rows of {len(a)}")
-            print("  spark:", a[bad].head(3).to_dict("records"))
-            print("  duck :", b[bad].head(3).to_dict("records"))
-            failures.append(name)
-            continue
-        print(f"[OK        ] {name}: {len(a)} rows ({wall:.1f}s)")
-
-    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
-    spark.stop()
-    return 1 if failures else 0
+            sdf = q[name](spark, SF).toPandas().sort_index(axis=1)
+            if name not in o:
+                print(f"{name}: rows-only ({len(sdf)} rows)")
+                continue
+            odf = con.execute(o[name]).df().sort_index(axis=1)
+            sdf = sdf.sort_values(list(sdf.columns)).reset_index(drop=True)
+            odf = odf.sort_values(list(odf.columns)).reset_index(drop=True)
+            rows = sdf.shape[0] == odf.shape[0]
+            schema = list(sdf.columns) == list(odf.columns)
+            vals = (
+                rows
+                and schema
+                and (sdf.astype(str).values == odf.astype(str).values).all()
+            )
+            status = "OK" if (rows and schema and vals) else "FAIL"
+            print(f"{name}: {status} spark={sdf.shape} oracle={odf.shape}")
+            if status == "FAIL":
+                failed.append(name)
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: ERROR {type(ex).__name__}: {ex}")
+            failed.append(name)
+    print("failed:", failed or "none")
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
