@@ -737,6 +737,58 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG decode path END-TO-END with a hard oracle: build a REAL
+    baseline JPEG (functions/jpeg.py encoder: DCT, quantization,
+    Huffman entropy coding, byte stuffing) whose four 8x8 blocks are
+    constant grays taken from each document's first 4 ASCII bytes —
+    with the all-ones quant table, constant blocks decode BIT-EXACTLY
+    through the full bitstream (markers -> Huffman -> dequant -> IDCT).
+    The decoded 4x4 thumbnail quadrants therefore equal
+    ord(substr(text, q+1)) — directly expressible in SQL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.jpeg import (
+        encode_jpeg_gray,
+    )
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def _to_jpeg(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:4]
+            img = np.zeros((16, 16), dtype=np.uint8)
+            img[0:8, 0:8] = raw[0]
+            img[0:8, 8:16] = raw[1]
+            img[8:16, 0:8] = raw[2]
+            img[8:16, 8:16] = raw[3]
+            out.append(encode_jpeg_gray(img))
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    jpeg_udf = F.pandas_udf(_to_jpeg, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        jpeg_udf(F.col("text")).alias("payload"),
+        F.lit("image/jpeg").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.posexplode(F.col("feature")).alias("k", "v"),
+    ).select(
+        "doc_id", "k", F.round(F.col("v") * 255).cast("long").alias("pix")
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-equivalent tumbling-window aggregation (batch form)."""
     e = _events(spark, sf_dir)
@@ -900,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "tpch_pricing": q_tpch_pricing,
@@ -1532,6 +1585,20 @@ def oracle_sql() -> dict[str, str]:
     select d.doc_id, pos.k, ord(substr(d.text, pos.p, 1)) as pix
     from documents d, pos
     where d.n_chars >= 64
+    """
+
+    # thumbnail quadrants of the 4-block constant-gray JPEG: k = i*4+j,
+    # quadrant q = 2*(i>=2) + (j>=2), pixel = text byte q (1-indexed)
+    sql["multimodal_jpeg"] = """
+    with pos as (
+      select (i * 4 + j) as k,
+             (2 * (i // 2) + (j // 2) + 1) as p
+      from (select unnest(generate_series(0, 3)) as i),
+           (select unnest(generate_series(0, 3)) as j)
+    )
+    select d.doc_id, pos.k, ord(substr(d.text, pos.p, 1)) as pix
+    from documents d, pos
+    where d.n_chars >= 4
     """
 
     sql["events_window"] = """

@@ -103,35 +103,51 @@ def connected_components(
     if e.isEmpty():
         assign = e.select(F.col("u").alias("child"), F.col("v").alias("parent"))
     else:
-        cur = e.localCheckpoint(eager=True)  # any orientation
-        prev_sig: tuple | None = None
-        for _ in range(max_iter):
-            ls = _large_star(_symmetrize(cur))
-            # LAZY checkpoint: the signature aggregation below is the
-            # action that materializes it, so each round is ONE job
-            # (checkpoint write + convergence check fused), not two
-            ss = _small_star(ls).localCheckpoint(eager=False)
-            # convergence check: the edge set is stable when (count,
-            # order-independent hash sum) repeats — a collision needs
-            # two distinct edge sets with equal 64-bit hash sums in the
-            # same run (~2^-64 per round)
-            row = ss.agg(
-                F.count("*").alias("n"),
-                # decimal(38,0) sum: overflow-proof under ANSI mode
-                F.sum(F.xxhash64("child", "parent").cast("decimal(38,0)")).alias("h"),
-            ).collect()[0]
-            sig = (row["n"], row["h"])
-            if sig == prev_sig:
-                break
-            prev_sig = sig
-            cur = ss.select(
-                F.col("child").alias("u"), F.col("parent").alias("v")
-            )
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds"
-            )
-        assign = ss
+        spark = edges.sparkSession
+        conf_key = "spark.sql.shuffle.partitions"
+        orig_parts = spark.conf.get(conf_key)
+        try:
+            cur = e.localCheckpoint(eager=True)  # any orientation
+            prev_sig: tuple | None = None
+            for _ in range(max_iter):
+                ls = _large_star(_symmetrize(cur))
+                # LAZY checkpoint: the signature aggregation below is
+                # the action that materializes it, so each round is ONE
+                # job (checkpoint write + convergence check fused)
+                ss = _small_star(ls).localCheckpoint(eager=False)
+                # convergence check: the edge set is stable when
+                # (count, order-independent hash sum) repeats — a
+                # collision needs two distinct edge sets with equal
+                # 64-bit hash sums in the same run (~2^-64 per round)
+                row = ss.agg(
+                    F.count("*").alias("n"),
+                    # decimal(38,0) sum: overflow-proof under ANSI mode
+                    F.sum(
+                        F.xxhash64("child", "parent").cast("decimal(38,0)")
+                    ).alias("h"),
+                ).collect()[0]
+                sig = (row["n"], row["h"])
+                if sig == prev_sig:
+                    break
+                prev_sig = sig
+                # the convergence aggregate gives the next round's input
+                # size for free: size the iterative shuffles to the data
+                # (~100k edges/partition), capped at the session setting
+                # so a cluster-sized config is never exceeded — an
+                # iterative loop otherwise pays fixed per-task cost x
+                # partitions x stages x O(log n) rounds on tiny tails
+                adaptive = max(8, min(int(orig_parts), row["n"] // 100_000 + 1))
+                spark.conf.set(conf_key, str(adaptive))
+                cur = ss.select(
+                    F.col("child").alias("u"), F.col("parent").alias("v")
+                )
+            else:
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iter} rounds"
+                )
+            assign = ss
+        finally:
+            spark.conf.set(conf_key, orig_parts)
     # fixpoint: (child, parent=component root). Roots map to themselves.
     assign = assign.select(
         F.col("child").alias("member"), F.col("parent").alias("component")

@@ -2,10 +2,12 @@
 
 Image/audio/video are opaque `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-mapInPandas stages. The decode kernels themselves are STUBBED (the
-image/audio libraries are not in this container — clearly marked
-below); the Spark-side plumbing — schema, batch shape, partition-size
-control, null propagation — is real and tested.
+mapInPandas stages. Image decode is REAL in pure numpy for netpbm
+(P5/P6) and baseline JPEG (functions/jpeg.py); PNG/WebP/audio/video
+codecs are not in this container and raise at a clearly-marked
+boundary. The Spark-side plumbing — schema, batch shape,
+partition-size control, null propagation — is real and tested for
+every kind.
 
 At 100 TB the rules are: (1) binary columns ride their own tables
 keyed by content hash so text-only stages never scan them; (2)
@@ -92,15 +94,22 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload. Netpbm (P5/P6) decodes for real in
-    numpy; compressed formats need codec libraries absent from this
-    container and raise (clearly-marked stub boundary)."""
+    """Decode an image payload. Netpbm (P5/P6) and baseline JPEG
+    decode FOR REAL in pure numpy (functions/jpeg.py: marker parse,
+    Huffman entropy decode, vectorized IDCT, 4:2:0/4:2:2/4:4:4,
+    restart markers); PNG/WebP/progressive-JPEG need codec libraries
+    absent from this container and raise (clearly-marked boundary)."""
     if payload and payload[:1] == b"P" and payload[1:2] in (b"5", b"6"):
         return decode_netpbm(payload)
+    if payload and payload[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG/PNG decoding requires Pillow/libjpeg — not available in "
-        "this container; netpbm (P5/P6) payloads decode natively, or "
-        "use extract_media_features(deterministic_fake=True)"
+        "PNG/WebP decoding requires codec libraries — not available in "
+        "this container; netpbm (P5/P6) and baseline JPEG payloads "
+        "decode natively, or use "
+        "extract_media_features(deterministic_fake=True)"
     )
 
 
@@ -152,7 +161,7 @@ def extract_media_features(
                     not deterministic_fake
                     and kind == "image"
                     and payload
-                    and payload[:1] == b"P"
+                    and (payload[:1] == b"P" or payload[:2] == b"\xff\xd8")
                 ):
                     feats.append(_image_feature(payload, dim))
                 else:

@@ -1,0 +1,110 @@
+"""Pure-numpy baseline JPEG codec: roundtrips through the real
+bitstream (markers -> Huffman -> dequant -> IDCT), subsampling, restart
+markers, and the multimodal decode integration."""
+
+import numpy as np
+import pytest
+
+from aml_entity_resolution_assignment_spark.functions import jpeg as J
+
+
+def _grad(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+
+
+def test_constant_gray_blocks_bitexact():
+    """All-ones quant: constant 8x8 blocks survive encode->decode
+    bit-exactly (the multimodal_jpeg oracle's property)."""
+    for v in (0, 1, 37, 128, 200, 255):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg_gray(img))
+        assert dec.shape == img.shape and (dec == v).all(), v
+
+
+def test_gray_roundtrip_near_lossless():
+    rng = np.random.Generator(np.random.PCG64(7))
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_gray(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_gray_std_quant_lossy_psnr():
+    img = _grad(48, 64)
+    dec = J.decode_jpeg(J.encode_jpeg_gray(img, J.STD_LUMA_QUANT))
+    mse = ((dec.astype(float) - img.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) > 30
+
+
+def test_gray_odd_dimensions():
+    rng = np.random.Generator(np.random.PCG64(3))
+    img = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_gray(img))
+    assert dec.shape == (13, 21)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.Generator(np.random.PCG64(5))
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)  # 15 MCUs
+    for interval in (1, 2, 4, 7):
+        payload = J.encode_jpeg_gray(img, restart_interval=interval)
+        assert b"\xff\xdd" in payload  # DRI present
+        dec = J.decode_jpeg(payload)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2, interval
+
+
+def test_color_444_and_420_roundtrip():
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 3 + 20) % 256, (xx * 2 + 60) % 256, ((yy + xx) * 2) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    d444 = J.decode_jpeg(J.encode_jpeg_color(img, subsampling=(1, 1)))
+    assert d444.shape == img.shape
+    assert np.abs(d444.astype(int) - img.astype(int)).max() <= 3
+    d420 = J.decode_jpeg(J.encode_jpeg_color(img, subsampling=(2, 2)))
+    assert d420.shape == img.shape
+    # chroma is subsampled: bound mean error, not max
+    assert np.abs(d420.astype(int) - img.astype(int)).mean() < 2.0
+
+
+def test_color_odd_dims_420():
+    img = np.stack([_grad(13, 21)] * 3, axis=2)
+    dec = J.decode_jpeg(J.encode_jpeg_color(img, subsampling=(2, 2)))
+    assert dec.shape == (13, 21, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_unsupported_features_raise_clearly():
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"\x89PNG\r\n")
+    # synthesize a progressive (SOF2) header
+    prog = bytearray(J.encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        J.decode_jpeg(bytes(prog))
+
+
+def test_byte_stuffing_paths():
+    """Values that force 0xFF bytes in the entropy stream roundtrip
+    (writer stuffs 0x00, reader unstuffs)."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    for seed in range(4):
+        img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg_gray(img))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_multimodal_decode_image_jpeg_integration():
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        _image_feature,
+    )
+
+    img = np.full((16, 16), 77, dtype=np.uint8)
+    feat = _image_feature(J.encode_jpeg_gray(img), dim=16)
+    assert feat.shape == (16,)
+    assert np.allclose(feat, 77 / 255.0)

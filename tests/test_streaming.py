@@ -336,3 +336,33 @@ def test_resolve_corpus_compaction_bounds_files_read(spark, tmp_path_factory):
     assert len(tail) < len(incs)  # reads a strict subset of inc dirs
     # first-batch detection is explicit, not exception-driven
     assert S.read_resolve_corpus(spark, corpus, 0) is None
+
+
+def test_iceberg_roundtrip(spark, tmp_path_factory):
+    """Exercise the TABLE_FORMAT=iceberg branch end-to-end when the
+    Iceberg Spark runtime is on the classpath: hadoop-catalog
+    write/read roundtrip with partitioning + replace semantics. In
+    this sandbox the runtime jar is absent (no catalog service, no
+    network to vendor one), so this skips — the parquet directory
+    layout in sources/io.py stands in 1:1 (stage dir = table,
+    manifest = snapshot, overwrite-by-replace = replace snapshot)."""
+    from aml_entity_resolution_assignment_spark.sources import io as sio
+
+    if not sio.iceberg_available(spark):
+        pytest.skip(
+            "Iceberg Spark runtime jar not on classpath in this sandbox; "
+            "iceberg sink verified unavailable, parquet layout stands in"
+        )
+    wh = str(tmp_path_factory.mktemp("ice_wh"))
+    sio.configure_hadoop_catalog(spark, "ice_test", wh)
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")],
+        "id long, v string, part string",
+    )
+    ident = "ice_test.db.t1"
+    sio.write_table_iceberg(df, ident, partition_by=["part"])
+    back = sio.read_table_iceberg(spark, ident)
+    assert back.count() == 3
+    # replace snapshot semantics
+    sio.write_table_iceberg(df.where("id < 3"), ident)
+    assert sio.read_table_iceberg(spark, ident).count() == 2
