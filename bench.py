@@ -328,6 +328,18 @@ def write_scaling_report(runs: dict[int, list[dict]], lo: int, hi: int) -> dict:
     t_hi = pages / wall_hi_med
 
     os.makedirs("BENCH", exist_ok=True)
+    # preserve appended evidence sections (size robustness, kernel
+    # micro-benches — everything from the first "## " heading on)
+    # across report regenerations
+    extra = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            extra = old[idx + 1 :]
+    except FileNotFoundError:
+        pass
     rows = "\n".join(
         f"| {i+1} | {p[5]['wall_sec']:.1f} | {p[6]['wall_sec']:.1f} "
         f"| {p[5].get('ctl_mops', 0):.1f} / {p[6].get('ctl_mops', 0):.1f} "
@@ -384,7 +396,8 @@ candidate stage persists its oversized-key table so the size
 aggregation shuffles once; the keyed stage table carries only packed
 payloads. Per-stage fixed latency amortizes with data volume per
 executor wave at the 10^12-doc deployment scale.
-""")
+
+{extra}""")
     return {
         "pooled_median_eff": round(pooled_eff, 3),
         "pooled_norm_eff": round(pooled_norm_eff, 3),
