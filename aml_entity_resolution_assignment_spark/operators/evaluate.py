@@ -41,9 +41,12 @@ def review_credit(
     ).distinct()
     t, m, r = norm(true_pairs), norm(match_pairs), norm(review_pairs)
     fn = t.join(m, ["id_a", "id_b"], "left_anti")
-    caught = fn.join(r, ["id_a", "id_b"], "left_semi")
-    return fn.agg(F.count("*").alias("n_fn")).crossJoin(
-        caught.agg(F.count("*").alias("caught_in_review"))
+    # one aggregation pass: caught as a left-join flag, not a second
+    # count (two 1-row aggs cross-joined would plan a nested-loop join)
+    flagged = fn.join(r.withColumn("_rev", F.lit(1)), ["id_a", "id_b"], "left")
+    return flagged.agg(
+        F.count("*").alias("n_fn"),
+        F.coalesce(F.sum("_rev"), F.lit(0)).alias("caught_in_review"),
     ).select(
         "n_fn",
         "caught_in_review",

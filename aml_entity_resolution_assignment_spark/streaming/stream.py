@@ -340,7 +340,15 @@ def resolve_stream(
     directories with deterministic content (a replay rewrites the same
     bytes), and the corpus read uses only ids < current batch — a
     replayed batch resolves against exactly the state its first attempt
-    saw. Returns the StreamingQuery (AvailableNow)."""
+    saw. Returns the StreamingQuery (AvailableNow).
+
+    Cost model: each compaction rewrites the full base (O(corpus) every
+    compact_every batches — the plain-parquet analog of an Iceberg
+    rewrite_data_files maintenance job; on a real deployment the base
+    is an Iceberg table and compaction is its incremental MERGE, so
+    only this sandbox pays the full rewrite). Old base/upto=<m> and
+    inc/batch=<n<=m> dirs become dead after a newer snapshot and may be
+    garbage-collected out of band (reads never touch them)."""
     from ..operators.resolve import resolve
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
