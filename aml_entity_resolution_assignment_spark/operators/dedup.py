@@ -26,8 +26,21 @@ from pyspark.sql.types import DoubleType
 
 from ..functions import minhash as mh
 from ..functions import similarity as sim
-from .candidates import band_join_pairs
+from .candidates import _PERSISTED, band_join_pairs
 from .cluster import connected_components
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist a signature table consumed by THREE join subtrees
+    (banding + both verify hydration sides) — without this the
+    Python-UDF signature computation runs three times. Registered in
+    the shared release registry (candidates.release_persisted) so
+    materialization boundaries can free it."""
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
 
 
 def exact_duplicate_groups(
@@ -97,6 +110,7 @@ def minhash_near_dup_pairs(
             mh.minhash_udf(bands * rows)(norm)
         ).alias("_bands"),
     )
+    sigs = _persist_tracked(sigs)
     pairs = band_join_pairs(sigs, "_bands", id_col="_id")
     if not verify:
         return pairs
@@ -128,6 +142,7 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("_id"),
         mh.simhash_udf(token_hash)(norm).alias("_sh"),
     ).withColumn("_bands", mh.simhash_bands_udf()(F.col("_sh")))
+    hashed = _persist_tracked(hashed)
     pairs = band_join_pairs(hashed, "_bands", id_col="_id")
     a = hashed.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     b = hashed.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
