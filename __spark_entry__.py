@@ -47,6 +47,7 @@ from aml_entity_resolution_assignment_spark.operators import (
     cluster as G,
     dedup as D,
     evaluate as E,
+    quality as Q,
 )
 
 # ---------------------------------------------------------------------------
@@ -661,6 +662,27 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-quality fractions per document
+    (operators/quality.py:repetition_signals): duplicate-token,
+    duplicate-2-gram and top-2-gram fractions. Explode + two
+    doc_id-keyed aggregations, map-side partial combine, no UDF."""
+    return Q.repetition_signals(_docs(spark, sf_dir), n=2)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/quality.py:decontaminate):
+    docs with doc_id % 50 == 0 stand in for the held-out eval set;
+    training docs sharing any word 3-gram with it are flagged with
+    their contaminated-position fraction. Join key is md5(gram) — a
+    digest Spark and DuckDB compute identically — and the eval digest
+    set is broadcast."""
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    tr = d.filter(F.col("doc_id") % 50 != 0)
+    return Q.decontaminate(tr, ev, n=3)
+
+
 def q_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup keep-min: exact-key duplicate pairs resolved
     through the shared CC operator; survivors = min doc_id per group
@@ -948,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
+        "rep_signals": q_rep_signals,
+        "decontaminate": q_decontaminate,
         "dedup_keep_min": q_dedup_keep_min,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1773,6 +1797,51 @@ def oracle_sql() -> dict[str, str]:
          (h, x) -> (h * 1000003 + x) % 2305843009213693951
       ))::BIGINT end as fp
     from documents
+    """
+
+    sql["rep_signals"] = """
+    with toks as (
+      select doc_id, case when trim(text) = '' then cast([] as varchar[])
+             else regexp_split_to_array(lower(trim(text)), '\\s+') end as t
+      from documents),
+    stats as (
+      select doc_id, len(t) as n_tokens,
+             len(list_distinct(t)) as n_tok_d, t
+      from toks),
+    grams as (
+      select s.doc_id, array_to_string(s.t[i:i+1], ' ') as gram
+      from stats s, unnest(range(1, cast(len(s.t) as bigint))) as u(i)),
+    cnt as (select doc_id, gram, count(*) as c from grams group by 1, 2),
+    agg as (
+      select doc_id, sum(c) as total,
+             sum(case when c > 1 then c else 0 end) as dup, max(c) as top
+      from cnt group by 1)
+    select s.doc_id, s.n_tokens,
+           round(case when s.n_tokens = 0 then 0.0
+                 else 1.0 - s.n_tok_d / s.n_tokens end, 6) as dup_token_frac,
+           round(coalesce(dup, 0) / greatest(coalesce(total, 0), 1), 6)
+             as dup_ngram_frac,
+           round(coalesce(top, 0) / greatest(coalesce(total, 0), 1), 6)
+             as top_ngram_frac
+    from stats s left join agg using (doc_id)
+    """
+
+    sql["decontaminate"] = """
+    with toks as (
+      select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as t
+      from documents where trim(text) <> ''),
+    grams as (
+      select doc_id, md5(array_to_string(t[i:i+2], ' ')) as h
+      from toks, unnest(range(1, cast(len(t) - 1 as bigint))) as u(i)),
+    ev as (select distinct h from grams where doc_id % 50 = 0),
+    tr as (select * from grams where doc_id % 50 <> 0),
+    tot as (select doc_id, count(*) as n_grams from tr group by 1),
+    hits as (
+      select doc_id, count(*) as n_contaminated
+      from tr where h in (select h from ev) group by 1)
+    select doc_id, n_grams, n_contaminated,
+           round(n_contaminated / n_grams, 6) as contamination_frac
+    from tot join hits using (doc_id)
     """
 
     return sql

@@ -8,5 +8,6 @@ from . import (  # noqa: F401
     evaluate,
     features,
     multimodal,
+    quality,
     resolve,
 )

@@ -1,0 +1,156 @@
+"""Repetition-quality signals and benchmark decontamination.
+
+Two training-data curation operators a 100 TB web-text pipeline needs
+beyond near-dup removal (no analog in the reference — these extend the
+engine's LLM-data surface, same spirit as dedup.py / text.py):
+
+* ``repetition_signals`` — Gopher-style per-document repetition
+  fractions (Rae et al. 2021, "Scaling Language Models", Table A1):
+  documents dominated by a few repeated phrases are low-quality
+  boilerplate.  Computed with one explode + two doc_id-keyed
+  aggregations — partial (map-side) aggregation applies and the
+  shuffle key is the document id, so the plan is skew-free and scales
+  linearly with corpus size.
+
+* ``decontaminate`` — flag training documents that share any word
+  n-gram with a held-out evaluation set (the standard n-gram-overlap
+  decontamination used for LLM training corpora, e.g. GPT-3 appendix C
+  / PaLM).  The join key is ``md5(gram)`` — a 32-hex digest both Spark
+  and DuckDB compute identically, so the oracle pins the production
+  join exactly while the shuffle never carries raw n-gram text.  The
+  eval side is ``distinct`` (tiny: benchmarks are MBs, corpora are
+  TBs) and broadcast; the training side streams through map-side
+  partial aggregation keyed on doc_id.
+
+Both operators are pure built-in column expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_tokens(c: Column) -> Column:
+    """Lowercased whitespace word array; empty array for blank text."""
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(F.trim(c)), r"\s+")
+    )
+
+
+def word_ngrams(c: Column, n: int) -> Column:
+    """Space-joined word n-grams of ``c`` (empty array when the text
+    has fewer than ``n`` tokens).  Pure higher-order-function
+    expression: stays inside whole-stage codegen, no UDF."""
+    toks = word_tokens(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Per-document repetition-quality fractions (Gopher rules, adapted
+    to word streams):
+
+    * ``dup_token_frac``  — 1 - distinct_tokens / total_tokens
+    * ``dup_ngram_frac``  — fraction of n-gram positions whose n-gram
+      occurs more than once in the document
+    * ``top_ngram_frac``  — fraction of n-gram positions taken by the
+      single most frequent n-gram (only the max count matters, so ties
+      need no ordering)
+
+    Plan shape: explode n-grams → groupBy(doc_id, gram) with map-side
+    partial counts → groupBy(doc_id).  Both shuffles key on doc_id (+
+    gram), near-uniform at web scale; no collect, no UDF.  Documents
+    shorter than ``n`` tokens report 0.0 n-gram fractions.
+    """
+    toks = word_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n_tok"),
+        F.size(F.array_distinct(toks)).alias("_n_tok_d"),
+        word_ngrams(F.col(text_col), n).alias("_grams"),
+    )
+    per_gram = (
+        base.select(id_col, "_n_tok", "_n_tok_d", F.explode_outer("_grams").alias("_g"))
+        .groupBy(id_col, "_n_tok", "_n_tok_d", "_g")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    agg = per_gram.groupBy(id_col, "_n_tok", "_n_tok_d").agg(
+        F.sum(F.when(F.col("_g").isNotNull(), F.col("_cnt")).otherwise(0)).alias(
+            "_total"
+        ),
+        F.sum(
+            F.when((F.col("_g").isNotNull()) & (F.col("_cnt") > 1), F.col("_cnt"))
+            .otherwise(0)
+        ).alias("_dup"),
+        F.max(
+            F.when(F.col("_g").isNotNull(), F.col("_cnt")).otherwise(0)
+        ).alias("_top"),
+    )
+    safe = F.greatest(F.col("_total"), F.lit(1)).cast("double")
+    return agg.select(
+        F.col(id_col),
+        F.col("_n_tok").alias("n_tokens"),
+        F.round(
+            F.when(F.col("_n_tok") == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.col("_n_tok_d") / F.col("_n_tok").cast("double")
+            ),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(F.col("_dup") / safe, 6).alias("dup_ngram_frac"),
+        F.round(F.col("_top") / safe, 6).alias("top_ngram_frac"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-training-document benchmark contamination: for each train
+    doc, the number of n-gram positions whose n-gram also appears
+    anywhere in ``eval_df``, and that count as a fraction of the doc's
+    n-gram positions.  Returns (id_col, n_grams, n_contaminated,
+    contamination_frac) for contaminated docs only (frac > 0).
+
+    Scale shape: the eval side collapses to DISTINCT md5(gram) digests
+    (benchmark sets are tiny next to a crawl) and is broadcast; the
+    training side explodes once and left-semi-joins on the digest, then
+    re-aggregates on doc_id with partial counts.  The shuffle payload
+    is (doc_id, 32-hex digest) — no raw text moves.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
+        .select(F.md5(F.col("_g")).alias("_h"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), n)),
+    ).select(id_col, F.md5(F.col("col")).alias("_h"))
+    totals = train_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, id_col, "inner")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_grams").cast("double"), 6
+            ).alias("contamination_frac"),
+        )
+    )

@@ -1,0 +1,107 @@
+"""Repetition-quality signals + decontamination (operators/quality.py).
+
+Hand-computed expectations on tiny corpora, edge cases (blank text,
+docs shorter than n), and partitioning invariance — the signals are
+per-document, so the answer must not depend on physical layout.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aml_entity_resolution_assignment_spark.operators import quality as Q
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rep_map(df):
+    return {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_token_frac"],
+            r["dup_ngram_frac"],
+            r["top_ngram_frac"],
+        )
+        for r in df.collect()
+    }
+
+
+class TestRepetitionSignals:
+    def test_hand_computed(self, spark):
+        docs = _docs(
+            spark,
+            [
+                # "a a a a": 4 tokens, 1 distinct -> dup_token 0.75;
+                # 2-grams = ["a a"]x3, all duplicated -> dup 1.0, top 1.0
+                (1, "a a a a"),
+                # all-distinct tokens: 2-grams all unique -> 0.0 / x
+                # top gram count 1 of 3 positions -> 1/3
+                (2, "w x y z"),
+                # "a b a b a": grams [ab, ba, ab, ba] -> dup 1.0,
+                # top = 2/4; tokens 5, distinct 2 -> dup_token 0.6
+                (3, "a b a b a"),
+            ],
+        )
+        got = _rep_map(Q.repetition_signals(docs, n=2))
+        assert got[1] == (4, 0.75, 1.0, 1.0)
+        assert got[2] == (4, 0.0, 0.0, 0.333333)
+        assert got[3] == (5, 0.6, 1.0, 0.5)
+
+    def test_short_and_blank_docs_survive(self, spark):
+        docs = _docs(spark, [(1, "solo"), (2, ""), (3, "   ")])
+        got = _rep_map(Q.repetition_signals(docs, n=2))
+        # no n-grams at all -> zero fractions, rows still present
+        assert got[1] == (1, 0.0, 0.0, 0.0)
+        assert got[2] == (0, 0.0, 0.0, 0.0)
+        assert got[3] == (0, 0.0, 0.0, 0.0)
+
+    def test_partitioning_invariant(self, spark):
+        rows = [(i, f"tok{i % 7} tok{i % 3} tok{i % 7} tok{i % 5}") for i in range(40)]
+        docs = _docs(spark, rows)
+        one = sorted(Q.repetition_signals(docs.repartition(1), n=2).collect())
+        many = sorted(Q.repetition_signals(docs.repartition(8), n=2).collect())
+        assert one == many
+
+
+class TestDecontaminate:
+    def test_known_overlap(self, spark):
+        ev = _docs(spark, [(100, "the quick brown fox")])
+        tr = _docs(
+            spark,
+            [
+                # contains eval 3-gram "quick brown fox" (1 of 3 positions)
+                (1, "a quick brown fox ran"),
+                # no 3-gram overlap
+                (2, "a slow red fox ran"),
+                # two overlapping positions out of 4
+                (3, "the quick brown fox jumps x"),
+            ],
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["contamination_frac"])
+            for r in Q.decontaminate(tr, ev, n=3).collect()
+        }
+        assert got == {1: (3, 1, 0.333333), 3: (4, 2, 0.5)}
+
+    def test_short_train_doc_excluded(self, spark):
+        ev = _docs(spark, [(100, "a b c")])
+        tr = _docs(spark, [(1, "a b")])  # shorter than n -> no grams
+        assert Q.decontaminate(tr, ev, n=3).count() == 0
+
+    def test_plan_broadcasts_eval_side(self, spark):
+        ev = _docs(spark, [(100, "a b c d")])
+        tr = _docs(spark, [(1, "a b c d e")])
+        plan = Q.decontaminate(tr, ev, n=3)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_ngram_sequence_guard(self, spark):
+        # word_ngrams must not emit descending sequences for short docs
+        df = _docs(spark, [(1, "a")]).select(
+            Q.word_ngrams(F.col("text"), 3).alias("g")
+        )
+        assert df.collect()[0]["g"] == []
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-x", "-q"]))
