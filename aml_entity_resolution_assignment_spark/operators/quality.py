@@ -130,21 +130,23 @@ def decontaminate(
     """
     eval_grams = (
         eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
-        .select(F.md5(F.col("_g")).alias("_h"))
+        .select(F.md5(F.col("_g")).alias("_h"), F.lit(1).alias("_hit"))
         .distinct()
     )
     train_grams = train.select(
         F.col(id_col),
-        F.posexplode(word_ngrams(F.col(text_col), n)),
-    ).select(id_col, F.md5(F.col("col")).alias("_h"))
-    totals = train_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        train_grams.join(F.broadcast(eval_grams), "_h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
+    ).select(id_col, F.md5(F.col("_g")).alias("_h"))
+    # ONE doc_id aggregation over the flagged stream (map-side partial
+    # combine), instead of totals + hits aggregations joined after
+    flagged = train_grams.join(F.broadcast(eval_grams), "_h", "left")
     return (
-        totals.join(hits, id_col, "inner")
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
         .select(
             F.col(id_col),
             "n_grams",

@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "ann_topk",
     "text_quality",
     "lang_id",
+    "rep_signals",
+    "decontaminate",
     "events_window",
     "events_sessionize",
     "tpch_pricing",
