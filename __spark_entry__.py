@@ -811,6 +811,55 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode path END-TO-END with a hard oracle: build a REAL PNG
+    (functions/png.py encoder) whose four 8x8 quadrants are constant
+    grays taken from each document's first 4 ASCII bytes, with the
+    per-row filter CYCLING through all five types (None/Sub/Up/
+    Average/Paeth) so the full unfilter path runs on every payload.
+    PNG is lossless, so the decoded 4x4 thumbnail quadrants equal
+    ord(substr(text, q+1)) exactly — same SQL twin as multimodal_jpeg."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.png import encode_png
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def _to_png(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:4]
+            img = np.zeros((16, 16), dtype=np.uint8)
+            img[0:8, 0:8] = raw[0]
+            img[0:8, 8:16] = raw[1]
+            img[8:16, 0:8] = raw[2]
+            img[8:16, 8:16] = raw[3]
+            out.append(encode_png(img, filter_type="cycle"))
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    png_udf = F.pandas_udf(_to_png, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        png_udf(F.col("text")).alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.posexplode(F.col("feature")).alias("k", "v"),
+    ).select(
+        "doc_id", "k", F.round(F.col("v") * 255).cast("long").alias("pix")
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-equivalent tumbling-window aggregation (batch form)."""
     e = _events(spark, sf_dir)
@@ -977,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_png": q_multimodal_png,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "tpch_pricing": q_tpch_pricing,
@@ -1614,6 +1664,18 @@ def oracle_sql() -> dict[str, str]:
     # thumbnail quadrants of the 4-block constant-gray JPEG: k = i*4+j,
     # quadrant q = 2*(i>=2) + (j>=2), pixel = text byte q (1-indexed)
     sql["multimodal_jpeg"] = """
+    with pos as (
+      select (i * 4 + j) as k,
+             (2 * (i // 2) + (j // 2) + 1) as p
+      from (select unnest(generate_series(0, 3)) as i),
+           (select unnest(generate_series(0, 3)) as j)
+    )
+    select d.doc_id, pos.k, ord(substr(d.text, pos.p, 1)) as pix
+    from documents d, pos
+    where d.n_chars >= 4
+    """
+
+    sql["multimodal_png"] = """
     with pos as (
       select (i * 4 + j) as k,
              (2 * (i // 2) + (j // 2) + 1) as p

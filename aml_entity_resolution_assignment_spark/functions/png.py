@@ -1,0 +1,247 @@
+"""Pure-numpy PNG codec (decoder + spec-valid encoder for tests).
+
+Closes the PNG half of the multimodal codec boundary the same way
+functions/jpeg.py closed baseline JPEG: no codec libraries, only the
+stdlib ``zlib`` (DEFLATE + CRC-32, both part of the PNG spec) and
+numpy. Supports the formats that dominate web images:
+
+* bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
+  4 (gray+alpha), 6 (RGBA)
+* all five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6)
+* multiple IDAT chunks, CRC verification, tRNS ignored by design
+  (features are luminance-based)
+
+Interlaced (Adam7) and 16-bit images raise ``ValueError`` — a marked
+sub-boundary, both rare on the modern web.
+
+Filter reconstruction is vectorized where the data dependency allows:
+Sub is a per-row cumulative sum over pixel strides, Up is a plain
+vector add against the previous reconstructed row; Average and Paeth
+carry a true sequential left-dependency, so they advance pixel-by-
+pixel with all channels of a pixel updated in one numpy op.
+
+The reference repo has no image handling at all (SURVEY.md §2 is
+ER-only); this module extends the training-data surface exactly like
+jpeg.py/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per pixel by color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor over int32 channel vectors."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where(pa <= np.minimum(pb, pc), a, np.where(pb <= pc, b, c))
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters. raw is the decompressed byte
+    stream shaped (h, 1 + w*bpp): filter byte + filtered row."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(raw[y, 0])
+        cur = raw[y, 1:].copy()
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: cumulative sum over pixel strides
+            rec = cur.reshape(w, bpp).astype(np.int64).cumsum(axis=0)
+            rec = (rec % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            rec = cur + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average: sequential left-dependency
+            rec = np.zeros(stride, dtype=np.uint8)
+            pi = prev.astype(np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            ci = cur.astype(np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                px = (ci[s] + ((left + pi[s]) >> 1)) & 0xFF
+                rec[s] = px
+                left = px
+        elif f == 4:  # Paeth: sequential left-dependency
+            rec = np.zeros(stride, dtype=np.uint8)
+            pi = prev.astype(np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            ci = cur.astype(np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                px = (ci[s] + _paeth_vec(left, pi[s], ul)) & 0xFF
+                rec[s] = px
+                left = px
+                ul = pi[s]
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = out[y]
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload to uint8 (h, w) gray or (h, w, c) array.
+
+    Full pipeline: signature -> chunk walk with CRC verification ->
+    concatenated-IDAT inflate -> per-scanline unfilter -> palette
+    expansion. Raises ValueError on corrupt/unsupported input."""
+    if not payload or payload[:8] != _SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if ctype not in _CHANNELS:
+        raise ValueError(f"PNG color type {ctype} not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG nonstandard compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if w == 0 or h == 0:
+        raise ValueError("PNG zero dimension")
+    bpp = _CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + w * bpp):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _unfilter(raw.reshape(h, 1 + w * bpp), h, w, bpp)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if bpp == 1:
+        return px.reshape(h, w)
+    return px.reshape(h, w, bpp)
+
+
+def _filter_row(
+    cur: np.ndarray, prev: np.ndarray, bpp: int, ftype: int
+) -> np.ndarray:
+    """Apply filter ``ftype`` to a reconstructed row (encoder side)."""
+    c = cur.astype(np.int32)
+    p = prev.astype(np.int32)
+    left = np.concatenate([np.zeros(bpp, dtype=np.int32), c[:-bpp]])
+    ul = np.concatenate([np.zeros(bpp, dtype=np.int32), p[:-bpp]])
+    if ftype == 0:
+        out = c
+    elif ftype == 1:
+        out = c - left
+    elif ftype == 2:
+        out = c - p
+    elif ftype == 3:
+        out = c - ((left + p) >> 1)
+    elif ftype == 4:
+        out = c - _paeth_vec(left, p, ul)
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(
+    img: np.ndarray, filter_type: int | str = 0, level: int = 6
+) -> bytes:
+    """Encode uint8 gray (h, w) / RGB (h, w, 3) / gray+alpha (h, w, 2) /
+    RGBA (h, w, 4) to a spec-valid PNG. ``filter_type`` is 0-4 for a
+    fixed per-row filter or 'cycle' to rotate through all five (the
+    decoder-exercise mode used by tests and the oracle query)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ctype, bpp = 0, 1
+        flat = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
+        bpp = img.shape[2]
+        ctype = {2: 4, 3: 2, 4: 6}[bpp]
+        flat = img
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    rows = flat.reshape(h, w * bpp)
+    out_rows = []
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        out_rows.append(bytes([ft]) + _filter_row(rows[y], prev, bpp, ft).tobytes())
+        prev = rows[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(out_rows), level)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    idx: np.ndarray, palette: np.ndarray, level: int = 6
+) -> bytes:
+    """Encode a (h, w) uint8 index image + (n, 3) palette as a color
+    type 3 PNG (filter 0 rows) — decoder-test helper."""
+    idx = np.ascontiguousarray(idx, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    body = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.tobytes())
+        + _chunk(b"IDAT", zlib.compress(body, level))
+        + _chunk(b"IEND", b"")
+    )

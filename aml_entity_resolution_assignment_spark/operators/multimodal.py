@@ -94,10 +94,12 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload. Netpbm (P5/P6) and baseline JPEG
-    decode FOR REAL in pure numpy (functions/jpeg.py: marker parse,
-    Huffman entropy decode, vectorized IDCT, 4:2:0/4:2:2/4:4:4,
-    restart markers); PNG/WebP/progressive-JPEG need codec libraries
+    """Decode an image payload. Netpbm (P5/P6), baseline JPEG
+    (functions/jpeg.py: marker parse, Huffman entropy decode,
+    vectorized IDCT, 4:2:0/4:2:2/4:4:4, restart markers) and PNG
+    (functions/png.py: chunk walk + CRC, DEFLATE via stdlib zlib, all
+    five scanline filters, gray/RGB/palette/alpha) decode FOR REAL in
+    pure numpy; WebP/progressive-JPEG/Adam7 need codec libraries
     absent from this container and raise (clearly-marked boundary)."""
     if payload and payload[:1] == b"P" and payload[1:2] in (b"5", b"6"):
         return decode_netpbm(payload)
@@ -105,10 +107,14 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from ..functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
-        "PNG/WebP decoding requires codec libraries — not available in "
-        "this container; netpbm (P5/P6) and baseline JPEG payloads "
-        "decode natively, or use "
+        "WebP/progressive-JPEG decoding requires codec libraries — not "
+        "available in this container; netpbm (P5/P6), baseline JPEG and "
+        "PNG payloads decode natively, or use "
         "extract_media_features(deterministic_fake=True)"
     )
 
@@ -161,7 +167,11 @@ def extract_media_features(
                     not deterministic_fake
                     and kind == "image"
                     and payload
-                    and (payload[:1] == b"P" or payload[:2] == b"\xff\xd8")
+                    and (
+                        payload[:1] == b"P"
+                        or payload[:2] == b"\xff\xd8"
+                        or payload[:8] == b"\x89PNG\r\n\x1a\n"
+                    )
                 ):
                     feats.append(_image_feature(payload, dim))
                 else:

@@ -1,0 +1,135 @@
+"""Pure-numpy PNG codec (functions/png.py): roundtrips across all
+filter types and color types, palette decode, corruption handling,
+and the multimodal dispatch boundary."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from aml_entity_resolution_assignment_spark.functions.png import (
+    decode_png,
+    encode_png,
+    encode_png_palette,
+)
+from aml_entity_resolution_assignment_spark.operators.multimodal import (
+    _decode_image,
+)
+
+
+def _img(shape, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4, "cycle"])
+def test_roundtrip_gray_all_filters(ftype):
+    img = _img((13, 17), seed=1)
+    out = decode_png(encode_png(img, filter_type=ftype))
+    assert out.shape == (13, 17)
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("channels", [2, 3, 4])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4, "cycle"])
+def test_roundtrip_color_all_filters(channels, ftype):
+    img = _img((9, 11, channels), seed=channels)
+    out = decode_png(encode_png(img, filter_type=ftype))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_roundtrip_1x1_and_gradients():
+    np.testing.assert_array_equal(
+        decode_png(encode_png(np.array([[200]], dtype=np.uint8))), [[200]]
+    )
+    # smooth gradients exercise Average/Paeth prediction wins
+    g = np.add.outer(np.arange(32), np.arange(32)).astype(np.uint8)
+    for ft in (3, 4):
+        np.testing.assert_array_equal(decode_png(encode_png(g, filter_type=ft)), g)
+
+
+def test_palette_decode():
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    out = decode_png(encode_png_palette(idx, pal))
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_crc_corruption_rejected():
+    payload = bytearray(encode_png(_img((8, 8))))
+    # flip a bit inside the IDAT body (after sig + IHDR chunk)
+    payload[8 + 25 + 12] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+
+def test_truncated_and_non_png_rejected():
+    payload = encode_png(_img((8, 8)))
+    with pytest.raises(ValueError):
+        decode_png(payload[: len(payload) // 2])
+    with pytest.raises(ValueError):
+        decode_png(b"\xff\xd8not a png")
+
+
+def test_interlace_and_16bit_rejected():
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    interlaced = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    )
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(interlaced)
+    deep = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0))
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(deep)
+
+
+def test_multimodal_dispatch_decodes_png():
+    img = _img((16, 16, 3), seed=7)
+    out = _decode_image(encode_png(img, filter_type="cycle"))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_multi_idat_chunks():
+    """Spec allows pixel data split across several IDAT chunks."""
+    img = _img((6, 6), seed=3)
+    payload = encode_png(img)
+    # re-split the single IDAT into two chunks
+    sig, rest = payload[:8], payload[8:]
+    chunks = []
+    pos = 0
+    while pos < len(rest):
+        (ln,) = struct.unpack(">I", rest[pos : pos + 4])
+        tag = rest[pos + 4 : pos + 8]
+        body = rest[pos + 8 : pos + 8 + ln]
+        chunks.append((tag, body))
+        pos += 12 + ln
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rebuilt = sig
+    for tag, body in chunks:
+        if tag == b"IDAT":
+            mid = len(body) // 2
+            rebuilt += chunk(b"IDAT", body[:mid]) + chunk(b"IDAT", body[mid:])
+        else:
+            rebuilt += chunk(tag, body)
+    np.testing.assert_array_equal(decode_png(rebuilt), img)
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-x", "-q"]))
