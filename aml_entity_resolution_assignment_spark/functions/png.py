@@ -124,11 +124,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(body) != length or len(crc_bytes) != 4:
             raise ValueError("truncated PNG chunk")
-        (crc,) = struct.unpack(
-            ">I", payload[pos + 8 + length : pos + 12 + length]
-        )
+        (crc,) = struct.unpack(">I", crc_bytes)
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG CRC mismatch in {tag!r}")
         if tag == b"IHDR":
@@ -154,7 +153,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError("PNG zero dimension")
     bpp = _CHANNELS[ctype]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != h * (1 + w * bpp):
         raise ValueError("PNG pixel data size mismatch")
     px = _unfilter(raw.reshape(h, 1 + w * bpp), h, w, bpp)

@@ -69,6 +69,13 @@ def test_truncated_and_non_png_rejected():
         decode_png(payload[: len(payload) // 2])
     with pytest.raises(ValueError):
         decode_png(b"\xff\xd8not a png")
+    # truncation at every byte boundary must raise ValueError, never
+    # an unwrapped struct/zlib error
+    for cut in range(8, len(payload) - 1):
+        try:
+            decode_png(payload[:cut])
+        except ValueError:
+            pass
 
 
 def test_interlace_and_16bit_rejected():
