@@ -5,14 +5,19 @@ functions/jpeg.py closed baseline JPEG: no codec libraries, only the
 stdlib ``zlib`` (DEFLATE + CRC-32, both part of the PNG spec) and
 numpy. Supports the formats that dominate web images:
 
-* bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
-  4 (gray+alpha), 6 (RGBA)
+* color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA)
 * all five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6)
 * multiple IDAT chunks, CRC verification, tRNS ignored by design
   (features are luminance-based)
+* Adam7 interlacing: each of the seven passes is an independently
+  filtered sub-image, consumed sequentially from the inflated stream
+  and scattered into place with strided indexing
+* bit depth 16 (non-palette): filters run over bytes with
+  bpp = 2 x channels per the spec; samples reduce to their high byte
+  (the standard 16 -> 8 reduction) to keep the uint8 decode contract
 
-Interlaced (Adam7) and 16-bit images raise ``ValueError`` — a marked
-sub-boundary, both rare on the modern web.
+Sub-byte depths (1/2/4, rare on the web) raise ``ValueError`` — the
+remaining marked sub-boundary alongside WebP.
 
 Filter reconstruction is vectorized where the data dependency allows:
 Sub is a per-row cumulative sum over pixel strides, Up is a plain
@@ -35,6 +40,16 @@ import numpy as np
 _SIG = b"\x89PNG\r\n\x1a\n"
 # channels per pixel by color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
@@ -142,25 +157,46 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
+        raise ValueError(f"PNG bit depth {depth} not supported")
     if ctype not in _CHANNELS:
         raise ValueError(f"PNG color type {ctype} not supported")
     if comp != 0 or filt != 0:
         raise ValueError("PNG nonstandard compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} unknown")
     if w == 0 or h == 0:
         raise ValueError("PNG zero dimension")
-    bpp = _CHANNELS[ctype]
+    nch = _CHANNELS[ctype]
+    bpp = nch * (depth // 8)  # filter bpp is BYTES per pixel (spec §6)
     try:
         inflated = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
     raw = np.frombuffer(inflated, dtype=np.uint8)
-    if raw.size != h * (1 + w * bpp):
-        raise ValueError("PNG pixel data size mismatch")
-    px = _unfilter(raw.reshape(h, 1 + w * bpp), h, w, bpp)
+    if interlace == 1:
+        px = np.zeros((h, w * bpp), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue  # empty pass emits no scanlines at all
+            size = ph * (1 + pw * bpp)
+            if pos2 + size > raw.size:
+                raise ValueError("PNG pixel data size mismatch")
+            sub = _unfilter(
+                raw[pos2 : pos2 + size].reshape(ph, 1 + pw * bpp), ph, pw, bpp
+            ).reshape(ph, pw, bpp)
+            view = px.reshape(h, w, bpp)
+            view[y0::dy, x0::dx] = sub
+            pos2 += size
+        if pos2 != raw.size:
+            raise ValueError("PNG pixel data size mismatch")
+    else:
+        if raw.size != h * (1 + w * bpp):
+            raise ValueError("PNG pixel data size mismatch")
+        px = _unfilter(raw.reshape(h, 1 + w * bpp), h, w, bpp)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -168,9 +204,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
         return plte[idx]
-    if bpp == 1:
+    if depth == 16:
+        # big-endian samples -> high byte (standard 16 -> 8 reduction)
+        px = np.ascontiguousarray(px.reshape(h, w, nch, 2)[..., 0])
+    if nch == 1:
         return px.reshape(h, w)
-    return px.reshape(h, w, bpp)
+    return px.reshape(h, w, nch)
 
 
 def _filter_row(
@@ -196,33 +235,66 @@ def _filter_row(
     return (out & 0xFF).astype(np.uint8)
 
 
+def _filter_image(rows: np.ndarray, bpp: int, filter_type: int | str) -> bytes:
+    """Filter a (h, stride) reconstructed sub-image into PNG scanline
+    bytes (filter byte + filtered row each)."""
+    out_rows = []
+    prev = np.zeros(rows.shape[1], dtype=np.uint8)
+    for y in range(rows.shape[0]):
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        out_rows.append(bytes([ft]) + _filter_row(rows[y], prev, bpp, ft).tobytes())
+        prev = rows[y]
+    return b"".join(out_rows)
+
+
 def encode_png(
-    img: np.ndarray, filter_type: int | str = 0, level: int = 6
+    img: np.ndarray,
+    filter_type: int | str = 0,
+    level: int = 6,
+    interlace: bool = False,
 ) -> bytes:
     """Encode uint8 gray (h, w) / RGB (h, w, 3) / gray+alpha (h, w, 2) /
     RGBA (h, w, 4) to a spec-valid PNG. ``filter_type`` is 0-4 for a
     fixed per-row filter or 'cycle' to rotate through all five (the
-    decoder-exercise mode used by tests and the oracle query)."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+    decoder-exercise mode used by tests and the oracle query);
+    ``interlace`` emits Adam7 passes. A uint16 input encodes at bit
+    depth 16 (big-endian samples); anything else encodes at 8."""
+    depth = 16 if np.asarray(img).dtype == np.uint16 else 8
+    img = np.ascontiguousarray(img, dtype=np.uint16 if depth == 16 else np.uint8)
     if img.ndim == 2:
-        ctype, bpp = 0, 1
+        ctype, nch = 0, 1
         flat = img[:, :, None]
     elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
-        bpp = img.shape[2]
-        ctype = {2: 4, 3: 2, 4: 6}[bpp]
+        nch = img.shape[2]
+        ctype = {2: 4, 3: 2, 4: 6}[nch]
         flat = img
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
     h, w = img.shape[:2]
-    rows = flat.reshape(h, w * bpp)
-    out_rows = []
-    prev = np.zeros(w * bpp, dtype=np.uint8)
-    for y in range(h):
-        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
-        out_rows.append(bytes([ft]) + _filter_row(rows[y], prev, bpp, ft).tobytes())
-        prev = rows[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    idat = zlib.compress(b"".join(out_rows), level)
+    if depth == 16:
+        # expand to big-endian byte planes; filters below run on bytes
+        flat = (
+            flat[..., None] >> np.array([8, 0], dtype=np.uint16)
+        ).astype(np.uint8).reshape(h, w, nch * 2)
+    bpp = nch * (depth // 8)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = flat[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                _filter_image(
+                    np.ascontiguousarray(sub).reshape(sub.shape[0], -1),
+                    bpp,
+                    filter_type,
+                )
+            )
+        body = b"".join(parts)
+    else:
+        body = _filter_image(flat.reshape(h, w * bpp), bpp, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, int(interlace))
+    idat = zlib.compress(body, level)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)

@@ -99,7 +99,7 @@ def _decode_image(payload: bytes) -> np.ndarray:
     vectorized IDCT, 4:2:0/4:2:2/4:4:4, restart markers) and PNG
     (functions/png.py: chunk walk + CRC, DEFLATE via stdlib zlib, all
     five scanline filters, gray/RGB/palette/alpha) decode FOR REAL in
-    pure numpy; WebP/progressive-JPEG/Adam7 need codec libraries
+    pure numpy (incl. Adam7 interlace); WebP/progressive-JPEG need codec libraries
     absent from this container and raise (clearly-marked boundary)."""
     if payload and payload[:1] == b"P" and payload[1:2] in (b"5", b"6"):
         return decode_netpbm(payload)

@@ -78,7 +78,7 @@ def test_truncated_and_non_png_rejected():
             pass
 
 
-def test_interlace_and_16bit_rejected():
+def test_bad_depths_rejected():
     sig = b"\x89PNG\r\n\x1a\n"
 
     def chunk(tag, body):
@@ -89,14 +89,52 @@ def test_interlace_and_16bit_rejected():
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    interlaced = sig + chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
-    )
-    with pytest.raises(ValueError, match="Adam7"):
-        decode_png(interlaced)
-    deep = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0))
-    with pytest.raises(ValueError, match="depth"):
-        decode_png(deep)
+    # sub-byte depths and 16-bit palette are out of scope
+    for depth, ctype in ((1, 0), (2, 0), (4, 0), (16, 3)):
+        hdr = sig + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, 0)
+        )
+        with pytest.raises(ValueError, match="depth"):
+            decode_png(hdr)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4, "cycle"])
+def test_16bit_roundtrip_high_byte(ftype):
+    """16-bit samples filter over bytes (bpp = 2 x channels) and decode
+    to their high byte — the standard 16 -> 8 reduction."""
+    rng = np.random.default_rng(21)
+    img16 = rng.integers(0, 65536, (9, 7), dtype=np.uint16)
+    out = decode_png(encode_png(img16, filter_type=ftype))
+    np.testing.assert_array_equal(out, (img16 >> 8).astype(np.uint8))
+    rgb16 = rng.integers(0, 65536, (5, 6, 3), dtype=np.uint16)
+    out = decode_png(encode_png(rgb16, filter_type=ftype, interlace=True))
+    np.testing.assert_array_equal(out, (rgb16 >> 8).astype(np.uint8))
+
+
+@pytest.mark.parametrize(
+    "shape", [(16, 16), (13, 17), (7, 5), (3, 3), (1, 1), (2, 9), (9, 2)]
+)
+def test_adam7_interlaced_roundtrip_gray(shape):
+    """Odd shapes exercise empty and partial Adam7 passes."""
+    img = _img(shape, seed=shape[0] * 100 + shape[1])
+    out = decode_png(encode_png(img, filter_type="cycle", interlace=True))
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+def test_adam7_interlaced_roundtrip_color(channels):
+    img = _img((11, 6, channels), seed=50 + channels)
+    out = decode_png(encode_png(img, filter_type="cycle", interlace=True))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_adam7_truncated_pass_rejected():
+    payload = encode_png(_img((16, 16), seed=9), interlace=True)
+    for cut in range(8, len(payload) - 1, 7):
+        try:
+            decode_png(payload[:cut])
+        except ValueError:
+            pass
 
 
 def test_multimodal_dispatch_decodes_png():

@@ -51,6 +51,14 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             print(f"{name}: ERROR {type(ex).__name__}: {ex}")
             failed.append(name)
+        finally:
+            # free tracked signature/oversized-key caches per query —
+            # same materialization-boundary contract as bench/pipeline
+            from aml_entity_resolution_assignment_spark.operators.candidates import (
+                release_persisted,
+            )
+
+            release_persisted()
     print("failed:", failed or "none")
     return 1 if failed else 0
 
