@@ -860,6 +860,55 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode path END-TO-END with a hard oracle: build a REAL
+    8-bit PCM WAV (functions/wav.py) whose 16 samples are the doc's
+    first 16 ASCII bytes shifted by -80 (so signs mix), run it through
+    extract_media_features -> decode_wav -> audio_features, and check
+    the two SQL-expressible features: peak = max|b-80|/128 (an exact
+    dyadic rational, identical in float32 and float64) and
+    zero-crossing rate = sign-changes/15 (a 16-value rational set that
+    rounds identically at 6 decimals)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.wav import encode_wav
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def _to_wav(texts):
+        out = []
+        for t in texts:
+            raw = np.frombuffer(
+                str(t).encode("utf-8")[:16], dtype=np.uint8
+            ).astype(np.int64)
+            out.append(encode_wav(raw + 48, sample_rate=8000, bits=8))
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    wav_udf = F.pandas_udf(_to_wav, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 16)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        wav_udf(F.col("text")).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(2).alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return (
+        feats.select(
+            F.col("media_id").cast("long").alias("doc_id"),
+            F.posexplode(F.col("feature")).alias("k", "v"),
+        )
+        .where(F.col("k").isin(1, 2))  # peak, zcr — the SQL-expressible pair
+        .select("doc_id", "k", F.round(F.col("v"), 6).alias("v"))
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-equivalent tumbling-window aggregation (batch form)."""
     e = _events(spark, sf_dir)
@@ -1027,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_png": q_multimodal_png,
+        "multimodal_wav": q_multimodal_wav,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "tpch_pricing": q_tpch_pricing,
@@ -1685,6 +1735,31 @@ def oracle_sql() -> dict[str, str]:
     select d.doc_id, pos.k, ord(substr(d.text, pos.p, 1)) as pix
     from documents d, pos
     where d.n_chars >= 4
+    """
+
+    sql["multimodal_wav"] = """
+    with pos as (select unnest(range(1, 17)) as p),
+    s as (
+      select d.doc_id, pos.p,
+             (ord(substr(d.text, cast(pos.p as int), 1)) - 80) as v
+      from documents d, pos
+      where d.n_chars >= 16
+    ),
+    lagged as (
+      select doc_id, p, v,
+             lag(v) over (partition by doc_id order by p) as lagv
+      from s
+    ),
+    f as (
+      select doc_id,
+             max(abs(v)) / 128.0 as peak,
+             sum(case when p > 1 and (v < 0) != (lagv < 0)
+                 then 1 else 0 end) / 15.0 as zcr
+      from lagged group by doc_id
+    )
+    select doc_id, 1 as k, round(peak, 6) as v from f
+    union all
+    select doc_id, 2 as k, round(zcr, 6) as v from f
     """
 
     sql["events_window"] = """

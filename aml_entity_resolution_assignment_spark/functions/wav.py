@@ -1,0 +1,148 @@
+"""Pure-numpy WAV (RIFF/PCM) codec + audio feature kernels.
+
+Extends the multimodal surface to REAL audio the same way
+functions/jpeg.py and functions/png.py made image decode real: WAV is
+a struct-level container around raw PCM, so no codec library is
+needed — only struct parsing and numpy. Compressed formats
+(MP3/AAC/Opus/Vorbis) remain the marked boundary.
+
+Supported: RIFF/WAVE with fmt + data chunks, PCM (format 1) and
+IEEE-float (format 3), 8/16/24/32-bit integer and 32/64-bit float
+samples, any channel count (decoded to (n_frames, n_channels),
+mono-mixed by the feature kernel). Unknown chunks (LIST, fact, cue)
+are skipped per spec.
+
+Feature kernel: deterministic numpy signal features with the same
+fixed-width contract as the image thumbnail features — RMS, peak,
+zero-crossing rate, and FFT band energies — so audio rows flow
+through extract_media_features with real decode.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """Encode (n,) mono or (n, ch) int/float samples to a PCM WAV.
+    bits in (8, 16, 24, 32); input is clipped to the target range.
+    Test/generator helper — spec-valid output."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if bits == 8:
+        data = np.clip(arr, 0, 255).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = np.clip(arr, -32768, 32767).astype("<i2").tobytes()
+    elif bits == 24:
+        a32 = np.clip(arr, -(1 << 23), (1 << 23) - 1).astype("<i4")
+        b = a32.astype("<i4").view(np.uint8).reshape(n, ch, 4)
+        data = np.ascontiguousarray(b[:, :, :3]).tobytes()
+    elif bits == 32:
+        data = np.clip(arr, -(1 << 31), (1 << 31) - 1).astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bits {bits}")
+    block = ch * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a WAV payload -> (samples float64 in [-1, 1] shaped
+    (n_frames, n_channels), sample_rate). Raises ValueError on
+    corrupt or non-PCM/float input."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, ch, rate, _byte_rate, _block, bits = fmt
+    if ch == 0 or rate == 0:
+        raise ValueError("WAV zero channels or sample rate")
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3)
+            x = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float64)
+            x = x / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(
+                1 << 31
+            )
+        else:
+            raise ValueError(f"WAV PCM bit depth {bits} not supported")
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"WAV float bit depth {bits} not supported")
+    else:
+        raise ValueError(
+            f"WAV format {audio_fmt} not supported (PCM/IEEE-float only; "
+            "MP3/AAC/Opus need codec libraries absent here)"
+        )
+    n = (x.size // ch) * ch
+    return x[:n].reshape(-1, ch), rate
+
+
+def audio_features(samples: np.ndarray, n_bands: int = 12) -> np.ndarray:
+    """Deterministic audio feature vector (4 + n_bands floats): RMS,
+    peak, zero-crossing rate, spectral centroid (normalized), and
+    n_bands mean FFT magnitude bands of the mono mix. Pure numpy —
+    the audio analog of the image thumbnail feature."""
+    if samples.size == 0:
+        return np.zeros(4 + n_bands, dtype=np.float32)
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    rms = float(np.sqrt(np.mean(mono**2)))
+    peak = float(np.max(np.abs(mono)))
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    mag = np.abs(np.fft.rfft(mono))
+    freqs = np.arange(mag.size, dtype=np.float64)
+    centroid = float((freqs * mag).sum() / (mag.sum() * max(mag.size - 1, 1))) if mag.sum() else 0.0
+    # equal-width magnitude bands, padded to a multiple of n_bands
+    pad = (-mag.size) % n_bands
+    banded = np.pad(mag, (0, pad)).reshape(n_bands, -1).mean(axis=1)
+    scale = banded.max()
+    banded = banded / scale if scale else banded
+    return np.concatenate(
+        [[rms, peak, zcr, centroid], banded]
+    ).astype(np.float32)

@@ -2,12 +2,14 @@
 
 Image/audio/video are opaque `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-mapInPandas stages. Image decode is REAL in pure numpy for netpbm
-(P5/P6) and baseline JPEG (functions/jpeg.py); PNG/WebP/audio/video
-codecs are not in this container and raise at a clearly-marked
-boundary. The Spark-side plumbing — schema, batch shape,
-partition-size control, null propagation — is real and tested for
-every kind.
+mapInPandas stages. Decode is REAL in pure numpy for netpbm (P5/P6),
+baseline JPEG (functions/jpeg.py), PNG incl. Adam7/16-bit
+(functions/png.py) and WAV PCM/IEEE-float audio (functions/wav.py);
+WebP/progressive-JPEG and compressed audio/video codecs
+(MP3/AAC/H.264/...) are not in this container and raise at a
+clearly-marked boundary. The Spark-side plumbing — schema, batch
+shape, partition-size control, null propagation — is real and tested
+for every kind.
 
 At 100 TB the rules are: (1) binary columns ride their own tables
 keyed by content hash so text-only stages never scan them; (2)
@@ -148,6 +150,21 @@ def _image_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return out
 
 
+def _audio_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real audio feature: WAV/PCM decode (functions/wav.py, pure
+    struct + numpy) -> RMS/peak/ZCR/centroid + FFT bands, padded or
+    truncated to the fixed feature width."""
+    from ..functions.wav import audio_features, decode_wav
+
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    samples, _rate = decode_wav(payload)
+    feat = audio_features(samples, n_bands=max(dim - 4, 1))
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, feat.size)] = feat[:dim]
+    return out
+
+
 def extract_media_features(
     media: DataFrame, deterministic_fake: bool = True, dim: int = FEATURE_DIM
 ) -> DataFrame:
@@ -155,9 +172,10 @@ def extract_media_features(
 
     mapInPandas so each Arrow batch is one vectorized pass; payloads are
     dropped from the output (never re-shuffle binary). With
-    deterministic_fake=False, image rows with netpbm payloads decode
-    FOR REAL (decode_netpbm); audio/video and compressed image formats
-    fall back to the byte-histogram feature (codec libs absent here)."""
+    deterministic_fake=False, image rows with netpbm/JPEG/PNG payloads
+    and audio rows with WAV payloads decode FOR REAL; video and
+    compressed audio/image formats fall back to the byte-histogram
+    feature (codec libs absent here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -174,6 +192,13 @@ def extract_media_features(
                     )
                 ):
                     feats.append(_image_feature(payload, dim))
+                elif (
+                    not deterministic_fake
+                    and kind == "audio"
+                    and payload
+                    and payload[:4] == b"RIFF"
+                ):
+                    feats.append(_audio_feature(payload, dim))
                 else:
                     feats.append(_fake_feature(payload, dim))
             yield pd.DataFrame(
