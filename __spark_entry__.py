@@ -860,6 +860,56 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode path END-TO-END with a hard oracle: build a REAL
+    INTERLACED GIF89a (functions/gif.py encoder: literal-only LZW with
+    clear re-spam, 4-pass interlace) whose four 8x8 quadrants are the
+    doc's first 4 ASCII bytes through an identity gray palette — LZW
+    is lossless, so the decoded 4x4 thumbnail quadrants equal
+    ord(substr(text, q+1)) exactly. Same SQL twin as jpeg/png."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.gif import encode_gif
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def _to_gif(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:4]
+            img = np.zeros((16, 16), dtype=np.uint8)
+            img[0:8, 0:8] = raw[0]
+            img[0:8, 8:16] = raw[1]
+            img[8:16, 0:8] = raw[2]
+            img[8:16, 8:16] = raw[3]
+            out.append(encode_gif(img, pal, interlace=True))
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    gif_udf = F.pandas_udf(_to_gif, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        gif_udf(F.col("text")).alias("payload"),
+        F.lit("image/gif").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.posexplode(F.col("feature")).alias("k", "v"),
+    ).select(
+        "doc_id", "k", F.round(F.col("v") * 255).cast("long").alias("pix")
+    )
+
+
 def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode path END-TO-END with a hard oracle: build a REAL
     8-bit PCM WAV (functions/wav.py) whose 16 samples are the doc's
@@ -1076,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_png": q_multimodal_png,
+        "multimodal_gif": q_multimodal_gif,
         "multimodal_wav": q_multimodal_wav,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
@@ -1726,6 +1777,18 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["multimodal_png"] = """
+    with pos as (
+      select (i * 4 + j) as k,
+             (2 * (i // 2) + (j // 2) + 1) as p
+      from (select unnest(generate_series(0, 3)) as i),
+           (select unnest(generate_series(0, 3)) as j)
+    )
+    select d.doc_id, pos.k, ord(substr(d.text, pos.p, 1)) as pix
+    from documents d, pos
+    where d.n_chars >= 4
+    """
+
+    sql["multimodal_gif"] = """
     with pos as (
       select (i * 4 + j) as k,
              (2 * (i // 2) + (j // 2) + 1) as p

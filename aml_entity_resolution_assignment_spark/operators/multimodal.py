@@ -113,6 +113,10 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from ..functions.png import decode_png
 
         return decode_png(payload)
+    if payload and payload[:4] == b"GIF8":
+        from ..functions.gif import decode_gif
+
+        return decode_gif(payload)[0][0]  # first frame
     raise NotImplementedError(
         "WebP/progressive-JPEG decoding requires codec libraries — not "
         "available in this container; netpbm (P5/P6), baseline JPEG and "
@@ -189,6 +193,7 @@ def extract_media_features(
                         payload[:1] == b"P"
                         or payload[:2] == b"\xff\xd8"
                         or payload[:8] == b"\x89PNG\r\n\x1a\n"
+                        or payload[:4] == b"GIF8"
                     )
                 ):
                     feats.append(_image_feature(payload, dim))
