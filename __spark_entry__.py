@@ -910,6 +910,58 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode path END-TO-END with a hard oracle: build a REAL
+    MJPEG AVI (functions/avi.py: RIFF container around four baseline
+    JPEGs) whose frames are constant grays from the doc's first 4
+    ASCII bytes. Constant 8x8 blocks roundtrip the all-ones-quant
+    JPEG bit-exactly, so each per-frame mean feature equals
+    ord(substr(text, k+1)) after the *255 rescale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.avi import (
+        encode_gray_video,
+    )
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def _to_avi(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:4]
+            frames = np.stack(
+                [np.full((16, 16), b, dtype=np.uint8) for b in raw]
+            )
+            out.append(encode_gray_video(frames, fps=10))
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    avi_udf = F.pandas_udf(_to_avi, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        avi_udf(F.col("text")).alias("payload"),
+        F.lit("video/x-msvideo").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(400).alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return (
+        feats.select(
+            F.col("media_id").cast("long").alias("doc_id"),
+            F.posexplode(F.col("feature")).alias("k", "v"),
+        )
+        .where(F.col("k") < 4)
+        .select(
+            "doc_id", "k", F.round(F.col("v") * 255).cast("long").alias("pix")
+        )
+    )
+
+
 def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode path END-TO-END with a hard oracle: build a REAL
     8-bit PCM WAV (functions/wav.py) whose 16 samples are the doc's
@@ -1127,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,
+        "multimodal_video": q_multimodal_video,
         "multimodal_wav": q_multimodal_wav,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
@@ -1796,6 +1849,14 @@ def oracle_sql() -> dict[str, str]:
            (select unnest(generate_series(0, 3)) as j)
     )
     select d.doc_id, pos.k, ord(substr(d.text, pos.p, 1)) as pix
+    from documents d, pos
+    where d.n_chars >= 4
+    """
+
+    sql["multimodal_video"] = """
+    with pos as (select unnest(generate_series(0, 3)) as k)
+    select d.doc_id, pos.k,
+           ord(substr(d.text, cast(pos.k + 1 as int), 1)) as pix
     from documents d, pos
     where d.n_chars >= 4
     """

@@ -4,10 +4,11 @@ Image/audio/video are opaque `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages. Decode is REAL in pure numpy for netpbm (P5/P6),
 baseline JPEG (functions/jpeg.py), PNG incl. Adam7/16-bit
-(functions/png.py) and WAV PCM/IEEE-float audio (functions/wav.py);
-WebP/progressive-JPEG and compressed audio/video codecs
-(MP3/AAC/H.264/...) are not in this container and raise at a
-clearly-marked boundary. The Spark-side plumbing — schema, batch
+(functions/png.py), GIF incl. animation (functions/gif.py), WAV
+PCM/IEEE-float audio (functions/wav.py) and MJPEG-AVI video
+(functions/avi.py); WebP/progressive-JPEG and inter-frame/compressed
+codecs (MP3/AAC/H.264/VP9/...) are not in this container and raise at
+a clearly-marked boundary. The Spark-side plumbing — schema, batch
 shape, partition-size control, null propagation — is real and tested
 for every kind.
 
@@ -169,6 +170,24 @@ def _audio_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return out
 
 
+def _video_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real video feature: MJPEG-AVI decode (functions/avi.py — RIFF
+    walk + per-frame baseline JPEG) -> per-frame gray mean in [0, 1]
+    for up to dim frames. A stand-in for a per-frame embedding with
+    the same fixed-width contract."""
+    from ..functions.avi import decode_mjpeg_avi
+
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    frames, _fps = decode_mjpeg_avi(payload)
+    if frames.ndim == 4:
+        frames = frames.mean(axis=3)
+    means = frames.reshape(frames.shape[0], -1).mean(axis=1) / 255.0
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, means.size)] = means[:dim]
+    return out
+
+
 def extract_media_features(
     media: DataFrame, deterministic_fake: bool = True, dim: int = FEATURE_DIM
 ) -> DataFrame:
@@ -176,10 +195,10 @@ def extract_media_features(
 
     mapInPandas so each Arrow batch is one vectorized pass; payloads are
     dropped from the output (never re-shuffle binary). With
-    deterministic_fake=False, image rows with netpbm/JPEG/PNG payloads
-    and audio rows with WAV payloads decode FOR REAL; video and
-    compressed audio/image formats fall back to the byte-histogram
-    feature (codec libs absent here)."""
+    deterministic_fake=False, image rows with netpbm/JPEG/PNG/GIF
+    payloads, audio rows with WAV payloads, and video rows with
+    MJPEG-AVI payloads decode FOR REAL; other compressed formats fall
+    back to the byte-histogram feature (codec libs absent here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -204,6 +223,14 @@ def extract_media_features(
                     and payload[:4] == b"RIFF"
                 ):
                     feats.append(_audio_feature(payload, dim))
+                elif (
+                    not deterministic_fake
+                    and kind == "video"
+                    and payload
+                    and payload[:4] == b"RIFF"
+                    and payload[8:12] == b"AVI "
+                ):
+                    feats.append(_video_feature(payload, dim))
                 else:
                     feats.append(_fake_feature(payload, dim))
             yield pd.DataFrame(
