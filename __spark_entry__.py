@@ -910,6 +910,60 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-WebP decode path END-TO-END with a hard oracle: build
+    a REAL VP8L bitstream (functions/webp.py: canonical prefix codes,
+    color cache, subtract-green + predictor transforms) whose four
+    8x8 quadrants are the doc's first 4 ASCII bytes. VP8L is
+    lossless, so the decoded 4x4 thumbnail quadrants equal
+    ord(substr(text, q+1)) exactly. Same SQL twin as jpeg/png/gif."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.webp import encode_webp
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def _to_webp(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:4]
+            # all 4 channels (incl. alpha) carry the byte so the
+            # channel-mean gray equals it exactly
+            img = np.zeros((16, 16, 4), dtype=np.uint8)
+            for q, (ys, xs) in enumerate(
+                ((0, 0), (0, 8), (8, 0), (8, 8))
+            ):
+                img[ys : ys + 8, xs : xs + 8, :] = raw[q]
+            out.append(
+                encode_webp(
+                    img, cache_bits=3, subtract_green=True, predictor_mode=1
+                )
+            )
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    webp_udf = F.pandas_udf(_to_webp, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        webp_udf(F.col("text")).alias("payload"),
+        F.lit("image/webp").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.posexplode(F.col("feature")).alias("k", "v"),
+    ).select(
+        "doc_id", "k", F.round(F.col("v") * 255).cast("long").alias("pix")
+    )
+
+
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video decode path END-TO-END with a hard oracle: build a REAL
     MJPEG AVI (functions/avi.py: RIFF container around four baseline
@@ -1179,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,
+        "multimodal_webp": q_multimodal_webp,
         "multimodal_video": q_multimodal_video,
         "multimodal_wav": q_multimodal_wav,
         "events_window": q_events_window,
@@ -1842,6 +1897,18 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["multimodal_gif"] = """
+    with pos as (
+      select (i * 4 + j) as k,
+             (2 * (i // 2) + (j // 2) + 1) as p
+      from (select unnest(generate_series(0, 3)) as i),
+           (select unnest(generate_series(0, 3)) as j)
+    )
+    select d.doc_id, pos.k, ord(substr(d.text, pos.p, 1)) as pix
+    from documents d, pos
+    where d.n_chars >= 4
+    """
+
+    sql["multimodal_webp"] = """
     with pos as (
       select (i * 4 + j) as k,
              (2 * (i // 2) + (j // 2) + 1) as p

@@ -118,6 +118,10 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from ..functions.gif import decode_gif
 
         return decode_gif(payload)[0][0]  # first frame
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from ..functions.webp import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
         "WebP/progressive-JPEG decoding requires codec libraries — not "
         "available in this container; netpbm (P5/P6), baseline JPEG and "
@@ -213,6 +217,10 @@ def extract_media_features(
                         or payload[:2] == b"\xff\xd8"
                         or payload[:8] == b"\x89PNG\r\n\x1a\n"
                         or payload[:4] == b"GIF8"
+                        or (
+                            payload[:4] == b"RIFF"
+                            and payload[8:12] == b"WEBP"
+                        )
                     )
                 ):
                     feats.append(_image_feature(payload, dim))
