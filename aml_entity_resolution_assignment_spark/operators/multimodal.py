@@ -174,16 +174,32 @@ def _audio_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return out
 
 
-def _video_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Real video feature: MJPEG-AVI decode (functions/avi.py — RIFF
-    walk + per-frame baseline JPEG) -> per-frame gray mean in [0, 1]
-    for up to dim frames. A stand-in for a per-frame embedding with
-    the same fixed-width contract."""
-    from ..functions.avi import decode_mjpeg_avi
+def decode_video_frames(payload: bytes) -> np.ndarray:
+    """Decode a video payload to a (n, h, w[, c]) uint8 frame stack.
+    Real formats: MJPEG-AVI (functions/avi.py) and animated GIF
+    (functions/gif.py). Inter-frame codecs raise at the boundary."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ..functions.avi import decode_mjpeg_avi
 
+        return decode_mjpeg_avi(payload)[0]
+    if payload[:4] == b"GIF8":
+        from ..functions.gif import decode_gif
+
+        return decode_gif(payload)[0]
+    raise ValueError(
+        "video decode supports MJPEG-AVI and animated GIF; inter-frame "
+        "codecs (H.264/VP9/AV1) need libraries absent from this container"
+    )
+
+
+def _video_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real video feature: frame-stack decode (MJPEG-AVI or animated
+    GIF) -> per-frame gray mean in [0, 1] for up to dim frames. A
+    stand-in for a per-frame embedding with the same fixed-width
+    contract."""
     if payload is None or len(payload) == 0:
         return np.zeros(dim, dtype=np.float32)
-    frames, _fps = decode_mjpeg_avi(payload)
+    frames = decode_video_frames(payload)
     if frames.ndim == 4:
         frames = frames.mean(axis=3)
     means = frames.reshape(frames.shape[0], -1).mean(axis=1) / 255.0
@@ -235,8 +251,10 @@ def extract_media_features(
                     not deterministic_fake
                     and kind == "video"
                     and payload
-                    and payload[:4] == b"RIFF"
-                    and payload[8:12] == b"AVI "
+                    and (
+                        (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ")
+                        or payload[:4] == b"GIF8"
+                    )
                 ):
                     feats.append(_video_feature(payload, dim))
                 else:

@@ -64,5 +64,28 @@ def test_video_feature_per_frame_means():
     assert (feat[3:] == 0).all()
 
 
+def test_video_feature_animated_gif():
+    """Animated GIFs flow through the same video feature path."""
+    from aml_entity_resolution_assignment_spark.functions.gif import encode_gif
+
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    vals = [30, 180]
+    frames = np.stack(
+        [np.full((8, 8), v, dtype=np.uint8) for v in vals]
+    )
+    gif = encode_gif(frames, pal, delays_ms=[100, 100])
+    feat = _video_feature(gif, dim=16)
+    np.testing.assert_allclose(feat[:2] * 255, vals, atol=1e-3)
+
+
+def test_decode_video_frames_boundary():
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+
+    with pytest.raises(ValueError, match="inter-frame"):
+        decode_video_frames(b"\x00\x00\x01\xba mpeg-ps junk")
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
