@@ -103,5 +103,77 @@ class TestDecontaminate:
         assert df.collect()[0]["g"] == []
 
 
+
+class TestPropertyOracle:
+    """Property check: repetition_signals and decontaminate agree with
+    independent pure-Python references on randomized corpora."""
+
+    def test_rep_signals_vs_python_reference(self, spark):
+        import random as rnd
+        from collections import Counter
+
+        r = rnd.Random(77)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(r.choice(vocab) for _ in range(r.randint(0, 30))))
+            for i in range(60)
+        ]
+        got = {
+            row["doc_id"]: row
+            for row in Q.repetition_signals(
+                spark.createDataFrame(rows, "doc_id long, text string"), n=2
+            ).collect()
+        }
+        for doc_id, text in rows:
+            toks = text.lower().split() if text.strip() else []
+            grams = [
+                " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+            ]
+            cnt = Counter(grams)
+            total = len(grams)
+            dup = sum(c for c in cnt.values() if c > 1)
+            top = max(cnt.values()) if cnt else 0
+            g = got[doc_id]
+            assert g["n_tokens"] == len(toks)
+            assert g["dup_token_frac"] == round(
+                0.0 if not toks else 1 - len(set(toks)) / len(toks), 6
+            )
+            assert g["dup_ngram_frac"] == round(dup / max(total, 1), 6)
+            assert g["top_ngram_frac"] == round(top / max(total, 1), 6)
+
+    def test_decontaminate_vs_python_reference(self, spark):
+        import random as rnd
+
+        r = rnd.Random(99)
+        vocab = [f"t{i}" for i in range(8)]
+        rows = [
+            (i, " ".join(r.choice(vocab) for _ in range(r.randint(3, 20))))
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = df.filter(F.col("doc_id") % 10 == 0)
+        tr = df.filter(F.col("doc_id") % 10 != 0)
+        got = {
+            row["doc_id"]: (row["n_grams"], row["n_contaminated"])
+            for row in Q.decontaminate(tr, ev, n=3).collect()
+        }
+
+        def grams(text):
+            toks = text.lower().split()
+            return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+        eval_set = {
+            g for doc_id, text in rows if doc_id % 10 == 0 for g in grams(text)
+        }
+        expected = {}
+        for doc_id, text in rows:
+            if doc_id % 10 == 0:
+                continue
+            gs = grams(text)
+            hits = sum(1 for g in gs if g in eval_set)
+            if hits:
+                expected[doc_id] = (len(gs), hits)
+        assert got == expected
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
