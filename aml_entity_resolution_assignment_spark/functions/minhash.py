@@ -41,6 +41,28 @@ _EMPTY_SENTINEL = _MAXH  # datasketch-style init value for "no shingles"
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits per band -> catches hamming distance <= 3
 
+# ---------------------------------------------------------------------------
+# Key-family versioning (ADVICE r3). Blocking keys derived here are
+# PERSISTED — into the streaming resolve corpus and checkpointed keyed
+# stage tables. Keys from different token-hash families never band/
+# verify against each other (cross-family hamming is ~random), so a
+# corpus written under one family must not be silently joined with
+# batches keyed under another. KEY_FAMILY names the full derivation
+# (token hash + banding layout) and is stamped into persisted-corpus
+# paths (streaming/stream.py) and stage fingerprints (plans/pipeline.py);
+# bump it whenever TOKEN_HASH_FAMILY or the banding layout changes.
+#
+# Determinism note for 'fast': pd.util.hash_array is SipHash-1-3 with a
+# fixed default key — deterministic across processes and platforms for a
+# given pandas major line, but it is a pandas-internal detail, not a
+# documented stability contract. A heterogeneous cluster MUST pin one
+# pandas version across executors (standard practice anyway); if pandas
+# ever changes the hash, bumping KEY_FAMILY forces a clean re-key
+# instead of silent recall loss.
+# ---------------------------------------------------------------------------
+TOKEN_HASH_FAMILY = "fast"  # production default ('md5' = oracle twin)
+KEY_FAMILY = f"k2-{TOKEN_HASH_FAMILY}"  # k1 was the r2 md5 family
+
 
 def _perm_params(num_perm: int = NUM_PERM, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) multiply-shift hash parameters (seeded

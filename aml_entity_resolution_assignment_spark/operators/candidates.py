@@ -43,13 +43,38 @@ def release_persisted() -> None:
     """Unpersist every intermediate cached by self_join_pairs since the
     last release. Safe to call once downstream output is materialized
     (written/collected); a later re-execution of an un-released plan
-    just recomputes the tiny key table."""
+    just recomputes the tiny key table. Prefer `persisted_scope()` in
+    library code — it releases only the handles created inside the
+    scope, so one consumer's boundary can't drop another in-flight
+    plan's cache."""
     while _PERSISTED:
         df = _PERSISTED.pop()
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped: nothing to release
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def persisted_scope():
+    """Scoped release of self_join_pairs caches: on exit, unpersist only
+    the handles registered while the scope was open. Materialize (write/
+    collect) every candidate-derived output BEFORE the scope closes — a
+    later re-execution of an un-released plan recomputes the tiny key
+    table rather than corrupting anything, but loses the cache."""
+    mark = len(_PERSISTED)
+    try:
+        yield
+    finally:
+        while len(_PERSISTED) > mark:
+            df = _PERSISTED.pop()
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def _pair_cols(l_id: str = "l_id", r_id: str = "r_id"):

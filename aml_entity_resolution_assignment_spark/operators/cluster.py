@@ -78,12 +78,24 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "url",
     max_iter: int = 50,
+    tune_shuffle_partitions: bool = True,
 ) -> DataFrame:
     """(id_a, id_b) match edges [+ all-vertex DataFrame] ->
     (id_col, predicted_entity_id) with label = min member id.
 
     Singletons (vertices without edges) keep themselves as their
     component (reference adds ALL nodes, matching.py:580).
+
+    `tune_shuffle_partitions` sizes the iterative shuffles to the
+    shrinking edge set by setting spark.sql.shuffle.partitions around
+    each round's job ONLY (set immediately before the collect, restored
+    immediately after — not across the loop body), because AQE with
+    parallelismFirst=true refuses to coalesce tiny shuffles and the
+    O(log n) tail otherwise pays fixed per-task cost x partitions x
+    stages. The conf is session-shared: a query on the SAME session that
+    happens to be planned during a round's job window would see the
+    shrunken value. Pass False when running CC concurrently with other
+    work on a shared session (streaming foreachBatch, parallel jobs).
     """
     # canonical orientation + distinct: _symmetrize's no-dedup union
     # relies on the input never containing both (a,b) and (b,a)
@@ -106,48 +118,63 @@ def connected_components(
         spark = edges.sparkSession
         conf_key = "spark.sql.shuffle.partitions"
         orig_parts = spark.conf.get(conf_key)
-        try:
-            cur = e.localCheckpoint(eager=True)  # any orientation
-            prev_sig: tuple | None = None
-            for _ in range(max_iter):
-                ls = _large_star(_symmetrize(cur))
-                # LAZY checkpoint: the signature aggregation below is
-                # the action that materializes it, so each round is ONE
-                # job (checkpoint write + convergence check fused)
-                ss = _small_star(ls).localCheckpoint(eager=False)
-                # convergence check: the edge set is stable when
-                # (count, order-independent hash sum) repeats — a
-                # collision needs two distinct edge sets with equal
-                # 64-bit hash sums in the same run (~2^-64 per round)
-                row = ss.agg(
+        adaptive: int | None = None
+
+        def _run_round(df):
+            """Execute one round's fused job (checkpoint write +
+            convergence aggregate) with the shuffle-partition override
+            scoped to exactly this call — the session conf is restored
+            before returning, so the mutation window is the job itself,
+            not the loop body (ADVICE r3: don't leave a shrunken count
+            visible to concurrent planners any longer than necessary)."""
+            if adaptive is None or not tune_shuffle_partitions:
+                return df.collect()[0]
+            spark.conf.set(conf_key, str(adaptive))
+            try:
+                return df.collect()[0]
+            finally:
+                spark.conf.set(conf_key, orig_parts)
+
+        cur = e.localCheckpoint(eager=True)  # any orientation
+        prev_sig: tuple | None = None
+        for _ in range(max_iter):
+            ls = _large_star(_symmetrize(cur))
+            # LAZY checkpoint: the signature aggregation below is
+            # the action that materializes it, so each round is ONE
+            # job (checkpoint write + convergence check fused)
+            ss = _small_star(ls).localCheckpoint(eager=False)
+            # convergence check: the edge set is stable when
+            # (count, order-independent hash sum) repeats — a
+            # collision needs two distinct edge sets with equal
+            # 64-bit hash sums in the same run (~2^-64 per round)
+            row = _run_round(
+                ss.agg(
                     F.count("*").alias("n"),
                     # decimal(38,0) sum: overflow-proof under ANSI mode
                     F.sum(
                         F.xxhash64("child", "parent").cast("decimal(38,0)")
                     ).alias("h"),
-                ).collect()[0]
-                sig = (row["n"], row["h"])
-                if sig == prev_sig:
-                    break
-                prev_sig = sig
-                # the convergence aggregate gives the next round's input
-                # size for free: size the iterative shuffles to the data
-                # (~100k edges/partition), capped at the session setting
-                # so a cluster-sized config is never exceeded — an
-                # iterative loop otherwise pays fixed per-task cost x
-                # partitions x stages x O(log n) rounds on tiny tails
-                adaptive = max(8, min(int(orig_parts), row["n"] // 100_000 + 1))
-                spark.conf.set(conf_key, str(adaptive))
-                cur = ss.select(
-                    F.col("child").alias("u"), F.col("parent").alias("v")
                 )
-            else:
-                raise RuntimeError(
-                    f"connected_components did not converge in {max_iter} rounds"
-                )
-            assign = ss
-        finally:
-            spark.conf.set(conf_key, orig_parts)
+            )
+            sig = (row["n"], row["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+            # the convergence aggregate gives the next round's input
+            # size for free: size the iterative shuffles to the data
+            # (~100k edges/partition), capped at the session setting
+            # so a cluster-sized config is never exceeded — an
+            # iterative loop otherwise pays fixed per-task cost x
+            # partitions x stages x O(log n) rounds on tiny tails
+            adaptive = max(8, min(int(orig_parts), row["n"] // 100_000 + 1))
+            cur = ss.select(
+                F.col("child").alias("u"), F.col("parent").alias("v")
+            )
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+        assign = ss
     # fixpoint: (child, parent=component root). Roots map to themselves.
     assign = assign.select(
         F.col("child").alias("member"), F.col("parent").alias("component")

@@ -4,11 +4,13 @@ Image/audio/video are opaque `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages. Decode is REAL in pure numpy for netpbm (P5/P6),
 baseline JPEG (functions/jpeg.py), PNG incl. Adam7/16-bit
-(functions/png.py), GIF incl. animation (functions/gif.py), WAV
-PCM/IEEE-float audio (functions/wav.py) and MJPEG-AVI video
-(functions/avi.py); WebP/progressive-JPEG and inter-frame/compressed
-codecs (MP3/AAC/H.264/VP9/...) are not in this container and raise at
-a clearly-marked boundary. The Spark-side plumbing — schema, batch
+(functions/png.py), GIF incl. animation (functions/gif.py), WebP
+lossless VP8L (functions/webp.py) and lossy VP8 key frames
+(functions/vp8.py), WAV PCM/IEEE-float audio (functions/wav.py) and
+MJPEG-AVI video (functions/avi.py); progressive JPEG, VP8 inter
+frames and inter-frame/psychoacoustic codecs (MP3/AAC/H.264/VP9/...)
+need codec libraries absent from this container and raise at a
+clearly-marked boundary. The Spark-side plumbing — schema, batch
 shape, partition-size control, null propagation — is real and tested
 for every kind.
 
@@ -102,8 +104,11 @@ def _decode_image(payload: bytes) -> np.ndarray:
     vectorized IDCT, 4:2:0/4:2:2/4:4:4, restart markers) and PNG
     (functions/png.py: chunk walk + CRC, DEFLATE via stdlib zlib, all
     five scanline filters, gray/RGB/palette/alpha) decode FOR REAL in
-    pure numpy (incl. Adam7 interlace); WebP/progressive-JPEG need codec libraries
-    absent from this container and raise (clearly-marked boundary)."""
+    pure numpy (incl. Adam7 interlace), as do GIF (LZW) and WebP
+    lossless (full VP8L) AND lossy VP8 key frames (functions/vp8.py:
+    boolean coder + intra prediction + iDCT/iWHT). The remaining
+    frontier — progressive JPEG, VP8 inter frames, H.264/VP9, MP3/AAC
+    — raises at a clearly-marked boundary."""
     if payload and payload[:1] == b"P" and payload[1:2] in (b"5", b"6"):
         return decode_netpbm(payload)
     if payload and payload[:2] == b"\xff\xd8":
@@ -123,9 +128,11 @@ def _decode_image(payload: bytes) -> np.ndarray:
 
         return decode_webp(payload)
     raise NotImplementedError(
-        "WebP/progressive-JPEG decoding requires codec libraries — not "
-        "available in this container; netpbm (P5/P6), baseline JPEG and "
-        "PNG payloads decode natively, or use "
+        "unsupported image payload: netpbm (P5/P6), baseline JPEG, PNG, "
+        "GIF, and WebP (lossless VP8L + lossy VP8 key frames) decode "
+        "natively in pure numpy; the remaining frontier — progressive "
+        "JPEG, VP8 inter frames, H.264/VP9 — needs codec libraries "
+        "absent from this container, or use "
         "extract_media_features(deterministic_fake=True)"
     )
 

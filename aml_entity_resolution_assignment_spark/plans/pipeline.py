@@ -44,8 +44,14 @@ class PipelineConfig:
         caps, or model never silently reuses stale parquet."""
         import hashlib
 
+        from ..functions import minhash as _mh
+
         payload = json.dumps(
             {
+                # persisted blocking keys are family-versioned: a rerun
+                # under a different token-hash family must never reuse a
+                # keyed stage table written under the old one (ADVICE r3)
+                "key_family": _mh.KEY_FAMILY,
                 "salt_cap": self.salt_cap,
                 "drop_cap": self.drop_cap,
                 "thresholds": None

@@ -283,11 +283,20 @@ def read_resolve_corpus(
     transient FS errors propagate and the micro-batch retries rather
     than being silently skipped, per-batch results never lost).
 
+    `corpus_path` is the TOP-LEVEL corpus dir; data lives under the
+    hash-family subdir keys=<KEY_FAMILY> (resolved here, so callers
+    never address a foreign family's keys by accident).
+
     The per-batch input stays BOUNDED as the stream ages: one
     pk-partitioned base table (O(corpus) rows but a fixed, compacted
     file count) + a bounded tail of small inc dirs — without compaction
     the file/dir count grows O(total batches) and every micro-batch
     pays the full listing + footer cost."""
+    from ..functions.minhash import KEY_FAMILY
+
+    fam = f"keys={KEY_FAMILY}"
+    if not corpus_path.rstrip("/").endswith(fam):
+        corpus_path = f"{corpus_path}/{fam}"
     bases = [m for m in _list_partition_ids(spark, f"{corpus_path}/base", "upto")
              if m < before_batch]
     incs = [n for n in _list_partition_ids(spark, f"{corpus_path}/inc", "batch")
@@ -325,10 +334,14 @@ def resolve_stream(
     of the batch self-join), its best matches appended, and the new
     pages merged into the corpus.
 
-    Corpus layout (bounded per-batch scan):
-      corpus_path/inc/batch=<id>   one dir per micro-batch (overwrite)
-      corpus_path/base/upto=<id>   compacted snapshots: all pages from
-                                   batches <= id, hash-partitioned by
+    Corpus layout (bounded per-batch scan; `keys=<family>` versions the
+    blocking-key hash family — functions/minhash.py KEY_FAMILY — so a
+    corpus keyed under an older family is never silently banded against
+    newer batches; a foreign-family corpus raises on the first batch):
+      corpus_path/keys=<fam>/inc/batch=<id>   one dir per micro-batch
+      corpus_path/keys=<fam>/base/upto=<id>   compacted snapshots: all
+                                   pages from batches <= id, hash-
+                                   partitioned by
                                    _pk = xxhash64(url) % CORPUS_PK_BUCKETS
     Every `compact_every` batches the inc tail folds into a new base
     snapshot, so a micro-batch reads ONE compacted store + <=
@@ -349,12 +362,41 @@ def resolve_stream(
     only this sandbox pays the full rewrite). Old base/upto=<m> and
     inc/batch=<n<=m> dirs become dead after a newer snapshot and may be
     garbage-collected out of band (reads never touch them)."""
+    from ..functions.minhash import KEY_FAMILY
     from ..operators.resolve import resolve
+
+    def _check_key_family(spark: SparkSession) -> str:
+        """Fail fast if the corpus dir holds keys from another hash
+        family (ADVICE r3: cross-family banding is ~random — silent
+        recall loss). Returns this family's corpus root. Pre-versioning
+        corpora (bare inc/ or base/ at the top level) are also foreign."""
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(corpus_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            names = [st.getPath().getName() for st in fs.listStatus(jpath)]
+            foreign = [
+                n for n in names
+                if (n.startswith("keys=") and n != f"keys={KEY_FAMILY}")
+                or n in ("inc", "base")
+            ]
+            if foreign:
+                raise RuntimeError(
+                    f"resolve corpus at {corpus_path} contains blocking "
+                    f"keys from a different hash family ({foreign}); this "
+                    f"engine derives family '{KEY_FAMILY}' "
+                    "(functions/minhash.py KEY_FAMILY). Re-key the corpus "
+                    "(re-run ingest) or point corpus_path elsewhere — "
+                    "cross-family bands never match and would silently "
+                    "drop recall."
+                )
+        return f"{corpus_path}/keys={KEY_FAMILY}"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        corpus_root = _check_key_family(spark)
         keyed_new = add_blocking_keys(batch_df)
-        corpus = read_resolve_corpus(spark, corpus_path, batch_id)
+        corpus = read_resolve_corpus(spark, corpus_root, batch_id)
         if corpus is not None:
             res = resolve(
                 keyed_new,
@@ -367,13 +409,13 @@ def resolve_stream(
                 f"{results_path}/batch={batch_id}"
             )
         keyed_new.write.mode("overwrite").parquet(
-            f"{corpus_path}/inc/batch={batch_id}"
+            f"{corpus_root}/inc/batch={batch_id}"
         )
 
-        bases = _list_partition_ids(spark, f"{corpus_path}/base", "upto")
+        bases = _list_partition_ids(spark, f"{corpus_root}/base", "upto")
         last_base = max((m for m in bases if m < batch_id), default=-1)
         if batch_id - last_base >= compact_every:
-            snapshot = read_resolve_corpus(spark, corpus_path, batch_id)
+            snapshot = read_resolve_corpus(spark, corpus_root, batch_id)
             snapshot = (
                 keyed_new if snapshot is None
                 else snapshot.unionByName(keyed_new)
@@ -386,7 +428,7 @@ def resolve_stream(
                 .repartition("_pk")
                 .write.mode("overwrite")
                 .partitionBy("_pk")
-                .parquet(f"{corpus_path}/base/upto={batch_id}")
+                .parquet(f"{corpus_root}/base/upto={batch_id}")
             )
 
     return (

@@ -313,9 +313,15 @@ def test_resolve_corpus_compaction_bounds_files_read(spark, tmp_path_factory):
 
     total = S.read_resolve_corpus(spark, corpus, 1 << 30)
     assert total.count() == gen.count()
+    # data lives under the hash-family-versioned subdir (ADVICE r3)
+    from aml_entity_resolution_assignment_spark.functions.minhash import (
+        KEY_FAMILY,
+    )
+
+    root = f"{corpus}/keys={KEY_FAMILY}"
     # structural bound: inc tail after the newest base is <= compact_every
-    bases = S._list_partition_ids(spark, f"{corpus}/base", "upto")
-    incs = S._list_partition_ids(spark, f"{corpus}/inc", "batch")
+    bases = S._list_partition_ids(spark, f"{root}/base", "upto")
+    incs = S._list_partition_ids(spark, f"{root}/inc", "batch")
     assert bases, "compaction never ran"
     tail = [n for n in incs if n > max(bases)]
     assert len(tail) <= 4, (bases, incs)
@@ -326,16 +332,40 @@ def test_resolve_corpus_compaction_bounds_files_read(spark, tmp_path_factory):
     nxt = S.read_resolve_corpus(spark, corpus, n_batches)
     n_files = len(nxt.inputFiles())
     base_files = len(
-        spark.read.parquet(f"{corpus}/base/upto={max(bases)}").inputFiles()
+        spark.read.parquet(f"{root}/base/upto={max(bases)}").inputFiles()
     )
     tail_files = sum(
-        len(spark.read.parquet(f"{corpus}/inc/batch={i}").inputFiles())
+        len(spark.read.parquet(f"{root}/inc/batch={i}").inputFiles())
         for i in tail
     )
     assert n_files <= base_files + tail_files, (n_files, base_files, tail_files)
     assert len(tail) < len(incs)  # reads a strict subset of inc dirs
     # first-batch detection is explicit, not exception-driven
     assert S.read_resolve_corpus(spark, corpus, 0) is None
+
+
+def test_resolve_stream_rejects_foreign_key_family(spark, tmp_path_factory):
+    """ADVICE r3: a corpus keyed under a different token-hash family
+    must fail fast, not silently band ~randomly against new batches.
+    Pre-versioning layouts (bare inc/ at top level) count as foreign."""
+    import pyspark.errors
+
+    gen = generate_pages(spark, n_entities=5, seed=31).drop("entity_id")
+    src = str(tmp_path_factory.mktemp("pages_ff"))
+    corpus = str(tmp_path_factory.mktemp("corpus_ff"))
+    results = str(tmp_path_factory.mktemp("results_ff"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_ff"))
+    # simulate an old-family corpus: a pre-versioning bare inc/ dir
+    import os
+
+    os.makedirs(f"{corpus}/inc/batch=0", exist_ok=True)
+    gen.coalesce(1).write.mode("overwrite").parquet(src)
+    q = S.resolve_stream(S.read_pages_stream(spark, src), corpus, results, ckpt)
+    with pytest.raises(
+        (pyspark.errors.PySparkException, Exception), match="hash family"
+    ):
+        q.awaitTermination(120)
+        q.processAllAvailable()
 
 
 def test_iceberg_roundtrip(spark, tmp_path_factory):

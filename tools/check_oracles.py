@@ -1,23 +1,45 @@
 """Driver-mimic correctness harness: run every queries() entry on Spark
-at sf0.01 and its DuckDB oracle twin, compare rows/schema/values after
-column-name sort. Usage: python tools/check_oracles.py [name ...]"""
+and its DuckDB oracle twin, compare rows/schema/values after column-name
+sort. Floats are rounded to 6 decimals BEFORE sorting/comparing so
+formatting jitter can't produce spurious mismatches.
+
+Usage: python tools/check_oracles.py [--sf-dir DIR] [name ...]"""
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
 import __spark_entry__ as e  # noqa: E402
 from aml_entity_resolution_assignment_spark.session import get_spark  # noqa: E402
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
 
+def canon(df):
+    """Round float columns, then sort rows by all columns — mirrors the
+    driver's canonicalization so float jitter never flips row order."""
+    import numpy as np
+
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = np.round(df[c].astype("float64"), 6) + 0.0  # -0.0 -> 0.0
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
 def main() -> int:
+    global SF
+    argv = sys.argv[1:]
+    if "--sf-dir" in argv:
+        i = argv.index("--sf-dir")
+        SF = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     spark = get_spark("oracle-check", master="local[16]")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -26,7 +48,7 @@ def main() -> int:
             f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
         )
     q, o = e.queries(), e.oracle_sql()
-    names = sys.argv[1:] or list(q)
+    names = argv or list(q)
     failed = []
     for name in names:
         try:
@@ -35,8 +57,8 @@ def main() -> int:
                 print(f"{name}: rows-only ({len(sdf)} rows)")
                 continue
             odf = con.execute(o[name]).df().sort_index(axis=1)
-            sdf = sdf.sort_values(list(sdf.columns)).reset_index(drop=True)
-            odf = odf.sort_values(list(odf.columns)).reset_index(drop=True)
+            sdf = canon(sdf)
+            odf = canon(odf)
             rows = sdf.shape[0] == odf.shape[0]
             schema = list(sdf.columns) == list(odf.columns)
             vals = (
