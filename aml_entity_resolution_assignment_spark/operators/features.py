@@ -96,8 +96,15 @@ _jacc_udf = F.pandas_udf(sim.batch_hashset_jaccard, DoubleType())
 _sigsim_udf = F.pandas_udf(sim.batch_packed_sig_similarity, DoubleType())
 
 
-def compute_features(hydrated: DataFrame) -> DataFrame:
-    """One wide projection producing the feature vector per pair."""
+def compute_features(
+    hydrated: DataFrame, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """One wide projection producing the feature vector per pair.
+
+    `extra_cols`: hydration columns to pass through unchanged (e.g.
+    `host_b` for the resolve path's host-dedup — carrying it here is
+    free column traffic inside an existing projection, vs a whole extra
+    join against the corpus afterwards)."""
     sh_a = F.col("simhash_a")
     sh_b = F.col("simhash_b")
     simhash_sim = (
@@ -138,6 +145,7 @@ def compute_features(hydrated: DataFrame) -> DataFrame:
         )
         .otherwise(0)
         .alias("title_both_present"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
 
 

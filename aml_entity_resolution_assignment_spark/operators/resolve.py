@@ -25,6 +25,33 @@ from .features import compute_features
 CANDIDATE_LIMIT = 50  # api.py:163
 
 
+def _melt_keys(keyed: DataFrame, id_alias: str) -> DataFrame:
+    """(url, all blocking-key columns) -> tall (id, _k) table: one row
+    per non-null exact key + one per LSH band, with the key NAME hashed
+    into the 64-bit value so distinct key spaces cannot equi-join (the
+    same collapse candidate_pairs uses for the batch self-join — a
+    cross-space hash collision can only add a spurious CANDIDATE, which
+    the scorer then rejects). One scan + one explode replaces one scan
+    per key column."""
+    exact = F.array(
+        *[
+            F.when(F.col(k).isNotNull(), F.xxhash64(F.lit(k), F.col(k)))
+            for k in BLOCKING_KEYS
+        ]
+    )
+    bands = [
+        F.coalesce(
+            F.transform(F.col(k), lambda b, _k=k: F.xxhash64(F.lit(_k), b)),
+            F.array().cast("array<bigint>"),
+        )
+        for k in BAND_KEYS
+    ]
+    keys = F.filter(F.concat(exact, *bands), lambda x: x.isNotNull())
+    return keyed.select(
+        F.col("url").alias(id_alias), F.explode(keys).alias("_k")
+    )
+
+
 def find_candidates(
     query_keyed: DataFrame,
     corpus_keyed: DataFrame,
@@ -32,46 +59,25 @@ def find_candidates(
 ) -> DataFrame:
     """(query_id, candidate url) pairs: equality on any exact blocking
     key or shared LSH band, capped per query (api.py:163-215). Unlike
-    the self-join path, this is query-vs-corpus, so each key is a plain
-    two-sided equi-join; the query side is typically small -> broadcast."""
-    parts = []
-    q = F.broadcast(query_keyed)
-    for k in BLOCKING_KEYS:
-        parts.append(
-            q.where(F.col(k).isNotNull())
-            .select(F.col("url").alias("query_id"), F.col(k).alias("_k"))
-            .join(
-                corpus_keyed.where(F.col(k).isNotNull()).select(
-                    F.col("url").alias("candidate_id"), F.col(k).alias("_k")
-                ),
-                "_k",
-            )
-            .drop("_k")
-        )
-    for k in BAND_KEYS:
-        parts.append(
-            q.where(F.col(k).isNotNull())
-            .select(
-                F.col("url").alias("query_id"), F.explode(F.col(k)).alias("_b")
-            )
-            .join(
-                corpus_keyed.where(F.col(k).isNotNull()).select(
-                    F.col("url").alias("candidate_id"),
-                    F.explode(F.col(k)).alias("_b"),
-                ),
-                "_b",
-            )
-            .drop("_b")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    the self-join path, this is query-vs-corpus, so both sides melt to
+    one tall (id, key_hash) table and ONE two-sided equi-join covers
+    every key space; the query side is typically small -> broadcast
+    (one broadcast build, not one per key column)."""
+    out = F.broadcast(_melt_keys(query_keyed, "query_id")).join(
+        _melt_keys(corpus_keyed, "candidate_id"), "_k"
+    ).drop("_k")
     # dedup doubles as a relevance proxy: candidates hitting MORE
     # blocking keys rank first, so the per-query cap keeps the likeliest
     # matches instead of the lexicographically-smallest urls (the
     # reference's bare LIMIT 50, api.py:163, drops arbitrarily)
+    # one exchange serves both the pair-dedup aggregate and the cap
+    # window: HashPartitioning(query_id) satisfies the groupBy's
+    # (query_id, candidate_id) clustering AND the window's query_id
+    # clustering, so repartitioning once up front replaces two shuffles
+    # (pair-grain groupBy exchange + query-grain window exchange)
     out = (
         out.where(F.col("query_id") != F.col("candidate_id"))
+        .repartition("query_id")
         .groupBy("query_id", "candidate_id")
         .agg(F.count("*").alias("n_shared_keys"))
     )
@@ -117,36 +123,43 @@ def resolve(
         .join(ccols, F.col("id_b") == F.col("url_b"))
         .drop("url_a", "url_b")
     )
-    classified = classify(compute_features(hydrated), thresholds)
-
-    # A4: identity conflict — id-driven (host) vs name-driven (title)
-    # candidate sets disjoint => force review (api.py:344-374)
-    id_driven = F.collect_set(
-        F.when(F.col("host_score") >= 0.9, F.col("id_b"))
-    ).alias("_id_set")
-    name_driven = F.collect_set(
-        F.when(F.col("title_score") > 0.9, F.col("id_b"))
-    ).alias("_name_set")
-    conflicts = classified.groupBy(F.col("id_a")).agg(id_driven, name_driven)
-    conflicts = conflicts.select(
-        "id_a",
-        (
-            (F.size("_id_set") > 0)
-            & (F.size("_name_set") > 0)
-            & (F.size(F.array_intersect("_id_set", "_name_set")) == 0)
-        ).alias("identity_conflict"),
+    # host_b rides the feature projection (free column traffic) instead
+    # of a separate join back against the corpus for host-dedup
+    classified = classify(
+        compute_features(hydrated, extra_cols=["host_b"]), thresholds
     )
 
-    # A2/A3: priority map match=2/review=1/no_match=0; host-dedup then rank
+    # A4: identity conflict — id-driven (host) vs name-driven (title)
+    # candidate sets disjoint => force review (api.py:344-374). The
+    # reference materializes both candidate-id sets and intersects
+    # (api.py:344-374); set-intersection over per-(id_a,id_b)-unique
+    # rows reduces to three boolean window aggregates over id_a —
+    # "some id-driven row", "some name-driven row", "some row that is
+    # both" — sharing ONE exchange with the ranking windows below
+    # instead of a groupBy shuffle + collect_set + re-join.
+    w_q = Window.partitionBy("id_a")
+    has_id = F.max(F.when(F.col("host_score") >= 0.9, 1).otherwise(0)).over(w_q)
+    has_name = F.max(F.when(F.col("title_score") > 0.9, 1).otherwise(0)).over(w_q)
+    has_both = F.max(
+        F.when(
+            (F.col("host_score") >= 0.9) & (F.col("title_score") > 0.9), 1
+        ).otherwise(0)
+    ).over(w_q)
+
+    # A2/A3: priority map match=2/review=1/no_match=0; host-dedup then
+    # rank. All three window specs cluster on id_a, so
+    # HashPartitioning(id_a) from the first exchange satisfies every
+    # one — Catalyst plans one shuffle + per-spec sorts, not three
+    # shuffles.
     pri = (
         F.when(F.col("match_type") == "match", 2)
         .when(F.col("match_type") == "review", 1)
         .otherwise(0)
     )
-    hosts = corpus_keyed.select(
-        F.col("url").alias("id_b"), F.col("host").alias("host_b")
+    ranked = classified.withColumn("priority", pri).withColumn(
+        "identity_conflict",
+        (has_id == 1) & (has_name == 1) & (has_both == 0),
     )
-    ranked = classified.join(hosts, "id_b").withColumn("priority", pri)
     w_host = Window.partitionBy("id_a", "host_b").orderBy(
         F.desc("priority"), F.desc("confidence_score"), F.asc("id_b")
     )
@@ -159,13 +172,11 @@ def resolve(
     best = (
         ranked.withColumn("rank", F.row_number().over(w_best))
         .where(F.col("rank") <= top_n)
-        .join(conflicts, "id_a", "left")
         .select(
             F.col("id_a").alias("query_id"),
             F.col("id_b").alias("matched_url"),
             F.when(
-                F.coalesce("identity_conflict", F.lit(False))
-                & (F.col("match_type") == "match"),
+                F.col("identity_conflict") & (F.col("match_type") == "match"),
                 "review",
             )
             .otherwise(F.col("match_type"))
@@ -173,7 +184,7 @@ def resolve(
             "confidence_score",
             "explanation",
             "rank",
-            F.coalesce("identity_conflict", F.lit(False)).alias("identity_conflict"),
+            "identity_conflict",
         )
     )
     return best
