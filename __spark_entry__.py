@@ -966,6 +966,57 @@ def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY VP8 decode path END-TO-END with a hard oracle: build a
+    REAL VP8 key-frame bitstream (functions/vp8.py: boolean arithmetic
+    coder, Y2/WHT DC pipeline, intra prediction, iDCT) whose four
+    16x16 macroblocks are flat grays from the doc's first 4 ASCII
+    bytes. Flat MBs quantize EXACTLY at qi=0 (the Y2 DC path divides
+    evenly: fdct DC = 8*res, fwht gain 8, y2_dc factor 8 | 64*res), so
+    the decoded luma equals the source byte per quadrant, and with
+    neutral chroma the RGB conversion is the SQL-expressible integer
+    map clamp((298*(g-16)+128)>>8) — tolerance-free end to end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.vp8 import (
+        encode_webp_lossy,
+    )
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def _to_webp(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:4]
+            y = np.zeros((32, 32), dtype=np.uint8)
+            for q, (ys, xs) in enumerate(((0, 0), (0, 16), (16, 0), (16, 16))):
+                y[ys : ys + 16, xs : xs + 16] = raw[q]
+            out.append(encode_webp_lossy(y, qi=0, filter_level=0)[0])
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    webp_udf = F.pandas_udf(_to_webp, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        webp_udf(F.col("text")).alias("payload"),
+        F.lit("image/webp").alias("mime"),
+        F.lit(32).alias("width"),
+        F.lit(32).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.posexplode(F.col("feature")).alias("k", "v"),
+    ).select(
+        "doc_id", "k", F.round(F.col("v") * 255).cast("long").alias("pix")
+    )
+
+
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video decode path END-TO-END with a hard oracle: build a REAL
     MJPEG AVI (functions/avi.py: RIFF container around four baseline
@@ -1236,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_webp": q_multimodal_webp,
+        "multimodal_webp_lossy": q_multimodal_webp_lossy,
         "multimodal_video": q_multimodal_video,
         "multimodal_wav": q_multimodal_wav,
         "events_window": q_events_window,
@@ -1918,6 +1970,23 @@ def oracle_sql() -> dict[str, str]:
            (select unnest(generate_series(0, 3)) as j)
     )
     select d.doc_id, pos.k, ord(substr(d.text, pos.p, 1)) as pix
+    from documents d, pos
+    where d.n_chars >= 4
+    """
+
+    # lossy VP8: decoded luma == source byte per flat quadrant (exact
+    # at qi=0), then the neutral-chroma BT.601 integer map to RGB
+    sql["multimodal_webp_lossy"] = """
+    with pos as (
+      select (i * 4 + j) as k,
+             (2 * (i // 2) + (j // 2) + 1) as p
+      from (select unnest(generate_series(0, 3)) as i),
+           (select unnest(generate_series(0, 3)) as j)
+    )
+    select d.doc_id, pos.k,
+           greatest(0, least(255,
+             (298 * (ord(substr(d.text, pos.p, 1)) - 16) + 128) // 256
+           )) as pix
     from documents d, pos
     where d.n_chars >= 4
     """

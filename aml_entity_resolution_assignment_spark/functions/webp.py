@@ -645,9 +645,11 @@ def decode_vp8l(data: bytes) -> np.ndarray:
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a WebP container -> uint8 (h, w, 4) RGBA. Lossless
-    (VP8L) decodes for real; lossy VP8 raises at the marked
-    boundary."""
+    """Decode a WebP container -> uint8 (h, w, 4) RGBA (VP8L) or
+    (h, w, 3) RGB (lossy VP8 key frames via functions/vp8.py: boolean
+    coder + intra prediction + iDCT/iWHT + loop filter; see vp8.py's
+    probability-table fidelity note). VP8 inter frames raise at the
+    marked boundary."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP payload")
     pos = 12
@@ -660,11 +662,9 @@ def decode_webp(payload: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return decode_vp8l(body)
         if tag == b"VP8 ":
-            raise ValueError(
-                "lossy WebP (VP8) needs a full intra-frame codec "
-                "(boolean coder + DCT + loop filter) — marked boundary; "
-                "lossless VP8L decodes here"
-            )
+            from .vp8 import decode_vp8, yuv_to_rgb
+
+            return yuv_to_rgb(*decode_vp8(body))
         pos += 8 + size + (size & 1)
     raise ValueError("WebP container has no VP8L/VP8 chunk")
 
