@@ -29,6 +29,14 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.shuffle.partitions": "32",
+    # Shuffle/spill compression codec. MEASURED on this sandbox
+    # (interleaved A/B, 40k-entity ER pipeline): zstd level 1 is
+    # ~1.7x SLOWER than lz4 at both 4 and 16 cores — the host throttles
+    # CPU, so zstd's extra cycles cost more than its bandwidth saving
+    # here. On a real cluster (network-bound shuffle) zstd is usually
+    # the right trade: flip via SPARK_GRAFT_IO_CODEC or spark-submit.
+    "spark.io.compression.codec": os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+    "spark.io.compression.zstd.level": "1",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # single-JVM local mode: the "driver" heap is the whole cluster's
     # memory; size it like an executor fleet, not a driver

@@ -105,3 +105,39 @@ def test_self_join_sizes_aggregation_computed_once(spark, parquet_pages):
     # any job (count above is the single action) — the salted plan is
     # fully lazy, asserted by the cache scan feeding >= 2 consumers
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_resolve_plan_single_broadcast_and_shared_window_exchange(
+    spark, parquet_pages
+):
+    """Round-4 resolve plan shape: (a) the melted-key candidate join is
+    ONE BroadcastHashJoin on the key hash (not five per-key joins);
+    (b) the conflict flags are window aggregates, so the plan has NO
+    collect_set-bearing ObjectHashAggregate and no extra join back to
+    the corpus for host_b; (c) the three id_a-clustered window specs
+    share partitioning — at most one exchange introduced by the whole
+    ranking tail (hashpartitioning on id_a appears once)."""
+    from aml_entity_resolution_assignment_spark.operators.blocking import (
+        add_blocking_keys,
+    )
+    from aml_entity_resolution_assignment_spark.operators.resolve import resolve
+
+    pages = spark.read.parquet(parquet_pages)
+    corpus = add_blocking_keys(pages)
+    queries = add_blocking_keys(pages.limit(8))
+    plan = _plan(resolve(queries, corpus, already_keyed=True))
+
+    import re
+
+    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted explain lists each node twice (tree + detail section):
+    # count the numbered detail nodes. 3 joins = melt join + 2 hydrations
+    n_bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M))
+    assert n_bhj <= 3, n_bhj
+    assert "collect_set" not in plan  # conflict flags are window maxes
+    # ranking tail: one exchange keyed on id_a only (the window specs on
+    # (id_a) and (id_a, host_b) both accept hashpartitioning(id_a))
+    ex = re.findall(r"^\(\d+\) Exchange\s*$|hashpartitioning\(id_a[^)]*\)", plan, re.M)
+    n_ex = len([e for e in ex if e.startswith("hashpartitioning")])
+    # tree + detail duplication again: <= 2 textual occurrences = 1 node
+    assert n_ex <= 2, ex
