@@ -813,6 +813,58 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode path END-TO-END with a hard
+    oracle: same flat-quadrant construction as multimodal_jpeg but
+    encoded with the multi-scan progressive encoder (interleaved DC
+    first + refinement, AC spectral bands with EOB runs, successive-
+    approximation refinement). Constant blocks with the all-ones quant
+    table decode BIT-EXACTLY, so the same ord(substr) SQL twin holds —
+    proving the SOF2 scan machinery reconstructs the identical
+    coefficient store."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def _to_jpeg(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:4]
+            img = np.zeros((16, 16), dtype=np.uint8)
+            img[0:8, 0:8] = raw[0]
+            img[0:8, 8:16] = raw[1]
+            img[8:16, 0:8] = raw[2]
+            img[8:16, 8:16] = raw[3]
+            out.append(encode_jpeg_progressive(img))
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    jpeg_udf = F.pandas_udf(_to_jpeg, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        jpeg_udf(F.col("text")).alias("payload"),
+        F.lit("image/jpeg").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.posexplode(F.col("feature")).alias("k", "v"),
+    ).select(
+        "doc_id", "k", F.round(F.col("v") * 255).cast("long").alias("pix")
+    )
+
+
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG decode path END-TO-END with a hard oracle: build a REAL PNG
     (functions/png.py encoder) whose four 8x8 quadrants are constant
@@ -1284,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_webp": q_multimodal_webp,
@@ -1937,6 +1990,9 @@ def oracle_sql() -> dict[str, str]:
     from documents d, pos
     where d.n_chars >= 4
     """
+
+    # progressive stream of the same flat image -> identical decode
+    sql["multimodal_jpeg_progressive"] = sql["multimodal_jpeg"]
 
     sql["multimodal_png"] = """
     with pos as (

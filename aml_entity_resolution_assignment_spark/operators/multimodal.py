@@ -6,11 +6,12 @@ mapInPandas stages. Decode is REAL in pure numpy for netpbm (P5/P6),
 baseline JPEG (functions/jpeg.py), PNG incl. Adam7/16-bit
 (functions/png.py), GIF incl. animation (functions/gif.py), WebP
 lossless VP8L (functions/webp.py) and lossy VP8 key frames
-(functions/vp8.py), WAV PCM/IEEE-float audio (functions/wav.py) and
-MJPEG-AVI video (functions/avi.py); progressive JPEG, VP8 inter
-frames and inter-frame/psychoacoustic codecs (MP3/AAC/H.264/VP9/...)
-need codec libraries absent from this container and raise at a
-clearly-marked boundary. The Spark-side plumbing — schema, batch
+(functions/vp8.py), baseline AND progressive JPEG
+(functions/jpeg.py), WAV PCM/IEEE-float audio (functions/wav.py) and
+MJPEG-AVI video (functions/avi.py); VP8 inter frames and
+inter-frame/psychoacoustic codecs (MP3/AAC/H.264/VP9/...) need codec
+libraries absent from this container and raise at a clearly-marked
+boundary. The Spark-side plumbing — schema, batch
 shape, partition-size control, null propagation — is real and tested
 for every kind.
 
@@ -106,9 +107,10 @@ def _decode_image(payload: bytes) -> np.ndarray:
     five scanline filters, gray/RGB/palette/alpha) decode FOR REAL in
     pure numpy (incl. Adam7 interlace), as do GIF (LZW) and WebP
     lossless (full VP8L) AND lossy VP8 key frames (functions/vp8.py:
-    boolean coder + intra prediction + iDCT/iWHT). The remaining
-    frontier — progressive JPEG, VP8 inter frames, H.264/VP9, MP3/AAC
-    — raises at a clearly-marked boundary."""
+    boolean coder + intra prediction + iDCT/iWHT); JPEG covers
+    baseline AND progressive (SOF2) since round 4. The remaining
+    frontier — VP8 inter frames, H.264/VP9, MP3/AAC — raises at a
+    clearly-marked boundary."""
     if payload and payload[:1] == b"P" and payload[1:2] in (b"5", b"6"):
         return decode_netpbm(payload)
     if payload and payload[:2] == b"\xff\xd8":
@@ -128,11 +130,11 @@ def _decode_image(payload: bytes) -> np.ndarray:
 
         return decode_webp(payload)
     raise NotImplementedError(
-        "unsupported image payload: netpbm (P5/P6), baseline JPEG, PNG, "
-        "GIF, and WebP (lossless VP8L + lossy VP8 key frames) decode "
-        "natively in pure numpy; the remaining frontier — progressive "
-        "JPEG, VP8 inter frames, H.264/VP9 — needs codec libraries "
-        "absent from this container, or use "
+        "unsupported image payload: netpbm (P5/P6), JPEG (baseline + "
+        "progressive), PNG, GIF, and WebP (lossless VP8L + lossy VP8 "
+        "key frames) decode natively in pure numpy; the remaining "
+        "frontier — VP8 inter frames, H.264/VP9 — needs codec "
+        "libraries absent from this container, or use "
         "extract_media_features(deterministic_fake=True)"
     )
 

@@ -81,12 +81,15 @@ def test_color_odd_dims_420():
 def test_unsupported_features_raise_clearly():
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"\x89PNG\r\n")
-    # synthesize a progressive (SOF2) header
-    prog = bytearray(J.encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
-    idx = bytes(prog).find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        J.decode_jpeg(bytes(prog))
+    # lossless (SOF3) stays a marked boundary (SOF2 decodes since r4)
+    bad = bytearray(J.encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    idx = bytes(bad).find(b"\xff\xc0")
+    bad[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless"):
+        J.decode_jpeg(bytes(bad))
+    bad[idx + 1] = 0xC9  # arithmetic-coded
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        J.decode_jpeg(bytes(bad))
 
 
 def test_byte_stuffing_paths():
@@ -108,3 +111,75 @@ def test_multimodal_decode_image_jpeg_integration():
     feat = _image_feature(J.encode_jpeg_gray(img), dim=16)
     assert feat.shape == (16,)
     assert np.allclose(feat, 77 / 255.0)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_gray():
+    """A progressive stream carries the same quantized coefficients as
+    the baseline stream of the same image, so decodes must be
+    bit-identical — for both the near-lossless and the realistic
+    quantizer."""
+    rng = np.random.Generator(np.random.PCG64(41))
+    g = rng.integers(0, 255, (64, 80)).astype(np.uint8)
+    for qt in (None, J.STD_LUMA_QUANT):
+        base = J.decode_jpeg(J.encode_jpeg_gray(g, qtab=qt))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(g, qtab=qt))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_equals_baseline_color():
+    rng = np.random.Generator(np.random.PCG64(42))
+    img = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg_color(img, subsampling=(1, 1)))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(img))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_spectral_selection_only():
+    """Scan script with no successive approximation — AC first scans +
+    EOB runs only."""
+    rng = np.random.Generator(np.random.PCG64(43))
+    g = rng.integers(0, 255, (40, 56)).astype(np.uint8)
+    scans = [([0], 0, 0, 0, 0), ([0], 1, 20, 0, 0), ([0], 21, 63, 0, 0)]
+    got = J.decode_jpeg(J.encode_jpeg_progressive(g, scans=scans))
+    assert np.array_equal(got, J.decode_jpeg(J.encode_jpeg_gray(g)))
+
+
+def test_progressive_two_bit_successive_approximation():
+    """Al=2 first scans + two refinement passes — exercises repeated
+    AC refinement (correction bits on already-significant coeffs)."""
+    rng = np.random.Generator(np.random.PCG64(44))
+    g = rng.integers(0, 255, (40, 56)).astype(np.uint8)
+    scans = [
+        ([0], 0, 0, 0, 2), ([0], 1, 63, 0, 2),
+        ([0], 0, 0, 2, 1), ([0], 1, 63, 2, 1),
+        ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0),
+    ]
+    got = J.decode_jpeg(J.encode_jpeg_progressive(g, scans=scans))
+    assert np.array_equal(got, J.decode_jpeg(J.encode_jpeg_gray(g)))
+
+
+def test_progressive_eob_runs_on_smooth_image():
+    """Smooth gradient + std quantizer -> mostly-zero AC bands ->
+    multi-block EOB runs (>1) in first AND refinement scans."""
+    sm = np.tile((np.arange(56) * 2).astype(np.uint8), (40, 1))
+    prog = J.decode_jpeg(
+        J.encode_jpeg_progressive(sm, qtab=J.STD_LUMA_QUANT)
+    )
+    base = J.decode_jpeg(J.encode_jpeg_gray(sm, qtab=J.STD_LUMA_QUANT))
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_flat_blocks_bit_exact():
+    """Constant-gray blocks with the all-ones quantizer decode to the
+    source exactly through the progressive path (the multimodal oracle
+    property, preserved under SOF2)."""
+    img = np.zeros((16, 32), dtype=np.uint8)
+    img[:8, :8] = 73
+    img[8:, 24:] = 200
+    got = J.decode_jpeg(J.encode_jpeg_progressive(img))
+    assert np.array_equal(got, img)
