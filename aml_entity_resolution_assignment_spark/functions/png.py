@@ -15,9 +15,10 @@ numpy. Supports the formats that dominate web images:
 * bit depth 16 (non-palette): filters run over bytes with
   bpp = 2 x channels per the spec; samples reduce to their high byte
   (the standard 16 -> 8 reduction) to keep the uint8 decode contract
-
-Sub-byte depths (1/2/4, rare on the web) raise ``ValueError`` — the
-remaining marked sub-boundary alongside WebP.
+* sub-byte depths 1/2/4 (gray + palette, round 4): filters run over
+  whole scanline bytes with bpp=1 per spec §6, samples unpack
+  MSB-first (incl. Adam7, whose per-pass scanlines pad to byte
+  boundaries independently); gray samples scale by 255/(2^d-1)
 
 Filter reconstruction is vectorized where the data dependency allows:
 Sub is a per-row cumulative sum over pixel strides, Up is a plain
@@ -123,6 +124,49 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _unpack_samples(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, row_bytes) filtered-out bytes -> (h, w) samples for sub-byte
+    depths: PNG packs samples left-to-right starting at each byte's
+    most significant bit."""
+    bits = np.unpackbits(rows, axis=1)
+    n = bits.shape[1] // depth
+    grouped = bits[:, : n * depth].reshape(rows.shape[0], n, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2).astype(np.uint8)[:, :w]
+
+
+def _decode_subbyte(
+    raw: np.ndarray, h: int, w: int, depth: int, interlace: int
+) -> np.ndarray:
+    """Unfilter + unpack a 1/2/4-bit single-channel image (gray index
+    or palette index), straight or Adam7."""
+    if interlace == 0:
+        row_bytes = -(-(w * depth) // 8)
+        if raw.size != h * (1 + row_bytes):
+            raise ValueError("PNG pixel data size mismatch")
+        px = _unfilter(raw.reshape(h, 1 + row_bytes), h, row_bytes, 1)
+        return _unpack_samples(px, w, depth)
+    out = np.zeros((h, w), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, -(-(w - x0) // dx))
+        ph = max(0, -(-(h - y0) // dy))
+        if pw == 0 or ph == 0:
+            continue
+        row_bytes = -(-(pw * depth) // 8)
+        size = ph * (1 + row_bytes)
+        if pos + size > raw.size:
+            raise ValueError("PNG pixel data size mismatch")
+        sub = _unfilter(
+            raw[pos : pos + size].reshape(ph, 1 + row_bytes), ph, row_bytes, 1
+        )
+        out[y0::dy, x0::dx] = _unpack_samples(sub, pw, depth)
+        pos += size
+    if pos != raw.size:
+        raise ValueError("PNG pixel data size mismatch")
+    return out
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG payload to uint8 (h, w) gray or (h, w, c) array.
 
@@ -157,8 +201,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or (depth == 16 and ctype == 3):
+    if depth not in (1, 2, 4, 8, 16) or (depth == 16 and ctype == 3):
         raise ValueError(f"PNG bit depth {depth} not supported")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(f"PNG bit depth {depth} invalid for color type {ctype}")
     if ctype not in _CHANNELS:
         raise ValueError(f"PNG color type {ctype} not supported")
     if comp != 0 or filt != 0:
@@ -174,6 +220,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
     raw = np.frombuffer(inflated, dtype=np.uint8)
+    if depth < 8:
+        # sub-byte depths (1/2/4 gray or palette): filters operate on
+        # bytes with bpp=1 (spec §6: bpp rounds up to one byte), then
+        # samples unpack MSB-first within each scanline byte
+        samples = _decode_subbyte(raw, h, w, depth, interlace)
+        if ctype == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE")
+            if int(samples.max(initial=0)) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            return plte[samples]
+        return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if interlace == 1:
         px = np.zeros((h, w * bpp), dtype=np.uint8)
         pos2 = 0
@@ -320,3 +378,54 @@ def encode_png_palette(
         + _chunk(b"IDAT", zlib.compress(body, level))
         + _chunk(b"IEND", b"")
     )
+
+
+def _pack_samples(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) sub-byte samples -> (h, row_bytes) packed scanline bytes
+    (MSB-first, zero-padded to a byte boundary — the PNG convention)."""
+    h, w = samples.shape
+    per_byte = 8 // depth
+    pad_w = -(-w // per_byte) * per_byte
+    s = np.zeros((h, pad_w), dtype=np.uint8)
+    s[:, :w] = samples
+    bits = (
+        (s[:, :, None] >> np.arange(depth - 1, -1, -1, dtype=np.uint8)) & 1
+    ).astype(np.uint8).reshape(h, pad_w * depth)
+    return np.packbits(bits, axis=1)
+
+
+def encode_png_subbyte(
+    samples: np.ndarray,
+    depth: int,
+    palette: np.ndarray | None = None,
+    filter_type: int | str = 0,
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """Encode (h, w) samples at bit depth 1/2/4 as grayscale (palette
+    None; sample n renders as n * 255/(2^depth-1)) or color-type-3
+    palette PNG — decoder-exercise helper for the sub-byte paths."""
+    if depth not in (1, 2, 4):
+        raise ValueError("sub-byte depth must be 1, 2 or 4")
+    samples = np.ascontiguousarray(samples, dtype=np.uint8)
+    if samples.max(initial=0) >= (1 << depth):
+        raise ValueError("sample out of range for depth")
+    h, w = samples.shape
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                _filter_image(_pack_samples(sub, depth), 1, filter_type)
+            )
+        body = b"".join(parts)
+    else:
+        body = _filter_image(_pack_samples(samples, depth), 1, filter_type)
+    ctype = 0 if palette is None else 3
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, int(interlace))
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", np.ascontiguousarray(palette, dtype=np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(body, level)) + _chunk(b"IEND", b"")

@@ -8,6 +8,7 @@ import zlib
 import numpy as np
 import pytest
 
+from aml_entity_resolution_assignment_spark.functions import png as P
 from aml_entity_resolution_assignment_spark.functions.png import (
     decode_png,
     encode_png,
@@ -89,8 +90,9 @@ def test_bad_depths_rejected():
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    # sub-byte depths and 16-bit palette are out of scope
-    for depth, ctype in ((1, 0), (2, 0), (4, 0), (16, 3)):
+    # 16-bit palette and nonstandard depths are out of scope
+    # (sub-byte 1/2/4 decode for real since round 4)
+    for depth, ctype in ((3, 0), (16, 3), (32, 0)):
         hdr = sig + chunk(
             b"IHDR", struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, 0)
         )
@@ -178,3 +180,58 @@ def test_multi_idat_chunks():
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+# ---------------------------------------------------------------------------
+# sub-byte depths (1/2/4) — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_subbyte_gray_all_depths_filters_interlace():
+    rng = np.random.default_rng(21)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for interlace in (False, True):
+            for ft in (0, "cycle"):
+                s = rng.integers(0, 1 << depth, (13, 21)).astype(np.uint8)
+                payload = P.encode_png_subbyte(
+                    s, depth, filter_type=ft, interlace=interlace
+                )
+                got = P.decode_png(payload)
+                assert np.array_equal(got, s * scale), (depth, interlace, ft)
+
+
+def test_subbyte_palette_roundtrip():
+    rng = np.random.default_rng(22)
+    for depth in (1, 2, 4):
+        s = rng.integers(0, 1 << depth, (9, 17)).astype(np.uint8)
+        pal = rng.integers(0, 256, (1 << depth, 3)).astype(np.uint8)
+        got = P.decode_png(P.encode_png_subbyte(s, depth, palette=pal))
+        assert np.array_equal(got, pal[s])
+
+
+def test_subbyte_byte_boundary_widths():
+    # widths that do / don't land on byte boundaries per depth
+    rng = np.random.default_rng(23)
+    for depth, widths in ((1, (7, 8, 9)), (2, (3, 4, 5)), (4, (1, 2, 3))):
+        for w in widths:
+            s = rng.integers(0, 1 << depth, (3, w)).astype(np.uint8)
+            got = P.decode_png(P.encode_png_subbyte(s, depth))
+            assert np.array_equal(got, s * (255 // ((1 << depth) - 1))), (depth, w)
+
+
+def test_subbyte_invalid_color_type_rejected():
+    # depth 2 with RGB color type is spec-invalid
+    img = np.zeros((4, 4), dtype=np.uint8)
+    payload = bytearray(P.encode_png_subbyte(img, 2))
+    # IHDR body starts at offset 16; color type is byte 9 of the body
+    payload[16 + 9] = 2
+    import struct as _s
+    import zlib as _z
+
+    body = bytes(payload[16 : 16 + 13])
+    payload[16 + 13 : 16 + 17] = _s.pack(
+        ">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="invalid for color type"):
+        P.decode_png(bytes(payload))
