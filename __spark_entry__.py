@@ -343,6 +343,45 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC (round 4): assignments from the base chain graph
+    (docs adjacent by id within a lang), then a delta batch — skip-2
+    edges every 5th doc (merging adjacent components) plus edges to
+    BRAND-NEW vertices (1000000 + doc_id every 97th doc) — folded in
+    via the contracted-component-graph path. The oracle recomputes CC
+    over base UNION delta from scratch. Ids are zero-padded so the
+    engine's lexicographic min-label equals the oracle's numeric min."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+
+    def pad(col):
+        return F.lpad(col.cast("string"), 8, "0")
+
+    a = d.select(F.col("doc_id").alias("ia"), F.col("lang").alias("la"))
+    b = d.select(F.col("doc_id").alias("ib"), F.col("lang").alias("lb"))
+    base = a.join(
+        b, (F.col("ib") == F.col("ia") + 1) & (F.col("la") == F.col("lb"))
+    ).select(pad(F.col("ia")).alias("id_a"), pad(F.col("ib")).alias("id_b"))
+    verts = d.select(pad(F.col("doc_id")).alias("doc"))
+    assignments = G.connected_components(base, vertices=verts, id_col="doc")
+
+    delta_merge = (
+        a.join(b, (F.col("ib") == F.col("ia") + 2) & (F.col("la") == F.col("lb")))
+        .where(F.col("ia") % 5 == 0)
+        .select(pad(F.col("ia")).alias("id_a"), pad(F.col("ib")).alias("id_b"))
+    )
+    delta_new = d.where(F.col("doc_id") % 97 == 0).select(
+        pad(F.col("doc_id")).alias("id_a"),
+        pad(F.col("doc_id") + 1000000).alias("id_b"),
+    )
+    out = G.incremental_connected_components(
+        assignments, delta_merge.unionByName(delta_new), id_col="doc"
+    )
+    return out.select(
+        F.col("doc").cast("long").alias("doc_id"),
+        F.col("predicted_entity_id").cast("long").alias("component"),
+    )
+
+
 def q_review_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: review credit over the rule-cascade output — true pairs
     (same source), missed by match_type='match', caught by
@@ -1315,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex": q_soundex,
         "ml_prob": q_ml_prob,
         "connected_components": q_connected_components,
+        "cc_incremental": q_cc_incremental,
         "topk_ranking": q_topk_ranking,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1814,6 +1854,39 @@ def oracle_sql() -> dict[str, str]:
       union
       select s.v, reach.r from reach join sym s on s.u = reach.id
       where reach.r < s.v  -- only propagate smaller roots
+    )
+    select id as doc_id, min(r) as component from reach group by id
+    """
+
+    # full recompute over base UNION delta — the incremental path must
+    # land on exactly this fixpoint
+    sql["cc_incremental"] = """
+    with recursive delta as (
+      select a.doc_id as u, b.doc_id as v
+      from documents a join documents b
+        on b.doc_id = a.doc_id + 2 and a.lang = b.lang
+      where a.doc_id % 5 = 0
+      union all
+      select doc_id, 1000000 + doc_id from documents where doc_id % 97 = 0
+    ),
+    edges as (
+      select a.doc_id as u, b.doc_id as v
+      from documents a join documents b
+        on b.doc_id = a.doc_id + 1 and a.lang = b.lang
+      union
+      select u, v from delta
+    ),
+    verts as (
+      select doc_id as id from documents
+      union
+      select 1000000 + doc_id from documents where doc_id % 97 = 0
+    ),
+    sym as (select u, v from edges union select v, u from edges),
+    reach(id, r) as (
+      select id, id from verts
+      union
+      select s.v, reach.r from reach join sym s on s.u = reach.id
+      where reach.r < s.v
     )
     select id as doc_id, min(r) as component from reach group by id
     """

@@ -203,6 +203,85 @@ def connected_components(
     )
 
 
+def incremental_connected_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "url",
+    label_col: str = "predicted_entity_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Fold a batch of NEW match edges into an existing component
+    assignment WITHOUT re-running CC over the full graph — the
+    streaming/incremental form of connected_components, exact vs a
+    full recompute (tests + oracle pin equality).
+
+    At 10^12 docs the full-graph recompute is O(E log n) per batch;
+    here the batch only ever touches:
+
+      1. two joins mapping the batch edges' endpoints to their current
+         component labels (endpoints unseen by `assignments` map to
+         themselves — new vertices need no pre-registration),
+      2. CC over the CONTRACTED component graph — one node per touched
+         component, so its size is bounded by the batch, not the
+         corpus (label = min member id is preserved under contraction:
+         min over merged components' labels = min over their members),
+      3. ONE broadcast hash join of the tiny (old label -> new label)
+         mapping against the big assignment table.
+
+    The big table is scanned once and never shuffled. Returns the full
+    updated assignment (old rows relabeled where merged + rows for
+    vertices first seen in `new_edges`)."""
+    a = assignments.select(
+        F.col(id_col).cast("string").alias("_m"),
+        F.col(label_col).cast("string").alias("_c"),
+    )
+    e = new_edges.select(
+        F.col("id_a").cast("string").alias("_ea"),
+        F.col("id_b").cast("string").alias("_eb"),
+    )
+    # endpoints -> current component (identity for unseen vertices)
+    ea = a.select(F.col("_m").alias("_ea"), F.col("_c").alias("_ca"))
+    eb = a.select(F.col("_m").alias("_eb"), F.col("_c").alias("_cb"))
+    mapped = (
+        e.join(ea, "_ea", "left")
+        .join(eb, "_eb", "left")
+        .select(
+            F.coalesce("_ca", F.col("_ea")).alias("id_a"),
+            F.coalesce("_cb", F.col("_eb")).alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    # contracted component graph: bounded by the batch size
+    relabel = connected_components(
+        mapped, id_col="comp", max_iter=max_iter
+    ).select(
+        F.col("comp").alias("_c"),
+        F.col("predicted_entity_id").alias("_new"),
+    )
+    updated = (
+        a.join(F.broadcast(relabel), "_c", "left")
+        .select(
+            F.col("_m").alias(id_col),
+            F.coalesce("_new", F.col("_c")).alias(label_col),
+        )
+    )
+    # vertices first seen in this batch: their label is the contracted
+    # graph's verdict (or themselves if their edges were all self-loops)
+    new_verts = (
+        e.select(F.col("_ea").alias("_m"))
+        .unionByName(e.select(F.col("_eb").alias("_m")))
+        .distinct()
+        .join(a.select("_m"), "_m", "left_anti")
+    )
+    fresh = new_verts.join(
+        F.broadcast(relabel.withColumnRenamed("_c", "_m")), "_m", "left"
+    ).select(
+        F.col("_m").alias(id_col),
+        F.coalesce("_new", F.col("_m")).alias(label_col),
+    )
+    return updated.unionByName(fresh)
+
+
 def resolve_entities(
     classified: DataFrame, keyed: DataFrame, id_col: str = "url"
 ) -> DataFrame:

@@ -81,3 +81,79 @@ def test_long_chain_converges_quickly(spark):
     edges = [(verts[i], verts[i + 1]) for i in range(63)]
     got = _run(spark, edges, verts)
     assert set(got.values()) == {"n00"}
+
+
+# ---------------------------------------------------------------------------
+# incremental CC (round 4): fold new edges into an existing assignment
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_incremental_cc_equals_full_recompute(spark, seed):
+    """incremental_connected_components(CC(base), delta) must equal
+    CC(base + delta) exactly — merges across old components, chains of
+    merges through a single batch, and brand-new vertices included."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        incremental_connected_components,
+    )
+
+    rng = random.Random(seed)
+    verts = [f"v{i:03d}" for i in range(60)]
+    base = [tuple(sorted(rng.sample(verts, 2))) for _ in range(40)]
+    # delta: edges among old vertices + edges introducing NEW vertices
+    newv = [f"w{i:03d}" for i in range(10)]
+    delta = [tuple(sorted(rng.sample(verts, 2))) for _ in range(10)]
+    delta += [(rng.choice(verts), w) for w in newv[:6]]
+    delta += [tuple(sorted(rng.sample(newv, 2))) for _ in range(5)]
+
+    base_df = spark.createDataFrame(base, "id_a string, id_b string")
+    delta_df = spark.createDataFrame(delta, "id_a string, id_b string")
+    vert_df = spark.createDataFrame([(v,) for v in verts], "url string")
+
+    assignments = connected_components(base_df, vertices=vert_df, id_col="url")
+    got = incremental_connected_components(assignments, delta_df)
+    got_map = {
+        r["url"]: r["predicted_entity_id"] for r in got.collect()
+    }
+
+    all_verts = set(verts) | {v for e in delta for v in e}
+    want = _oracle(base + delta, all_verts)
+    assert got_map == want
+
+
+def test_incremental_cc_empty_delta_is_identity(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        incremental_connected_components,
+    )
+
+    base_df = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "id_a string, id_b string"
+    )
+    vert_df = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("e",)], "url string")
+    assignments = connected_components(base_df, vertices=vert_df, id_col="url")
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    got = incremental_connected_components(assignments, empty)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in assignments.collect()
+    }
+
+
+def test_incremental_cc_merge_chain_through_batch(spark):
+    """One batch can chain several old components together; every
+    member must relabel to the global min."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        incremental_connected_components,
+    )
+
+    base_df = spark.createDataFrame(
+        [("a1", "a2"), ("b1", "b2"), ("c1", "c2")], "id_a string, id_b string"
+    )
+    assignments = connected_components(base_df, id_col="url")
+    delta = spark.createDataFrame(
+        [("a2", "b1"), ("b2", "c1")], "id_a string, id_b string"
+    )
+    got = {
+        r["url"]: r["predicted_entity_id"]
+        for r in incremental_connected_components(assignments, delta).collect()
+    }
+    assert got == {v: "a1" for v in ["a1", "a2", "b1", "b2", "c1", "c2"]}
