@@ -231,6 +231,29 @@ def incremental_connected_components(
     The big table is scanned once and never shuffled. Returns the full
     updated assignment (old rows relabeled where merged + rows for
     vertices first seen in `new_edges`)."""
+    relabel, fresh = incremental_cc_delta(
+        assignments, new_edges, id_col=id_col, label_col=label_col,
+        max_iter=max_iter,
+    )
+    return apply_cc_delta(assignments, relabel, fresh, id_col, label_col)
+
+
+def incremental_cc_delta(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "url",
+    label_col: str = "predicted_entity_id",
+    max_iter: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """The DELTA form of incremental CC — what a streaming maintainer
+    persists per micro-batch instead of rewriting the whole assignment:
+
+      relabel: (old_label, new_label) for every touched component —
+               bounded by the batch, broadcastable
+      fresh:   (id_col, label_col) rows for vertices first seen in
+               `new_edges`
+
+    apply_cc_delta folds these onto an assignment table lazily."""
     a = assignments.select(
         F.col(id_col).cast("string").alias("_m"),
         F.col(label_col).cast("string").alias("_c"),
@@ -255,18 +278,11 @@ def incremental_connected_components(
     relabel = connected_components(
         mapped, id_col="comp", max_iter=max_iter
     ).select(
-        F.col("comp").alias("_c"),
-        F.col("predicted_entity_id").alias("_new"),
+        F.col("comp").alias("old_label"),
+        F.col("predicted_entity_id").alias("new_label"),
     )
-    updated = (
-        a.join(F.broadcast(relabel), "_c", "left")
-        .select(
-            F.col("_m").alias(id_col),
-            F.coalesce("_new", F.col("_c")).alias(label_col),
-        )
-    )
-    # vertices first seen in this batch: their label is the contracted
-    # graph's verdict (or themselves if their edges were all self-loops)
+    # vertices first seen in this batch: the contracted graph's verdict
+    # (or themselves, when every edge collapsed to a self-loop)
     new_verts = (
         e.select(F.col("_ea").alias("_m"))
         .unionByName(e.select(F.col("_eb").alias("_m")))
@@ -274,12 +290,39 @@ def incremental_connected_components(
         .join(a.select("_m"), "_m", "left_anti")
     )
     fresh = new_verts.join(
-        F.broadcast(relabel.withColumnRenamed("_c", "_m")), "_m", "left"
+        F.broadcast(relabel.withColumnRenamed("old_label", "_m")), "_m", "left"
     ).select(
         F.col("_m").alias(id_col),
-        F.coalesce("_new", F.col("_m")).alias(label_col),
+        F.coalesce("new_label", F.col("_m")).alias(label_col),
     )
-    return updated.unionByName(fresh)
+    return relabel, fresh
+
+
+def apply_cc_delta(
+    assignments: DataFrame,
+    relabel: DataFrame,
+    fresh: DataFrame,
+    id_col: str = "url",
+    label_col: str = "predicted_entity_id",
+) -> DataFrame:
+    """Fold one (relabel, fresh) delta onto an assignment table: ONE
+    broadcast hash join for the relabel + a union of the fresh rows."""
+    a = assignments.select(
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(label_col).cast("string").alias("_c"),
+    )
+    updated = a.join(
+        F.broadcast(relabel), a["_c"] == relabel["old_label"], "left"
+    ).select(
+        id_col,
+        F.coalesce("new_label", F.col("_c")).alias(label_col),
+    )
+    return updated.unionByName(
+        fresh.select(
+            F.col(id_col).cast("string").alias(id_col),
+            F.col(label_col).cast("string").alias(label_col),
+        )
+    )
 
 
 def resolve_entities(

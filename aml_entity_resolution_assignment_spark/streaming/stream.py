@@ -437,3 +437,91 @@ def resolve_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming entity-cluster maintenance (round 4): transitive clustering
+# kept up to date per micro-batch WITHOUT re-running CC over the full
+# graph — the streaming face of operators/cluster.py's incremental CC.
+# ---------------------------------------------------------------------------
+
+
+def read_cluster_assignments(
+    spark: SparkSession, path: str, before_batch: int
+) -> DataFrame | None:
+    """Entity assignment as of (strictly before) `before_batch`: the
+    newest compacted base snapshot with the subsequent relabel/fresh
+    deltas folded on IN ORDER (each delta is one broadcast join + a
+    union — apply_cc_delta). None when no base exists yet."""
+    from ..operators.cluster import apply_cc_delta
+
+    bases = [m for m in _list_partition_ids(spark, f"{path}/base", "upto")
+             if m < before_batch]
+    if not bases:
+        return None
+    m = max(bases)
+    assign = spark.read.parquet(f"{path}/base/upto={m}")
+    deltas = [n for n in _list_partition_ids(spark, f"{path}/delta", "batch")
+              if m < n < before_batch]
+    for n in sorted(deltas):
+        relabel = spark.read.parquet(f"{path}/delta/batch={n}/relabel")
+        fresh = spark.read.parquet(f"{path}/delta/batch={n}/fresh")
+        assign = apply_cc_delta(assign, relabel, fresh)
+    return assign
+
+
+def cluster_stream(
+    edges_stream: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    compact_every: int = 16,
+):
+    """Maintain entity-cluster assignments over a stream of match
+    edges (id_a, id_b). Batch 0 runs full CC and writes a base
+    snapshot; every later micro-batch computes only the
+    incremental-CC DELTA — the (old_label -> new_label) map for
+    touched components (bounded by the batch) plus fresh-vertex rows —
+    and persists that, so the per-batch write is O(batch), not
+    O(corpus). Every `compact_every` batches the delta tail folds into
+    a new base snapshot (the plain-parquet analog of an Iceberg MERGE
+    maintenance job), keeping the read path at one base + a bounded
+    join chain.
+
+    Idempotent under foreachBatch's at-least-once replay: per-batch-id
+    overwrite dirs with deterministic content, reads use only ids <
+    current batch. Returns the StreamingQuery (AvailableNow)."""
+    from ..operators.cluster import connected_components, incremental_cc_delta
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        edges = batch_df.select(
+            F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        )
+        prev = read_cluster_assignments(spark, path, batch_id)
+        if prev is None:
+            assign = connected_components(edges, id_col="url")
+            assign.write.mode("overwrite").parquet(
+                f"{path}/base/upto={batch_id}"
+            )
+            return
+        relabel, fresh = incremental_cc_delta(prev, edges)
+        relabel.write.mode("overwrite").parquet(
+            f"{path}/delta/batch={batch_id}/relabel"
+        )
+        fresh.write.mode("overwrite").parquet(
+            f"{path}/delta/batch={batch_id}/fresh"
+        )
+        bases = _list_partition_ids(spark, f"{path}/base", "upto")
+        last_base = max((m for m in bases if m < batch_id), default=-1)
+        if batch_id - last_base >= compact_every:
+            snap = read_cluster_assignments(spark, path, batch_id + 1)
+            snap.write.mode("overwrite").parquet(
+                f"{path}/base/upto={batch_id}"
+            )
+
+    return (
+        edges_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

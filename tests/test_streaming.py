@@ -403,3 +403,54 @@ def test_iceberg_roundtrip(spark, tmp_path_factory):
     # replace snapshot semantics
     sio.write_table_iceberg(df.where("id < 3"), ident)
     assert sio.read_table_iceberg(spark, ident).count() == 2
+
+
+def test_cluster_stream_matches_batch_cc(spark, tmp_path_factory):
+    """Streaming cluster maintenance: after N micro-batches of match
+    edges, read_cluster_assignments must equal full CC over ALL edges
+    — merges across batches, brand-new vertices, and label stability
+    under min-id semantics."""
+    import random
+
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        connected_components,
+    )
+
+    rng = random.Random(13)
+    verts = [f"v{i:03d}" for i in range(80)]
+    all_edges = [tuple(sorted(rng.sample(verts, 2))) for _ in range(70)]
+    n_batches = 6
+    src = str(tmp_path_factory.mktemp("edges_cs"))
+    for b in range(n_batches):
+        chunk = all_edges[b::n_batches]
+        spark.createDataFrame(chunk, "id_a string, id_b string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    path = str(tmp_path_factory.mktemp("clusters_cs"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_cs"))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("id_a string, id_b string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = S.cluster_stream(stream, path, ckpt, compact_every=3)
+    q.awaitTermination(240)
+
+    got = {
+        r["url"]: r["predicted_entity_id"]
+        for r in S.read_cluster_assignments(spark, path, 1 << 30).collect()
+    }
+    edges_df = spark.createDataFrame(all_edges, "id_a string, id_b string")
+    want = {
+        r["url"]: r["predicted_entity_id"]
+        for r in connected_components(edges_df, id_col="url").collect()
+    }
+    assert got == want and len(want) > 0
+    # structural bound: delta tail after the newest base <= compact_every
+    bases = S._list_partition_ids(spark, f"{path}/base", "upto")
+    deltas = S._list_partition_ids(spark, f"{path}/delta", "batch")
+    assert bases, "no base snapshot written"
+    tail = [n for n in deltas if n > max(bases)]
+    assert len(tail) <= 3, (bases, deltas)
