@@ -119,3 +119,88 @@ if __name__ == "__main__":
     import pytest
 
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+@settings(**_common)
+@given(
+    h=_sizes,
+    w=_sizes,
+    depth=st.sampled_from([1, 2, 4]),
+    ftype=st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+    interlace=st.booleans(),
+    palette=st.booleans(),
+    seed=_seeds,
+)
+def test_png_subbyte_roundtrip(h, w, depth, ftype, interlace, palette, seed):
+    from aml_entity_resolution_assignment_spark.functions.png import (
+        encode_png_subbyte,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, 1 << depth, (h, w)).astype(np.uint8)
+    pal = (
+        rng.integers(0, 256, (1 << depth, 3)).astype(np.uint8)
+        if palette
+        else None
+    )
+    out = decode_png(
+        encode_png_subbyte(
+            s, depth, palette=pal, filter_type=ftype, interlace=interlace
+        )
+    )
+    want = pal[s] if palette else s * (255 // ((1 << depth) - 1))
+    np.testing.assert_array_equal(out, want)
+
+
+@settings(**_common)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    qi=st.integers(min_value=0, max_value=127),
+    flevel=st.sampled_from([0, 10, 40]),
+    ftype=st.sampled_from([0, 1]),
+    seed=_seeds,
+)
+def test_vp8_decode_equals_encoder_reconstruction(h, w, qi, flevel, ftype, seed):
+    """VP8 is lossy, so the property is NOT source equality — it is
+    that the decoder reproduces the encoder's decoder-identical
+    reconstruction EXACTLY (integer pipeline, no tolerance)."""
+    from aml_entity_resolution_assignment_spark.functions.vp8 import (
+        decode_vp8,
+        encode_vp8,
+    )
+
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    stream, rec = encode_vp8(y, qi=qi, filter_level=flevel, filter_type=ftype)
+    got = decode_vp8(stream)
+    for g, r in zip(got, rec):
+        np.testing.assert_array_equal(g, r)
+
+
+@settings(**_common)
+@given(
+    h=st.integers(min_value=1, max_value=32),
+    w=st.integers(min_value=1, max_value=32),
+    color=st.booleans(),
+    seed=_seeds,
+)
+def test_progressive_jpeg_equals_baseline(h, w, color, seed):
+    """Progressive and baseline streams of the same image carry the
+    same quantized coefficients -> bit-identical decodes."""
+    from aml_entity_resolution_assignment_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    if color:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg_color(img, subsampling=(1, 1)))
+    else:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg_gray(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    np.testing.assert_array_equal(base, prog)
