@@ -1271,6 +1271,9 @@ def encode_vp8(
     filter_level: int = 0,
     filter_type: int = 0,
     sharpness: int = 0,
+    token_partitions: int = 1,
+    segment_map=None,
+    segment_quant=(0, 0, 0, 0),
 ) -> tuple:
     """Encode planes as a VP8 key frame. Returns (stream_bytes,
     (y_rec, u_rec, v_rec)) where the rec planes are the encoder's own
@@ -1278,7 +1281,12 @@ def encode_vp8(
 
     `per_mb_modes`: optional dict (row, col) -> {"ymode": m, "uvmode":
     m, "bmodes": [16]} to force specific prediction modes; default
-    DC_PRED/DC_PRED everywhere."""
+    DC_PRED/DC_PRED everywhere. `token_partitions` (1/2/4/8) stripes
+    MB rows across coefficient partitions (row r -> partition
+    r % n, the spec layout). `segment_map` ((rows, cols) ints 0-3)
+    enables segmentation with per-segment quantizer DELTAS
+    `segment_quant` — exercises the decoder's segment-id tree coding
+    and per-segment dequantization paths."""
     height, width = y.shape
     if u is None:
         u = np.full(((height + 1) // 2, (width + 1) // 2), 128, dtype=np.uint8)
@@ -1291,7 +1299,16 @@ def encode_vp8(
     usrc = _pad_to(u, H8, W8).astype(np.int64)
     vsrc = _pad_to(v, H8, W8).astype(np.int64)
 
-    dq = dequant_factors(qi)
+    if token_partitions not in (1, 2, 4, 8):
+        raise ValueError("token_partitions must be 1, 2, 4 or 8")
+    dqs = [
+        dequant_factors(_clamp_qi(qi + int(d))) for d in segment_quant
+    ]
+    seg_of = (
+        (lambda r, c: int(segment_map[r][c]))
+        if segment_map is not None
+        else (lambda r, c: 0)
+    )
     ypl = _make_padded(H16, W16)
     upl = _make_padded(H8, W8, extra_right=0)
     vpl = _make_padded(H8, W8, extra_right=0)
@@ -1300,6 +1317,7 @@ def encode_vp8(
     mb_info = [[None] * mb_cols for _ in range(mb_rows)]
     for r in range(mb_rows):
         for c in range(mb_cols):
+            dq = dqs[seg_of(r, c)]
             modes = (per_mb_modes or {}).get((r, c), {})
             ymode = modes.get("ymode", DC_PRED)
             uvmode = modes.get("uvmode", DC_PRED)
@@ -1367,6 +1385,7 @@ def encode_vp8(
                 "ymode": ymode, "uvmode": uvmode, "bmodes": bmodes,
                 "skip": 1 if all_zero else 0, "ylevels": ylevels,
                 "y2levels": y2levels, "ulevels": ulevels, "vlevels": vlevels,
+                "seg": seg_of(r, c),
             }
             mb_info[r][c] = {
                 "level": max(0, min(63, filter_level)),
@@ -1385,12 +1404,26 @@ def encode_vp8(
     be = BoolEncoder()
     be.literal(1, 0)  # color space
     be.literal(1, 0)  # clamping
-    be.literal(1, 0)  # segmentation_enabled
+    seg_probs = (128, 128, 128)
+    if segment_map is None:
+        be.literal(1, 0)  # segmentation disabled
+    else:
+        be.literal(1, 1)  # segmentation_enabled
+        be.literal(1, 1)  # update_mb_segmentation_map
+        be.literal(1, 1)  # update_segment_feature_data
+        be.literal(1, 0)  # delta (not absolute) values
+        for d in segment_quant:
+            be.flag_signed(7, int(d))
+        for _ in range(4):
+            be.put(128, 0)  # no per-segment loop-filter deltas
+        for pr in seg_probs:
+            be.literal(1, 1)
+            be.literal(8, pr)
     be.literal(1, filter_type)
     be.literal(6, filter_level)
     be.literal(3, sharpness)
     be.literal(1, 0)  # lf deltas
-    be.literal(2, 0)  # 1 token partition
+    be.literal(2, {1: 0, 2: 1, 4: 2, 8: 3}[token_partitions])
     be.literal(7, qi)
     for _ in range(5):
         be.put(128, 0)  # all quantizer deltas absent
@@ -1409,6 +1442,8 @@ def encode_vp8(
         left_bmodes = [B_DC] * 4
         for c in range(mb_cols):
             mb = mbs[r][c]
+            if segment_map is not None:
+                _write_segment_id(be, seg_probs, mb["seg"])
             be.put(prob_skip, mb["skip"])
             be.tree(KF_YMODE_TREE, KF_YMODE_PROB, mb["ymode"])
             if mb["ymode"] == B_PRED:
@@ -1422,14 +1457,15 @@ def encode_vp8(
             left_bmodes = [mb["bmodes"][j] for j in (3, 7, 11, 15)]
     part1 = be.finish()
 
-    # ---- serialize token partition ----
-    te = BoolEncoder()
+    # ---- serialize token partition(s): MB row r -> partition r % n ----
+    tes = [BoolEncoder() for _ in range(token_partitions)]
     probs = DEFAULT_COEF_PROBS
     above_y = np.zeros(mb_cols * 4, dtype=np.int8)
     above_u = np.zeros(mb_cols * 2, dtype=np.int8)
     above_v = np.zeros(mb_cols * 2, dtype=np.int8)
     above_y2 = np.zeros(mb_cols, dtype=np.int8)
     for r in range(mb_rows):
+        te = tes[r % token_partitions]
         left_y = np.zeros(4, dtype=np.int8)
         left_u = np.zeros(2, dtype=np.int8)
         left_v = np.zeros(2, dtype=np.int8)
@@ -1468,7 +1504,11 @@ def encode_vp8(
                     ctx = int(anz[c * 2 + sx]) + int(lnz[sy])
                     nz = _encode_block(te, PLANE_UV, ctx, 0, probs, levels[i])
                     anz[c * 2 + sx] = lnz[sy] = 1 if nz else 0
-    part2 = te.finish()
+    parts = [t.finish() for t in tes]
+    sizes = b"".join(
+        len(p).to_bytes(3, "little") for p in parts[:-1]
+    )
+    part2 = sizes + b"".join(parts)
 
     tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
     head = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))

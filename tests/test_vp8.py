@@ -302,3 +302,58 @@ def test_yuv_to_rgb_neutral_chroma_formula():
     assert (rgb[..., 0] == expect).all()
     assert (rgb[..., 1] == expect).all()
     assert (rgb[..., 2] == expect).all()
+
+
+def test_token_partitions_roundtrip():
+    """MB rows striped across 2/4/8 coefficient partitions (3-byte LE
+    size prefixes) must decode identically to the single-partition
+    stream's reconstruction."""
+    rng = np.random.default_rng(15)
+    y = rng.integers(0, 256, (80, 96)).astype(np.uint8)
+    ref = None
+    for nparts in (1, 2, 4, 8):
+        stream, rec = vp8.encode_vp8(y, qi=15, token_partitions=nparts)
+        got = vp8.decode_vp8(stream)
+        for g, r in zip(got, rec):
+            assert np.array_equal(g, r), nparts
+        if ref is None:
+            ref = got
+        else:
+            # same coefficients regardless of partition layout
+            for g, r in zip(got, ref):
+                assert np.array_equal(g, r), nparts
+
+
+def test_segmentation_roundtrip_and_quantizer_effect():
+    """Per-segment quantizer deltas: segment-id tree coding + per-
+    segment dequant must roundtrip, and a coarser segment must actually
+    decode with more error than a finer one."""
+    rng = np.random.default_rng(16)
+    y = rng.integers(0, 256, (80, 96)).astype(np.uint8)
+    segmap = [[(r + c) % 4 for c in range(6)] for r in range(5)]
+    stream, rec = vp8.encode_vp8(
+        y, qi=30, segment_map=segmap, segment_quant=(-25, 0, 30, 60)
+    )
+    got = vp8.decode_vp8(stream)
+    for g, r in zip(got, rec):
+        assert np.array_equal(g, r)
+    # error comparison between the finest (seg 0) and coarsest (seg 3)
+    err = np.abs(got[0].astype(int) - y.astype(int))
+    fine = [err[r * 16 : r * 16 + 16, c * 16 : c * 16 + 16].mean()
+            for r in range(5) for c in range(6) if (r + c) % 4 == 0]
+    coarse = [err[r * 16 : r * 16 + 16, c * 16 : c * 16 + 16].mean()
+              for r in range(5) for c in range(6) if (r + c) % 4 == 3]
+    assert np.mean(coarse) > np.mean(fine)
+
+
+def test_segmentation_with_partitions_and_filter():
+    rng = np.random.default_rng(17)
+    y = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    segmap = [[(r * 4 + c) % 4 for c in range(4)] for r in range(3)]
+    stream, rec = vp8.encode_vp8(
+        y, qi=30, segment_map=segmap, segment_quant=(-10, 0, 10, 25),
+        token_partitions=4, filter_level=20,
+    )
+    got = vp8.decode_vp8(stream)
+    for g, r in zip(got, rec):
+        assert np.array_equal(g, r)
