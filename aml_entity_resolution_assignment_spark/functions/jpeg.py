@@ -962,6 +962,7 @@ def encode_jpeg_progressive(
     img: np.ndarray,
     qtab: np.ndarray | None = None,
     scans: list | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JPEG of a (H, W) grayscale or (H, W, 3) RGB
     (4:4:4) uint8 image. Default scan script uses one bit of
@@ -969,7 +970,11 @@ def encode_jpeg_progressive(
     component AC spectral bands 1-5 / 6-63 first (Al=1), DC
     refinement, per-component AC refinements — every progressive
     decode path in one stream. `scans`: explicit
-    (comp_indices, ss, se, ah, al) tuples override the script."""
+    (comp_indices, ss, se, ah, al) tuples override the script.
+    `restart_interval` > 0 emits DRI + per-scan RSTn markers every
+    that many MCUs (blocks for non-interleaved scans) — DC predictors
+    and EOB runs reset at each marker, exercising the decoder's
+    per-scan restart path."""
     if qtab is None:
         qtab = np.ones((8, 8), dtype=np.int64)
     img = np.asarray(img, dtype=np.uint8)
@@ -1016,6 +1021,8 @@ def encode_jpeg_progressive(
     )
     out += seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
     out += seg(0xC4, bytes([0x11]) + bytes(FLAT9_BITS) + bytes(FLAT9_VALS))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
 
     for comp_idx, ss, se, ah, al in scans:
         sos_body = bytes([len(comp_idx)])
@@ -1023,12 +1030,28 @@ def encode_jpeg_progressive(
             sos_body += bytes([c + 1, 0x01])  # DC table 0, AC table 1
         sos_body += bytes([ss, se, (ah << 4) | al])
         out += seg(0xDA, sos_body)
+        scan_parts: list[bytes] = []
         bwr = _BitWriter()
+        st = _ProgScanState(bwr, ac_codes)
+        preds = {c: 0 for c in comp_idx}
+        rst = 0
+
+        def _restart():
+            nonlocal bwr, st, preds, rst
+            st.flush_eobrun()
+            scan_parts.append(bwr.flush())
+            scan_parts.append(bytes([0xFF, 0xD0 + rst % 8]))
+            rst += 1
+            bwr = _BitWriter()
+            st = _ProgScanState(bwr, ac_codes)
+            preds = {c: 0 for c in comp_idx}
+
         if ss == 0:
-            if ah == 0:
-                preds = {c: 0 for c in comp_idx}
-                for n in range(bh * bw_):
-                    for c in comp_idx:
+            for n in range(bh * bw_):
+                if restart_interval and n and n % restart_interval == 0:
+                    _restart()
+                for c in comp_idx:
+                    if ah == 0:
                         v = int(coef[c][n, 0]) >> al
                         diff = v - preds[c]
                         preds[c] = v
@@ -1038,15 +1061,14 @@ def encode_jpeg_progressive(
                         if s:
                             bits = diff if diff >= 0 else diff + (1 << s) - 1
                             bwr.write(bits, s)
-            else:
-                for n in range(bh * bw_):
-                    for c in comp_idx:
+                    else:
                         bwr.write((int(coef[c][n, 0]) >> al) & 1, 1)
         else:
             (c,) = comp_idx
-            st = _ProgScanState(bwr, ac_codes)
             se_rel = se - ss
             for n in range(bh * bw_):
+                if restart_interval and n and n % restart_interval == 0:
+                    _restart()
                 band = coef[c][n, ss : se + 1]
                 if ah == 0:
                     vals = [
@@ -1056,6 +1078,7 @@ def encode_jpeg_progressive(
                 else:
                     _prog_ac_refine_block(st, band, al, se_rel)
             st.flush_eobrun()
-        out += bwr.flush()
+        scan_parts.append(bwr.flush())
+        out += b"".join(scan_parts)
     out += b"\xff\xd9"
     return bytes(out)

@@ -183,3 +183,19 @@ def test_progressive_flat_blocks_bit_exact():
     img[8:, 24:] = 200
     got = J.decode_jpeg(J.encode_jpeg_progressive(img))
     assert np.array_equal(got, img)
+
+
+def test_progressive_restart_intervals():
+    """DRI + per-scan RSTn markers: DC predictors and EOB runs reset at
+    each marker; decode must still equal baseline exactly."""
+    rng = np.random.Generator(np.random.PCG64(45))
+    g = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg_gray(g))
+    for ri in (1, 2, 5, 13):
+        payload = J.encode_jpeg_progressive(g, restart_interval=ri)
+        assert b"\xff\xdd" in payload
+        assert np.array_equal(J.decode_jpeg(payload), base), ri
+    img = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    b2 = J.decode_jpeg(J.encode_jpeg_color(img, subsampling=(1, 1)))
+    p2 = J.decode_jpeg(J.encode_jpeg_progressive(img, restart_interval=3))
+    assert np.array_equal(b2, p2)
