@@ -8,9 +8,11 @@ needed — only struct parsing and numpy. Compressed formats
 
 Supported: RIFF/WAVE with fmt + data chunks, PCM (format 1) and
 IEEE-float (format 3), 8/16/24/32-bit integer and 32/64-bit float
-samples, any channel count (decoded to (n_frames, n_channels),
-mono-mixed by the feature kernel). Unknown chunks (LIST, fact, cue)
-are skipped per spec.
+samples, G.711 µ-law (format 7) and A-law (format 6) telephony
+companding (round 4; pure-LUT decode from the ITU-T G.711 formulas),
+any channel count (decoded to (n_frames, n_channels), mono-mixed by
+the feature kernel). Unknown chunks (LIST, fact, cue) are skipped per
+spec.
 
 Feature kernel: deterministic numpy signal features with the same
 fixed-width contract as the image thumbnail features — RMS, peak,
@@ -115,10 +117,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             x = np.frombuffer(data, dtype="<f8").astype(np.float64)
         else:
             raise ValueError(f"WAV float bit depth {bits} not supported")
+    elif audio_fmt == 7:  # G.711 µ-law
+        x = _ULAW[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif audio_fmt == 6:  # G.711 A-law
+        x = _ALAW[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
     else:
         raise ValueError(
-            f"WAV format {audio_fmt} not supported (PCM/IEEE-float only; "
-            "MP3/AAC/Opus need codec libraries absent here)"
+            f"WAV format {audio_fmt} not supported (PCM, IEEE-float and "
+            "G.711 µ-law/A-law decode here; MP3/AAC/Opus need codec "
+            "libraries absent in this container)"
         )
     n = (x.size // ch) * ch
     return x[:n].reshape(-1, ch), rate
@@ -146,3 +153,80 @@ def audio_features(samples: np.ndarray, n_bands: int = 12) -> np.ndarray:
     return np.concatenate(
         [[rms, peak, zcr, centroid], banded]
     ).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded telephony formats (round 4): µ-law (format 7) and
+# A-law (format 6) — pure-LUT decode, no codec library (the formulas
+# are in ITU-T G.711 itself). Encoders exist for tests.
+# ---------------------------------------------------------------------------
+
+
+def _ulaw_table() -> np.ndarray:
+    """256-entry µ-law byte -> linear int16 (CCITT reference decode)."""
+    u = np.arange(256, dtype=np.int32) ^ 0xFF  # stored complemented
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    t = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -t, t).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    """256-entry A-law byte -> linear int16."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55  # even bits inverted
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    t = np.where(
+        exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0)
+    )
+    return np.where(sign, -t, t).astype(np.int16)
+
+
+_ULAW = _ulaw_table()
+_ALAW = _alaw_table()
+
+
+def ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """Linear int16 -> µ-law bytes (reference algorithm; test helper)."""
+    x = np.clip(np.asarray(x, dtype=np.int32), -32635, 32635)
+    sign = x < 0
+    mag = np.where(sign, -x, x) + 0x84
+    exp = (np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    u = (np.where(sign, 0x80, 0) | (exp << 4) | mant) ^ 0xFF
+    return u.astype(np.uint8)
+
+
+def alaw_encode(x: np.ndarray) -> np.ndarray:
+    """Linear int16 -> A-law bytes (reference algorithm; test helper)."""
+    x = np.clip(np.asarray(x, dtype=np.int32), -32767, 32767)
+    sign = x < 0
+    mag = np.where(sign, -x, x)
+    exp = (np.floor(np.log2(np.maximum(mag >> 8, 1))).astype(np.int32) + 1).clip(0, 7)
+    exp = np.where(mag < 256, 0, exp)
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    a = (np.where(sign, 0x80, 0) | (exp << 4) | (mant & 0x0F)) ^ 0x55
+    return a.astype(np.uint8)
+
+
+def encode_wav_g711(
+    samples: np.ndarray, law: str = "ulaw", sample_rate: int = 8000
+) -> bytes:
+    """Encode (n,) or (n, ch) int16-range samples as a G.711 WAV
+    (format 7 = µ-law, 6 = A-law) — decoder-exercise helper."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    enc = ulaw_encode if law == "ulaw" else alaw_encode
+    code = 7 if law == "ulaw" else 6
+    data = enc(arr).astype(np.uint8).tobytes()
+    n, ch = arr.shape
+    fmt = struct.pack("<HHIIHH", code, ch, sample_rate, sample_rate * ch, ch, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -103,3 +103,63 @@ def test_multimodal_audio_dispatch():
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_code_space_bijection():
+    """encode(decode(c)) == c for every byte code — A-law exactly;
+    µ-law exactly except the canonical ±0 duality (0x7F, negative
+    zero, re-encodes as 0xFF, positive zero)."""
+    import numpy as np
+
+    from aml_entity_resolution_assignment_spark.functions import wav as W
+
+    for law, table, enc, allowed in (
+        ("ulaw", W._ULAW, W.ulaw_encode, {127}),
+        ("alaw", W._ALAW, W.alaw_encode, set()),
+    ):
+        dec = table.astype(np.int32)
+        re = enc(dec)
+        bad = {c for c in range(256) if re[c] != c}
+        assert bad <= allowed, (law, sorted(bad)[:8])
+
+
+def test_g711_wav_roundtrip_snr():
+    """A companded sine decodes with telephony-grade SNR (> 30 dB) and
+    correct shape/rate for both laws, mono and stereo."""
+    import numpy as np
+
+    from aml_entity_resolution_assignment_spark.functions import wav as W
+
+    t = np.arange(800)
+    sig = (12000 * np.sin(2 * np.pi * t / 80)).astype(np.int16)
+    for law in ("ulaw", "alaw"):
+        for ch in (1, 2):
+            s = sig if ch == 1 else np.stack([sig, -sig], axis=1)
+            payload = W.encode_wav_g711(s, law=law)
+            out, rate = W.decode_wav(payload)
+            assert rate == 8000 and out.shape == (800, ch)
+            got = out[:, 0] * 32768.0
+            err = got - sig.astype(np.float64)
+            snr = 10 * np.log10((sig.astype(np.float64) ** 2).mean() / (err**2).mean())
+            assert snr > 30, (law, ch, snr)
+
+
+def test_g711_decode_tables_match_scalar_reference():
+    """Spot-check LUT values against hand-computed G.711 expansions."""
+    from aml_entity_resolution_assignment_spark.functions import wav as W
+
+    # µ-law 0xFF is +0; 0x7F is -0 -> both decode to 0
+    assert W._ULAW[0xFF] == 0 and W._ULAW[0x7F] == 0
+    # µ-law: byte 0x00 (complement 0xFF): sign=1, exp=7, mant=15 ->
+    # magnitude (((15<<3)+0x84)<<7) - 0x84 = 32124, negative
+    assert W._ULAW[0x00] == -32124
+    # A-law: byte 0x55 (xor -> 0x00): exp=0, mant=0 -> +8
+    assert W._ALAW[0x55] == 8
+    # A-law: byte 0x2A (xor 0x55 -> 0x7F): exp=7, mant=15 -> +32256? no:
+    # ((15<<4)+0x108)<<6 = 32256 -> positive max
+    assert W._ALAW[0x2A] == 32256
