@@ -10,6 +10,8 @@ Supported: RIFF/WAVE with fmt + data chunks, PCM (format 1) and
 IEEE-float (format 3), 8/16/24/32-bit integer and 32/64-bit float
 samples, G.711 µ-law (format 7) and A-law (format 6) telephony
 companding (round 4; pure-LUT decode from the ITU-T G.711 formulas),
+IMA ADPCM (format 0x11: 4-bit differential block coding with the
+standard 89-entry step table, mono/stereo, round 4),
 any channel count (decoded to (n_frames, n_channels), mono-mixed by
 the feature kernel). Unknown chunks (LIST, fact, cue) are skipped per
 spec.
@@ -121,6 +123,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = _ULAW[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
     elif audio_fmt == 6:  # G.711 A-law
         x = _ALAW[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif audio_fmt == 0x11:  # IMA ADPCM (4-bit differential, block-coded)
+        out = decode_wav_ima(data, ch, _block).astype(np.float64) / 32768.0
+        return out, rate
     else:
         raise ValueError(
             f"WAV format {audio_fmt} not supported (PCM, IEEE-float and "
@@ -224,6 +229,175 @@ def encode_wav_g711(
     data = enc(arr).astype(np.uint8).tobytes()
     n, ch = arr.shape
     fmt = struct.pack("<HHIIHH", code, ch, sample_rate, sample_rate * ch, ch, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (format 0x11, round 4): 4-bit differential coding with the
+# standard 89-entry step table — block-structured per the Microsoft
+# WAVE mapping (per-channel 4-byte block headers, nibbles packed
+# low-first, stereo interleaved in 8-nibble groups per channel).
+# Decode state is inherently sequential (each sample's step size
+# depends on the previous code), so the inner loop is per-nibble
+# Python over numpy nibble arrays — same documented shape as the JPEG
+# Huffman / GIF LZW entropy loops.
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_nibbles(nibbles, pred: int, index: int):
+    """Decode a nibble sequence with initial (predictor, index) state.
+    Returns (int16 samples, final pred, final index)."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    steps = _IMA_STEPS
+    itab = _IMA_INDEX
+    for i, n in enumerate(nibbles):
+        step = int(steps[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        index = max(0, min(88, index + int(itab[n & 7])))
+    return out, pred, index
+
+
+def _ima_encode_sample(x: int, pred: int, index: int):
+    """Encode one sample -> (nibble, new pred, new index) — the
+    reference quantizer (mirrors the decoder's reconstruction)."""
+    step = int(_IMA_STEPS[index])
+    delta = x - pred
+    n = 0
+    if delta < 0:
+        n = 8
+        delta = -delta
+    if delta >= step:
+        n |= 4
+        delta -= step
+    if delta >= step >> 1:
+        n |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        n |= 1
+    # reconstruct exactly like the decoder
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[n & 7])))
+    return n, pred, index
+
+
+def decode_wav_ima(data: bytes, ch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM data chunk -> (n_frames, ch) int16 samples."""
+    spb = (block_align - 4 * ch) * 2 // ch + 1  # samples per block
+    frames = []
+    pos = 0
+    while pos + block_align <= len(data):
+        block = data[pos : pos + block_align]
+        pos += block_align
+        chans = []
+        preds, idxs = [], []
+        for c in range(ch):
+            p, ix, _r = struct.unpack("<hBB", block[c * 4 : c * 4 + 4])
+            preds.append(p)
+            idxs.append(max(0, min(88, ix)))
+            chans.append([p])
+        body = np.frombuffer(block, dtype=np.uint8)[4 * ch :]
+        lo = body & 0x0F
+        hi = body >> 4
+        nib = np.empty(body.size * 2, dtype=np.uint8)
+        nib[0::2] = lo
+        nib[1::2] = hi
+        if ch == 1:
+            dec, _p, _i = _ima_decode_nibbles(nib, preds[0], idxs[0])
+            chans[0].extend(int(v) for v in dec)
+        else:
+            # stereo: alternating 8-nibble (4-byte) groups per channel
+            groups = nib.reshape(-1, 8)
+            per_ch = [groups[c::ch].reshape(-1) for c in range(ch)]
+            for c in range(ch):
+                dec, _p, _i = _ima_decode_nibbles(per_ch[c], preds[c], idxs[c])
+                chans[c].extend(int(v) for v in dec)
+        n = min(spb, min(len(cc) for cc in chans))
+        frames.append(np.stack([np.array(cc[:n], dtype=np.int16) for cc in chans], axis=1))
+    if not frames:
+        return np.zeros((0, ch), dtype=np.int16)
+    return np.concatenate(frames, axis=0)
+
+
+def encode_wav_ima(
+    samples: np.ndarray, sample_rate: int = 8000, samples_per_block: int = 505
+) -> bytes:
+    """Encode (n,) or (n, ch<=2) int16-range samples as an IMA ADPCM
+    WAV (format 0x11) — decoder-exercise helper."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    arr = np.clip(arr, -32768, 32767).astype(np.int32)
+    n, ch = arr.shape
+    if ch > 2:
+        raise ValueError("IMA ADPCM helper supports mono/stereo")
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block - 1 must be divisible by 8")
+    block_align = 4 * ch + (samples_per_block - 1) * ch // 2
+    blocks = []
+    for start in range(0, n, samples_per_block):
+        chunk = arr[start : start + samples_per_block]
+        if chunk.shape[0] < samples_per_block:  # pad final block
+            pad = np.repeat(chunk[-1:], samples_per_block - chunk.shape[0], axis=0)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        header = b""
+        nibs = []
+        for c in range(ch):
+            pred = int(chunk[0, c])
+            index = 0
+            header += struct.pack("<hBB", pred, index, 0)
+            cn = []
+            for x in chunk[1:, c]:
+                nb, pred, index = _ima_encode_sample(int(x), pred, index)
+                cn.append(nb)
+            nibs.append(cn)
+        # interleave per-channel 8-nibble groups
+        body = bytearray()
+        for g in range(0, samples_per_block - 1, 8):
+            for c in range(ch):
+                grp = nibs[c][g : g + 8]
+                for k in range(0, 8, 2):
+                    body.append(grp[k] | (grp[k + 1] << 4))
+        blocks.append(header + bytes(body))
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate,
+        sample_rate * block_align // samples_per_block, block_align, 4,
+        2, samples_per_block,
+    )
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt

@@ -163,3 +163,43 @@ def test_g711_decode_tables_match_scalar_reference():
     # A-law: byte 0x2A (xor 0x55 -> 0x7F): exp=7, mant=15 -> +32256? no:
     # ((15<<4)+0x108)<<6 = 32256 -> positive max
     assert W._ALAW[0x2A] == 32256
+
+
+def test_ima_adpcm_roundtrip_mono_stereo():
+    """IMA ADPCM (format 0x11): block headers, nibble packing, stereo
+    8-nibble interleave; 4-bit differential coding recovers a mixed
+    sine at ~ADPCM-typical SNR (> 18 dB)."""
+    import numpy as np
+
+    from aml_entity_resolution_assignment_spark.functions import wav as W
+
+    t = np.arange(2000)
+    sig = (
+        9000 * np.sin(2 * np.pi * t / 100) + 3000 * np.sin(2 * np.pi * t / 37)
+    ).astype(np.int16)
+    for ch in (1, 2):
+        s = sig if ch == 1 else np.stack([sig, sig // 2], axis=1)
+        out, rate = W.decode_wav(W.encode_wav_ima(s, samples_per_block=249))
+        assert rate == 8000 and out.shape[1] == ch
+        got = (out[:2000, 0] * 32768).astype(np.float64)
+        err = got - sig.astype(np.float64)
+        snr = 10 * np.log10((sig.astype(np.float64) ** 2).mean() / (err**2).mean())
+        assert snr > 18, (ch, snr)
+
+
+def test_ima_adpcm_decoder_is_deterministic_state_machine():
+    """Known nibble sequences against the hand-evaluated step table:
+    nibble 0 from state (0,0) adds step>>3 = 0; nibble 7 adds
+    7+3+1 = step + step>>1 + step>>2 (+ step>>3 = 0 at step 7:
+    7 + 3 + 1 + 0 = 11? -> verify exact arithmetic)."""
+    import numpy as np
+
+    from aml_entity_resolution_assignment_spark.functions import wav as W
+
+    out, pred, idx = W._ima_decode_nibbles(np.array([0], dtype=np.uint8), 0, 0)
+    assert out[0] == 0 and idx == 0  # step 7>>3 = 0, index 0 + (-1) clamps
+    out, pred, idx = W._ima_decode_nibbles(np.array([7], dtype=np.uint8), 0, 0)
+    # step=7: diff = 0 + 1 + 3 + 7 = 11; index 0+8=8
+    assert out[0] == 11 and idx == 8
+    out, pred, idx = W._ima_decode_nibbles(np.array([15], dtype=np.uint8), 100, 0)
+    assert out[0] == 100 - 11 and idx == 8  # sign bit subtracts
