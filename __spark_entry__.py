@@ -1209,6 +1209,59 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law decode path END-TO-END with a hard oracle: the
+    doc's first 16 bytes ARE the companded stream (a format-7 WAV
+    whose data chunk is the raw text bytes), so the decoded samples
+    are exactly ULAW[byte]/32768 — and the ITU-T expansion formula
+    (complement, exponent/mantissa split, ((m<<3)+0x84)<<e - 0x84) is
+    plain integer SQL. Checks the same two exactly-representable
+    features as multimodal_wav: peak (15-bit dyadic rational) and
+    zero-crossing rate (n/15)."""
+    import struct as _s
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def _to_g711(texts):
+        out = []
+        fmt = _s.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        for t in texts:
+            raw = str(t).encode("utf-8")[:16]
+            body = (
+                b"WAVE"
+                + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(raw)) + raw
+            )
+            out.append(b"RIFF" + _s.pack("<I", len(body)) + body)
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    g711_udf = F.pandas_udf(_to_g711, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 16)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        g711_udf(F.col("text")).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(2).alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return (
+        feats.select(
+            F.col("media_id").cast("long").alias("doc_id"),
+            F.posexplode(F.col("feature")).alias("k", "v"),
+        )
+        .where(F.col("k").isin(1, 2))
+        .select("doc_id", "k", F.round(F.col("v"), 6).alias("v"))
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-equivalent tumbling-window aggregation (batch form)."""
     e = _events(spark, sf_dir)
@@ -1383,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_webp_lossy": q_multimodal_webp_lossy,
         "multimodal_video": q_multimodal_video,
         "multimodal_wav": q_multimodal_wav,
+        "multimodal_g711": q_multimodal_g711,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "tpch_pricing": q_tpch_pricing,
@@ -2145,6 +2199,40 @@ def oracle_sql() -> dict[str, str]:
       select doc_id,
              max(abs(v)) / 128.0 as peak,
              sum(case when p > 1 and (v < 0) != (lagv < 0)
+                 then 1 else 0 end) / 15.0 as zcr
+      from lagged group by doc_id
+    )
+    select doc_id, 1 as k, round(peak, 6) as v from f
+    union all
+    select doc_id, 2 as k, round(zcr, 6) as v from f
+    """
+
+    # ITU-T G.711 µ-law expansion in plain integer SQL
+    sql["multimodal_g711"] = """
+    with pos as (select unnest(range(1, 17)) as p),
+    s as (
+      select d.doc_id, pos.p,
+             xor(ord(substr(d.text, cast(pos.p as int), 1)), 255) as u
+      from documents d, pos
+      where d.n_chars >= 16
+    ),
+    v as (
+      select doc_id, p,
+        case when u >= 128
+             then -((((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132)
+             else ((((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132)
+        end as val
+      from s
+    ),
+    lagged as (
+      select doc_id, p, val,
+             lag(val) over (partition by doc_id order by p) as lv
+      from v
+    ),
+    f as (
+      select doc_id,
+             max(abs(val)) / 32768.0 as peak,
+             sum(case when p > 1 and (val < 0) != (lv < 0)
                  then 1 else 0 end) / 15.0 as zcr
       from lagged group by doc_id
     )
