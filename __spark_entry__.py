@@ -343,6 +343,26 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level B-cubed P/R/F1 of the chain-CC clustering against
+    `source` as ground truth — three key-grouped aggregations, no
+    cluster materialization; the oracle recomputes the components via
+    recursive SQL and the same Σ n_pt²/n_p / N sums."""
+    from aml_entity_resolution_assignment_spark.operators.evaluate import bcubed
+
+    pred = q_connected_components(spark, sf_dir)
+    truth = _docs(spark, sf_dir).select("doc_id", "source")
+    out = bcubed(
+        pred, truth, id_col="doc_id", pred_col="component", true_col="source"
+    )
+    return out.select(
+        F.col("n_records").cast("long"),
+        F.round("b3_precision", 6).alias("b3_precision"),
+        F.round("b3_recall", 6).alias("b3_recall"),
+        F.round("b3_f1", 6).alias("b3_f1"),
+    )
+
+
 def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CC (round 4): assignments from the base chain graph
     (docs adjacent by id within a lang), then a delta batch — skip-2
@@ -1408,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_prob": q_ml_prob,
         "connected_components": q_connected_components,
         "cc_incremental": q_cc_incremental,
+        "bcubed": q_bcubed,
         "topk_ranking": q_topk_ranking,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1910,6 +1931,40 @@ def oracle_sql() -> dict[str, str]:
       where reach.r < s.v  -- only propagate smaller roots
     )
     select id as doc_id, min(r) as component from reach group by id
+    """
+
+    sql["bcubed"] = """
+    with recursive edges as (
+      select a.doc_id as u, b.doc_id as v
+      from documents a join documents b
+        on b.doc_id = a.doc_id + 1 and a.lang = b.lang
+    ),
+    sym as (select u, v from edges union select v, u from edges),
+    reach(id, r) as (
+      select doc_id, doc_id from documents
+      union
+      select s.v, reach.r from reach join sym s on s.u = reach.id
+      where reach.r < s.v
+    ),
+    pred as (select id as doc_id, min(r) as p from reach group by id),
+    j as (
+      select pred.p, d.source as t
+      from pred join documents d on d.doc_id = pred.doc_id
+    ),
+    cells as (select p, t, count(*) as n_pt from j group by p, t),
+    ps as (select p, sum(n_pt) as n_p from cells group by p),
+    ts as (select t, sum(n_pt) as n_t from cells group by t),
+    agg as (
+      select sum(n_pt) as n,
+             sum(n_pt * n_pt / n_p) as sp,
+             sum(n_pt * n_pt / n_t) as sr
+      from cells join ps using (p) join ts using (t)
+    )
+    select cast(n as bigint) as n_records,
+           round(sp / n, 6) as b3_precision,
+           round(sr / n, 6) as b3_recall,
+           round(2 * (sp/n) * (sr/n) / ((sp/n) + (sr/n)), 6) as b3_f1
+    from agg
     """
 
     # full recompute over base UNION delta — the incremental path must

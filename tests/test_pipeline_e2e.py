@@ -85,3 +85,41 @@ def test_metrics_table_has_blocking_health(spark, pipeline_out):
     m = read_metrics(spark, work)
     names = {r["metric"] for r in m.select("metric").distinct().collect()}
     assert {"reduction_ratio", "pairs_per_record", "rows_out", "wall_sec"} <= names
+
+
+def test_bcubed_hand_computed_and_properties(spark):
+    """B-cubed vs the worked textbook example + invariances: perfect
+    clustering scores 1.0; all-singletons gives precision 1; one giant
+    cluster gives recall 1."""
+    from aml_entity_resolution_assignment_spark.operators.evaluate import bcubed
+
+    def run(pred_map, true_map):
+        p = spark.createDataFrame(
+            list(pred_map.items()), "url string, predicted_entity_id string"
+        )
+        t = spark.createDataFrame(
+            list(true_map.items()), "url string, entity_id string"
+        )
+        r = bcubed(p, t).collect()[0]
+        return r["b3_precision"], r["b3_recall"], r["b3_f1"]
+
+    truth = {"a": "X", "b": "X", "c": "X", "d": "Y", "e": "Y"}
+    # perfect
+    pr, rc, f1 = run({k: v for k, v in truth.items()}, truth)
+    assert pr == rc == f1 == 1.0
+    # all singletons: every record's predicted cluster = itself
+    pr, rc, f1 = run({k: k for k in truth}, truth)
+    assert pr == 1.0
+    assert abs(rc - (3 * (1 / 3) + 2 * (1 / 2)) / 5) < 1e-12
+    # one giant cluster
+    pr, rc, f1 = run({k: "ALL" for k in truth}, truth)
+    assert rc == 1.0
+    assert abs(pr - (3 * (3 / 5) + 2 * (2 / 5)) / 5) < 1e-12
+    # hand-computed mixed case: pred {a,b,d} {c,e}
+    pred = {"a": "P1", "b": "P1", "d": "P1", "c": "P2", "e": "P2"}
+    # precision: a,b: 2/3 each; d: 1/3; c: 1/2; e: 1/2 -> (2/3+2/3+1/3+1/2+1/2)/5
+    # recall:    a,b: 2/3 each; c: 1/3; d: 1/2; e: 1/2 -> same sum here
+    want_p = (2 / 3 + 2 / 3 + 1 / 3 + 1 / 2 + 1 / 2) / 5
+    want_r = (2 / 3 + 2 / 3 + 1 / 3 + 1 / 2 + 1 / 2) / 5
+    pr, rc, f1 = run(pred, truth)
+    assert abs(pr - want_p) < 1e-12 and abs(rc - want_r) < 1e-12
