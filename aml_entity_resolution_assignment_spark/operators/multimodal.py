@@ -129,6 +129,10 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from ..functions.webp import decode_webp
 
         return decode_webp(payload)
+    if payload and payload[:2] == b"BM":
+        from ..functions.bmp import decode_bmp
+
+        return decode_bmp(payload)
     raise NotImplementedError(
         "unsupported image payload: netpbm (P5/P6), JPEG (baseline + "
         "progressive), PNG, GIF, and WebP (lossless VP8L + lossy VP8 "
