@@ -343,6 +343,23 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score: mean token log-prob under
+    the corpus's own unigram distribution (add-1 smoothed) — three
+    key-grouped shuffles, no UDF; full closed-form SQL twin."""
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        unigram_logprob_score,
+    )
+
+    d = _docs(spark, sf_dir)
+    out = unigram_logprob_score(d)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long"),
+        F.round("logprob", 6).alias("logprob"),
+    )
+
+
 def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level B-cubed P/R/F1 of the chain-CC clustering against
     `source` as ground truth — three key-grouped aggregations, no
@@ -1429,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "cc_incremental": q_cc_incremental,
         "bcubed": q_bcubed,
+        "lm_score": q_lm_score,
         "topk_ranking": q_topk_ranking,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1931,6 +1949,24 @@ def oracle_sql() -> dict[str, str]:
       where reach.r < s.v  -- only propagate smaller roots
     )
     select id as doc_id, min(r) as component from reach group by id
+    """
+
+    sql["lm_score"] = """
+    with tok as (
+      select doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as t
+      from documents where trim(text) <> ''
+    ),
+    lm as (select t, count(*) as cnt from tok group by t),
+    tot as (select sum(cnt) as total, count(*) as vocab from lm),
+    lp as (
+      select tok.doc_id,
+             ln((lm.cnt + 1.0) / (tot.total + 1.0 * tot.vocab)) as v
+      from tok join lm using (t), tot
+    )
+    select doc_id, cast(count(*) as bigint) as n_tokens,
+           round(avg(v), 6) as logprob
+    from lp group by doc_id
     """
 
     sql["bcubed"] = """

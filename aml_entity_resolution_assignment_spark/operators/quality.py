@@ -156,3 +156,60 @@ def decontaminate(
             ).alias("contamination_frac"),
         )
     )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm_counts: DataFrame | None = None,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: per document,
+    the mean token log-probability under a unigram LM estimated from
+    the corpus itself (or a supplied (token, cnt) table — at a real
+    deployment the LM table is fitted once on a reference corpus like
+    Wikipedia and broadcast). Documents full of common tokens score
+    high (close to 0); rare-token/gibberish documents score low — the
+    standard cheap perplexity proxy for pretraining-data filtering.
+
+    score(d) = mean_{t in d} log( (cnt(t) + smoothing)
+                                  / (total + smoothing * vocab) )
+
+    Distributed shape: one explode -> (a) token counts via a key-grouped
+    aggregation (or the provided table), (b) re-join tokens to their
+    counts by token key, (c) per-doc mean — three shuffles, all
+    key-grouped; the LM table is vocabulary-sized, so on a cluster it
+    broadcasts. No UDF anywhere; every step is codegen'd.
+
+    Returns (id_col, n_tokens, logprob) — logprob NULL for empty docs."""
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("_t")
+    ).where(F.col("_t") != "")
+    if lm_counts is None:
+        lm_counts = toks.groupBy("_t").agg(F.count("*").alias("_cnt"))
+    else:
+        lm_counts = lm_counts.select(
+            F.col(lm_counts.columns[0]).alias("_t"),
+            F.col(lm_counts.columns[1]).cast("long").alias("_cnt"),
+        )
+    totals = lm_counts.agg(
+        F.sum("_cnt").alias("_total"), F.count("*").alias("_vocab")
+    )
+    scored = (
+        toks.join(lm_counts, "_t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                F.log(
+                    (F.coalesce(F.col("_cnt"), F.lit(0)) + F.lit(smoothing))
+                    / (F.col("_total") + F.lit(smoothing) * F.col("_vocab"))
+                )
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("_lp").alias("logprob"),
+    )

@@ -177,3 +177,50 @@ class TestPropertyOracle:
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_unigram_logprob_score_orders_docs_by_typicality(spark):
+    """Docs of frequent tokens score higher (closer to 0) than docs of
+    rare tokens; empty docs are absent; math matches the closed form."""
+    import math
+
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        unigram_logprob_score,
+    )
+
+    rows = [
+        (1, "the the the the"),          # only frequent token
+        (2, "the zyzzyva"),              # one rare token
+        (3, "zyzzyva qwfp"),             # all rare
+        (4, ""),                         # empty -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob_score(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["logprob"] > got[2]["logprob"] > got[3]["logprob"]
+    # closed form: counts the=5, zyzzyva=2, qwfp=1; total=8, vocab=3
+    lp = lambda c: math.log((c + 1.0) / (8 + 3.0))  # noqa: E731
+    assert abs(got[1]["logprob"] - lp(5)) < 1e-12
+    assert abs(got[3]["logprob"] - (lp(2) + lp(1)) / 2) < 1e-12
+
+
+def test_unigram_logprob_external_lm_counts(spark):
+    """A supplied (token, cnt) reference LM replaces the self-fit;
+    out-of-vocabulary tokens get the smoothed floor."""
+    import math
+
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        unigram_logprob_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    lm = spark.createDataFrame(
+        [("alpha", 9), ("beta", 1)], "t string, cnt long"
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob_score(docs, lm_counts=lm).collect()}
+    total, vocab = 10, 2
+    lp = lambda c: math.log((c + 1.0) / (total + vocab))  # noqa: E731
+    assert abs(got[1]["logprob"] - (lp(9) + lp(1)) / 2) < 1e-12
+    assert abs(got[2]["logprob"] - lp(0)) < 1e-12  # OOV floor
