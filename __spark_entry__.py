@@ -343,6 +343,39 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representative selection: near-dup groups
+    (2-token-prefix key, star pairs through the CC operator) keep the
+    highest-n_chars member, min doc_id on ties — vs an arg-max window
+    SQL twin."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _doc_key(F.col("text")).alias("k"), "n_chars"
+    )
+    roots = d.groupBy("k").agg(F.min("doc_id").alias("id_a"))
+    pairs = (
+        d.join(roots, "k")
+        .where(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+    )
+    out = D.dedup_keep_best(
+        d.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars"
+    )
+    return out.select("doc_id", F.col("n_chars").cast("long"))
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc (smoothed IDF, lexicographic tie
+    break) — explode + two key-grouped aggs + one window, no UDF."""
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        tfidf_top_terms,
+    )
+
+    out = tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    return out.select(
+        "doc_id", "term", "rank", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality score: mean token log-prob under
     the corpus's own unigram distribution (add-1 smoothed) — three
@@ -1447,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": q_cc_incremental,
         "bcubed": q_bcubed,
         "lm_score": q_lm_score,
+        "dedup_keep_best": q_dedup_keep_best,
+        "tfidf": q_tfidf,
         "topk_ranking": q_topk_ranking,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1949,6 +1984,42 @@ def oracle_sql() -> dict[str, str]:
       where reach.r < s.v  -- only propagate smaller roots
     )
     select id as doc_id, min(r) as component from reach group by id
+    """
+
+    sql["dedup_keep_best"] = """
+    with d as (
+      select doc_id, n_chars,
+             array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[1:2], ' ') as k
+      from documents),
+    r as (
+      select doc_id, n_chars,
+             row_number() over (partition by k order by n_chars desc, doc_id) as rk
+      from d)
+    select doc_id, n_chars from r where rk = 1
+    """
+
+    sql["tfidf"] = """
+    with tok as (
+      select doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as t
+      from documents where trim(text) <> ''
+    ),
+    tf as (select doc_id, t, count(*) as tf from tok group by doc_id, t),
+    dfq as (select t, count(*) as df from tf group by t),
+    n as (select count(distinct doc_id) as nd from documents),
+    s as (
+      select tf.doc_id, tf.t as term,
+             tf.tf * (ln((n.nd + 1.0) / (dfq.df + 1.0)) + 1.0) as tfidf
+      from tf join dfq using (t), n
+    ),
+    r as (
+      select doc_id, term, tfidf,
+             row_number() over (partition by doc_id
+                                order by tfidf desc, term) as rank
+      from s)
+    select doc_id, term, cast(rank as bigint) as rank,
+           round(tfidf, 6) as tfidf
+    from r where rank <= 3
     """
 
     sql["lm_score"] = """

@@ -232,3 +232,32 @@ def dedup_keep_min(
     )
     keep = assign.where(F.col(id_col) == F.col("predicted_entity_id")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware transitive dedup: resolve near-dup pairs into
+    groups (same O(log n) CC operator) and keep each group's
+    HIGHEST-`score_col` member (min id breaks ties) instead of the
+    arbitrary min-id representative — the form a training-data
+    pipeline actually wants ("of these near-duplicate crawls, keep the
+    highest-quality one"). One window over the group key after the CC
+    join; singletons keep themselves."""
+    from pyspark.sql import Window
+
+    assign = connected_components(
+        pairs.select("id_a", "id_b"), vertices=df, id_col=id_col
+    )
+    scored = df.join(assign, id_col)
+    w = Window.partitionBy("predicted_entity_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk", "predicted_entity_id")
+    )

@@ -213,3 +213,39 @@ def unigram_logprob_score(
         F.count("*").alias("n_tokens"),
         F.avg("_lp").alias("logprob"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic salient-term
+    extractor for corpus exploration/labeling. Smoothed IDF
+    ln((N+1)/(df+1)) + 1; TF = in-doc count. Explode -> per-(doc,term)
+    counts -> per-term document frequency -> one window for the top-k;
+    all key-grouped, no UDF. Ties break lexicographically for
+    determinism. Returns (id_col, term, rank, tfidf)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("_t")
+    ).where(F.col("_t") != "")
+    tf = toks.groupBy(id_col, "_t").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    n_docs = docs.select(id_col).distinct().count()
+    scored = tf.join(dfreq, "_t").select(
+        id_col,
+        F.col("_t").alias("term"),
+        (
+            F.col("_tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("_df") + 1.0)) + 1.0)
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", F.col("rank").cast("long"), "tfidf")
+    )
