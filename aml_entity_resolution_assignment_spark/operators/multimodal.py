@@ -133,6 +133,10 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from ..functions.bmp import decode_bmp
 
         return decode_bmp(payload)
+    if payload and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..functions.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         "unsupported image payload: netpbm (P5/P6), JPEG (baseline + "
         "progressive), PNG, GIF, and WebP (lossless VP8L + lossy VP8 "
