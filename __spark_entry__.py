@@ -1178,6 +1178,100 @@ def q_multimodal_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF decode path END-TO-END with a hard oracle: big-endian
+    LZW-compressed TIFF with horizontal predictor and 5-row strips,
+    quadrants = the doc's first 4 ASCII bytes (lossless -> same
+    ord(substr) twin as png/webp)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.tiff import encode_tiff
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def _to_tiff(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:4]
+            img = np.zeros((16, 16), dtype=np.uint8)
+            for q, (ys, xs) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+                img[ys : ys + 8, xs : xs + 8] = raw[q]
+            out.append(
+                encode_tiff(
+                    img, compression=5, predictor=2, rows_per_strip=5,
+                    big_endian=True,
+                )
+            )
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    tiff_udf = F.pandas_udf(_to_tiff, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        tiff_udf(F.col("text")).alias("payload"),
+        F.lit("image/tiff").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.posexplode(F.col("feature")).alias("k", "v"),
+    ).select(
+        "doc_id", "k", F.round(F.col("v") * 255).cast("long").alias("pix")
+    )
+
+
+def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP decode path END-TO-END: 8-bit palette DIB (bottom-up rows,
+    4-byte padding), quadrants = the doc's first 4 ASCII bytes via an
+    identity gray palette — lossless, same ord(substr) twin."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.bmp import encode_bmp
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+    def _to_bmp(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:4]
+            img = np.zeros((16, 16), dtype=np.uint8)
+            for q, (ys, xs) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+                img[ys : ys + 8, xs : xs + 8] = raw[q]
+            out.append(encode_bmp(img, palette=pal))
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    bmp_udf = F.pandas_udf(_to_bmp, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        bmp_udf(F.col("text")).alias("payload"),
+        F.lit("image/bmp").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.posexplode(F.col("feature")).alias("k", "v"),
+    ).select(
+        "doc_id", "k", F.round(F.col("v") * 255).cast("long").alias("pix")
+    )
+
+
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video decode path END-TO-END with a hard oracle: build a REAL
     MJPEG AVI (functions/avi.py: RIFF container around four baseline
@@ -1508,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif": q_multimodal_gif,
         "multimodal_webp": q_multimodal_webp,
         "multimodal_webp_lossy": q_multimodal_webp_lossy,
+        "multimodal_tiff": q_multimodal_tiff,
+        "multimodal_bmp": q_multimodal_bmp,
         "multimodal_video": q_multimodal_video,
         "multimodal_wav": q_multimodal_wav,
         "multimodal_g711": q_multimodal_g711,
@@ -2282,6 +2378,9 @@ def oracle_sql() -> dict[str, str]:
 
     # progressive stream of the same flat image -> identical decode
     sql["multimodal_jpeg_progressive"] = sql["multimodal_jpeg"]
+    # TIFF/BMP are lossless: same flat-quadrant twin
+    sql["multimodal_tiff"] = sql["multimodal_jpeg"]
+    sql["multimodal_bmp"] = sql["multimodal_jpeg"]
 
     sql["multimodal_png"] = """
     with pos as (

@@ -254,6 +254,8 @@ def extract_media_features(
                             payload[:4] == b"RIFF"
                             and payload[8:12] == b"WEBP"
                         )
+                        or payload[:2] == b"BM"
+                        or payload[:4] in (b"II*\x00", b"MM\x00*")
                     )
                 ):
                     feats.append(_image_feature(payload, dim))
