@@ -196,3 +196,39 @@ def write_warc(pages: list[dict], per_record_gzip: bool = True) -> bytes:
         else:
             out += rec
     return bytes(out)
+
+
+def read_warc_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
+    """Streaming form of read_warc: new WARC segment files appearing
+    under `path` become micro-batches of pages (the crawl-ingest shape
+    the north_star describes). Same binaryFile + mapInPandas plan as
+    batch; plugs directly into stream_pages_keyed / resolve_stream."""
+    import pandas as pd
+    from collections.abc import Iterator as _It
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_file(bytes(content), p))
+            out = pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "html", "text", "lang", "source_file"],
+            )
+            if len(out):
+                out["warc_ts"] = pd.to_datetime(
+                    out["warc_ts"], utc=True, errors="coerce"
+                ).dt.tz_localize(None)
+            else:
+                out["warc_ts"] = pd.to_datetime(out["warc_ts"])
+            yield out
+
+    return files.mapInPandas(run, PAGES_FROM_WARC_SCHEMA)

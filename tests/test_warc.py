@@ -81,3 +81,28 @@ def test_read_warc_spark_end_to_end(spark, tmp_path):
 def test_malformed_warc_raises():
     with pytest.raises(ValueError, match="malformed WARC"):
         W.parse_warc_file(b"NOT A WARC FILE AT ALL\r\n\r\n")
+
+
+def test_read_warc_stream_matches_batch(spark, tmp_path):
+    d = tmp_path / "warcs_s"
+    d.mkdir()
+    for f in range(3):
+        pages = _pages(3)
+        for i, p in enumerate(pages):
+            p["url"] = f"https://s{f}.example.com/p/{i}"
+        (d / f"seg{f}.warc.gz").write_bytes(W.write_warc(pages))
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        W.read_warc_stream(spark, str(d), max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    want = W.read_warc(spark, str(d))
+    assert got.count() == 9
+    assert {r["url"] for r in got.collect()} == {r["url"] for r in want.collect()}
