@@ -1426,6 +1426,52 @@ def q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (backward, inclusive): each click event joined to the
+    user's most recent prior view — the union/carry-forward merge form
+    (one shuffle + one sort, no per-row probe) vs DuckDB's native ASOF
+    JOIN. Right side deduped per (user, ts) so ties are unambiguous."""
+    from aml_entity_resolution_assignment_spark.operators.joins import as_of_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = as_of_join(clicks, views, on=["user_id"], left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("click_value"),
+        F.round("r_view_value", 6).alias("view_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join: event values matched to every containing interval
+    (intervals derived from documents) via the bucketed equi-join —
+    each matching pair meets in exactly one bucket, so no dedup pass —
+    vs a plain SQL theta join."""
+    from aml_entity_resolution_assignment_spark.operators.joins import (
+        range_join_points_intervals,
+    )
+
+    e = _events(spark, sf_dir).where(F.col("event_id") < 2000).select(
+        "event_id", F.col("value").alias("x")
+    )
+    iv = _docs(spark, sf_dir).where(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("iid"),
+        (F.col("doc_id") % 97).cast("double").alias("s"),
+        ((F.col("doc_id") % 97) + (F.col("n_chars") % 13)).cast("double").alias("e"),
+    )
+    out = range_join_points_intervals(e, iv, "x", "s", "e", bucket_width=10.0)
+    return out.select("event_id", "iid", F.round("x", 6).alias("x"))
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-equivalent tumbling-window aggregation (batch form)."""
     e = _events(spark, sf_dir)
@@ -1607,6 +1653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": q_multimodal_video,
         "multimodal_wav": q_multimodal_wav,
         "multimodal_g711": q_multimodal_g711,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "tpch_pricing": q_tpch_pricing,
@@ -2500,6 +2548,34 @@ def oracle_sql() -> dict[str, str]:
     select doc_id, 1 as k, round(peak, 6) as v from f
     union all
     select doc_id, 2 as k, round(zcr, 6) as v from f
+    """
+
+    sql["asof_join"] = """
+    with clicks as (
+      select event_id, user_id, ts, value from events
+      where event_type = 'click'
+    ),
+    views as (
+      select user_id, ts, max(value) as view_value from events
+      where event_type = 'view' group by user_id, ts
+    )
+    select c.event_id, c.user_id,
+           round(c.value, 6) as click_value,
+           round(v.view_value, 6) as view_value
+    from clicks c asof left join views v
+      on c.user_id = v.user_id and c.ts >= v.ts
+    """
+
+    sql["range_join"] = """
+    with p as (select event_id, value as x from events where event_id < 2000),
+    iv as (
+      select doc_id as iid,
+             cast(doc_id % 97 as double) as s,
+             cast((doc_id % 97) + (n_chars % 13) as double) as e
+      from documents where doc_id < 200
+    )
+    select p.event_id, iv.iid, round(p.x, 6) as x
+    from p join iv on p.x >= iv.s and p.x <= iv.e
     """
 
     sql["events_window"] = """
