@@ -7,8 +7,9 @@ baseline JPEG (functions/jpeg.py), PNG incl. Adam7/16-bit
 (functions/png.py), GIF incl. animation (functions/gif.py), WebP
 lossless VP8L (functions/webp.py) and lossy VP8 key frames
 (functions/vp8.py), baseline AND progressive JPEG
-(functions/jpeg.py), WAV PCM/IEEE-float audio (functions/wav.py) and
-MJPEG-AVI video (functions/avi.py); VP8 inter frames and
+(functions/jpeg.py), TIFF (functions/tiff.py), BMP + ICO
+(functions/bmp.py), WAV audio incl. G.711/ADPCM (functions/wav.py)
+and MJPEG-AVI video (functions/avi.py); VP8 inter frames and
 inter-frame/psychoacoustic codecs (MP3/AAC/H.264/VP9/...) need codec
 libraries absent from this container and raise at a clearly-marked
 boundary. The Spark-side plumbing — schema, batch
@@ -137,10 +138,14 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from ..functions.tiff import decode_tiff
 
         return decode_tiff(payload)
+    if payload and payload[:4] == b"\x00\x00\x01\x00":
+        from ..functions.bmp import decode_ico
+
+        return decode_ico(payload)
     raise NotImplementedError(
         "unsupported image payload: netpbm (P5/P6), JPEG (baseline + "
-        "progressive), PNG, GIF, and WebP (lossless VP8L + lossy VP8 "
-        "key frames) decode natively in pure numpy; the remaining "
+        "progressive), PNG, GIF, WebP (lossless VP8L + lossy VP8 key "
+        "frames), TIFF, BMP and ICO decode natively; the remaining "
         "frontier — VP8 inter frames, H.264/VP9 — needs codec "
         "libraries absent from this container, or use "
         "extract_media_features(deterministic_fake=True)"
@@ -256,6 +261,7 @@ def extract_media_features(
                         )
                         or payload[:2] == b"BM"
                         or payload[:4] in (b"II*\x00", b"MM\x00*")
+                        or payload[:4] == b"\x00\x00\x01\x00"
                     )
                 ):
                     feats.append(_image_feature(payload, dim))

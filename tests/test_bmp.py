@@ -60,3 +60,38 @@ def test_multimodal_dispatch():
     feat = _image_feature(encode_bmp(img), dim=16)
     assert feat.shape == (16,)
     assert np.allclose(feat, 77 / 255.0)
+
+
+# ---------------------------------------------------------------------------
+# ICO (favicon container)
+# ---------------------------------------------------------------------------
+
+
+def test_ico_dib_and_png_roundtrip():
+    from aml_entity_resolution_assignment_spark.functions.bmp import (
+        decode_ico,
+        encode_ico,
+    )
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (24, 19, 3), dtype=np.uint8)
+    for as_png in (False, True):
+        assert np.array_equal(decode_ico(encode_ico(img, as_png=as_png)), img)
+
+
+def test_ico_rejects_garbage():
+    from aml_entity_resolution_assignment_spark.functions.bmp import decode_ico
+
+    with pytest.raises(ValueError, match="not an ICO"):
+        decode_ico(b"\x00\x00\x02\x00")  # .cur, not .ico
+
+
+def test_ico_multimodal_dispatch():
+    from aml_entity_resolution_assignment_spark.functions.bmp import encode_ico
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        _image_feature,
+    )
+
+    img = np.full((16, 16, 3), 90, dtype=np.uint8)
+    feat = _image_feature(encode_ico(img), dim=16)
+    assert np.allclose(feat, 90 / 255.0)
