@@ -454,3 +454,32 @@ def test_cluster_stream_matches_batch_cc(spark, tmp_path_factory):
     assert bases, "no base snapshot written"
     tail = [n for n in deltas if n > max(bases)]
     assert len(tail) <= 3, (bases, deltas)
+
+
+def test_write_table_bloom_filters(spark, tmp_path_factory):
+    """bloom_filter_cols writes real parquet bloom filters (visible in
+    the file footer's column metadata) for the point-lookup serving
+    path."""
+    from aml_entity_resolution_assignment_spark.sources import io as sio
+
+    base = str(tmp_path_factory.mktemp("io_bloom"))
+    df = spark.range(2000).select(
+        F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") * 2).alias("v"),
+    )
+    df = df.coalesce(1)
+    path_b = sio.write_table(df, base, "with_bloom", bloom_filter_cols=["url"])
+    path_p = sio.write_table(df, base, "plain")
+    import glob
+    import os as _os
+
+    size_b = sum(_os.path.getsize(f) for f in glob.glob(f"{path_b}/*.parquet"))
+    size_p = sum(_os.path.getsize(f) for f in glob.glob(f"{path_p}/*.parquet"))
+    # identical deterministic data: the only delta is the serialized
+    # bloom filter (this pyarrow build does not expose the footer
+    # offset field, so the byte delta is the observable)
+    assert size_b > size_p, (size_b, size_p)
+    # and the data still reads back identically
+    got = spark.read.parquet(path_b)
+    assert got.count() == 2000
+    assert got.where(F.col("url") == "https://h/123").count() == 1
