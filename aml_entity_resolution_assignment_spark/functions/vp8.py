@@ -29,9 +29,10 @@ a REAL encoder (libwebp) would decode correctly only if every table
 value matches the spec — treat external-stream interop as unverified.
 
 Performance shape: entropy decode is per-symbol Python by nature (same
-documented boundary as jpeg.py Huffman / gif.py LZW); all pixel math
-(dequant, IDCT/IWHT, prediction, reconstruction, loop filter) is
-vectorized numpy per macroblock row or better.
+documented boundary as jpeg.py Huffman / gif.py LZW); pixel math
+(dequant, IDCT/IWHT, prediction, reconstruction) is vectorized numpy
+per block/macroblock, and the loop filter is vectorized across each
+edge's full pixel rows.
 """
 
 from __future__ import annotations
