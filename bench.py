@@ -44,6 +44,14 @@ BENCH_QUERIES = [
     "lang_id",
     "rep_signals",
     "decontaminate",
+    # round-4 operators
+    "cc_incremental",
+    "dedup_keep_best",
+    "lm_score",
+    "tfidf",
+    "bcubed",
+    "asof_join",
+    "range_join",
     "events_window",
     "events_sessionize",
     "tpch_pricing",
