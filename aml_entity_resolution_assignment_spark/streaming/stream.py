@@ -525,3 +525,182 @@ def cluster_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def er_stream(
+    pages_stream: DataFrame,
+    root: str,
+    checkpoint_path: str,
+    thresholds=None,
+    candidate_limit: int = 200,
+    compact_every: int = 16,
+):
+    """The full north_star loop as ONE streaming query: pages arrive
+    continuously; each micro-batch is blocking-keyed, match-scored
+    against the accumulated corpus AND within itself, and the emitted
+    match edges fold into the entity-cluster assignment INCREMENTALLY
+    (contracted-component relabel deltas — never a full-graph CC
+    recompute). Produces, under `root`:
+
+      corpus/keys=<fam>/...   the compacted keyed corpus (same layout
+                              + hash-family versioning as resolve_stream)
+      matches/batch=<id>      per-batch classified match edges (audit)
+      clusters/base|delta     entity assignments, maintained by
+                              incremental-CC deltas + periodic bases
+
+    Per-batch cost: candidates/scoring proportional to the batch's
+    blocks, ONE broadcast relabel join against the assignment table,
+    O(batch)-sized persisted deltas. Idempotent under foreachBatch
+    replay (per-batch-id overwrite dirs, reads strictly below the
+    current batch id). Exactness: the final assignment equals the
+    batch pipeline's resolve_entities over all pages (parity test) —
+    edge (a, b) is discovered when the later page arrives (new-vs-
+    corpus) or in its own batch (new-vs-new), and min-id labels are
+    order-invariant."""
+    from ..functions.minhash import KEY_FAMILY
+    from ..operators.candidates import candidate_pairs, persisted_scope
+    from ..operators.classify import classify
+    from ..operators.cluster import (
+        apply_cc_delta, connected_components, incremental_cc_delta,
+    )
+    from ..operators.features import pair_features
+    from ..operators.resolve import find_candidates
+
+    corpus_path = f"{root}/corpus"
+    clusters_path = f"{root}/clusters"
+
+    def _read_assignments(spark, before):
+        bases = [m for m in _list_partition_ids(spark, f"{clusters_path}/base", "upto")
+                 if m < before]
+        if not bases:
+            return None
+        m = max(bases)
+        assign = spark.read.parquet(f"{clusters_path}/base/upto={m}")
+        for n in sorted(
+            x for x in _list_partition_ids(spark, f"{clusters_path}/delta", "batch")
+            if m < x < before
+        ):
+            assign = apply_cc_delta(
+                assign,
+                spark.read.parquet(f"{clusters_path}/delta/batch={n}/relabel"),
+                spark.read.parquet(f"{clusters_path}/delta/batch={n}/fresh"),
+            )
+        return assign
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        corpus_root = f"{corpus_path}/keys={KEY_FAMILY}"
+        keyed_new = add_blocking_keys(batch_df)
+        corpus = read_resolve_corpus(spark, corpus_path, batch_id)
+
+        with persisted_scope():
+            pairs_nn = candidate_pairs(keyed_new)
+            if corpus is not None:
+                cand = find_candidates(keyed_new, corpus, limit=candidate_limit)
+                pairs_nc = cand.select(
+                    F.least("query_id", "candidate_id").alias("id_a"),
+                    F.greatest("query_id", "candidate_id").alias("id_b"),
+                )
+                pairs = pairs_nn.unionByName(pairs_nc).dropDuplicates(
+                    ["id_a", "id_b"]
+                )
+                lookup = corpus.unionByName(keyed_new)
+            else:
+                pairs = pairs_nn
+                lookup = keyed_new
+            classified = classify(pair_features(pairs, lookup), thresholds)
+            edges = classified.where(F.col("is_match") == 1).select(
+                "id_a", "id_b"
+            )
+            edges.write.mode("overwrite").parquet(
+                f"{root}/matches/batch={batch_id}"
+            )
+        edges = spark.read.parquet(f"{root}/matches/batch={batch_id}")
+
+        prev = _read_assignments(spark, batch_id)
+        new_urls = keyed_new.select(F.col("url").cast("string")).distinct()
+        if prev is None:
+            assign = connected_components(
+                edges, vertices=new_urls, id_col="url"
+            )
+            assign.write.mode("overwrite").parquet(
+                f"{clusters_path}/base/upto={batch_id}"
+            )
+        else:
+            relabel, fresh = incremental_cc_delta(prev, edges, id_col="url")
+            # pages with no edges still need singleton assignments
+            edge_urls = (
+                edges.select(F.col("id_a").cast("string").alias("url"))
+                .unionByName(edges.select(F.col("id_b").cast("string").alias("url")))
+                .distinct()
+            )
+            singletons = (
+                new_urls.join(edge_urls, "url", "left_anti")
+                .join(prev.select(F.col("url")), "url", "left_anti")
+                .select("url", F.col("url").alias("predicted_entity_id"))
+            )
+            relabel.write.mode("overwrite").parquet(
+                f"{clusters_path}/delta/batch={batch_id}/relabel"
+            )
+            fresh.unionByName(singletons).dropDuplicates(["url"]).write.mode(
+                "overwrite"
+            ).parquet(f"{clusters_path}/delta/batch={batch_id}/fresh")
+            bases = _list_partition_ids(spark, f"{clusters_path}/base", "upto")
+            last_base = max((m for m in bases if m < batch_id), default=-1)
+            if batch_id - last_base >= compact_every:
+                snap = _read_assignments(spark, batch_id + 1)
+                snap.write.mode("overwrite").parquet(
+                    f"{clusters_path}/base/upto={batch_id}"
+                )
+
+        # corpus upkeep (same as resolve_stream)
+        keyed_new.write.mode("overwrite").parquet(
+            f"{corpus_root}/inc/batch={batch_id}"
+        )
+        bases = _list_partition_ids(spark, f"{corpus_root}/base", "upto")
+        last_base = max((m for m in bases if m < batch_id), default=-1)
+        if batch_id - last_base >= compact_every:
+            snapshot = read_resolve_corpus(spark, corpus_path, batch_id)
+            snapshot = (
+                keyed_new if snapshot is None
+                else snapshot.unionByName(keyed_new)
+            )
+            (
+                snapshot.withColumn(
+                    "_pk", F.pmod(F.xxhash64("url"), F.lit(CORPUS_PK_BUCKETS))
+                )
+                .repartition("_pk")
+                .write.mode("overwrite")
+                .partitionBy("_pk")
+                .parquet(f"{corpus_root}/base/upto={batch_id}")
+            )
+
+    return (
+        pages_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_er_stream_clusters(spark: SparkSession, root: str) -> DataFrame:
+    """Final (url, predicted_entity_id) assignment maintained by
+    er_stream."""
+    clusters_path = f"{root}/clusters"
+    from ..operators.cluster import apply_cc_delta
+
+    bases = _list_partition_ids(spark, f"{clusters_path}/base", "upto")
+    if not bases:
+        raise ValueError(f"no cluster snapshots under {clusters_path}")
+    m = max(bases)
+    assign = spark.read.parquet(f"{clusters_path}/base/upto={m}")
+    for n in sorted(
+        x for x in _list_partition_ids(spark, f"{clusters_path}/delta", "batch")
+        if x > m
+    ):
+        assign = apply_cc_delta(
+            assign,
+            spark.read.parquet(f"{clusters_path}/delta/batch={n}/relabel"),
+            spark.read.parquet(f"{clusters_path}/delta/batch={n}/fresh"),
+        )
+    return assign

@@ -483,3 +483,54 @@ def test_write_table_bloom_filters(spark, tmp_path_factory):
     got = spark.read.parquet(path_b)
     assert got.count() == 2000
     assert got.where(F.col("url") == "https://h/123").count() == 1
+
+
+def test_er_stream_end_to_end_matches_batch_pipeline(spark, tmp_path_factory):
+    """The full north_star loop: streamed pages -> per-batch scoring vs
+    corpus + within batch -> match edges -> INCREMENTAL cluster
+    maintenance. Final assignment must equal the batch pipeline
+    (candidate_pairs -> features -> cascade -> CC) over all pages."""
+    from aml_entity_resolution_assignment_spark.operators.blocking import (
+        add_blocking_keys,
+    )
+    from aml_entity_resolution_assignment_spark.operators.candidates import (
+        candidate_pairs,
+    )
+    from aml_entity_resolution_assignment_spark.operators.classify import classify
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        resolve_entities,
+    )
+    from aml_entity_resolution_assignment_spark.operators.features import (
+        pair_features,
+    )
+
+    gen = generate_pages(spark, n_entities=40, seed=23).drop("entity_id").cache()
+    src = str(tmp_path_factory.mktemp("pages_es"))
+    # 4 micro-batches (one file each)
+    parts = gen.withColumn("_b", F.pmod(F.xxhash64("url"), F.lit(4)))
+    for i in range(4):
+        parts.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    root = str(tmp_path_factory.mktemp("er_root"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_es"))
+    q = S.er_stream(
+        S.read_pages_stream(spark, src, max_files_per_trigger=1),
+        root, ckpt, compact_every=2,
+    )
+    q.awaitTermination(420)
+
+    got = {
+        r["url"]: r["predicted_entity_id"]
+        for r in S.read_er_stream_clusters(spark, root).collect()
+    }
+
+    keyed = add_blocking_keys(gen)
+    classified = classify(pair_features(candidate_pairs(keyed), keyed))
+    want = {
+        r["url"]: r["predicted_entity_id"]
+        for r in resolve_entities(classified, keyed).collect()
+    }
+    assert set(got) == set(want)
+    assert got == want
