@@ -90,6 +90,7 @@ class StageRunner:
         stage: str,
         fingerprint: str,
         build: Callable[[], DataFrame],
+        bloom_filter_cols: list[str] | None = None,
     ) -> DataFrame:
         mpath = self._manifest_path(stage)
         dpath = self._path(stage)
@@ -101,7 +102,10 @@ class StageRunner:
                 return io.read_table(self.spark, self.cfg.work_dir, f"stage={stage}")
         t0 = time.monotonic()
         df = build()
-        io.write_table(df, self.cfg.work_dir, f"stage={stage}")
+        io.write_table(
+            df, self.cfg.work_dir, f"stage={stage}",
+            bloom_filter_cols=bloom_filter_cols,
+        )
         out = io.read_table(self.spark, self.cfg.work_dir, f"stage={stage}")
         n = out.count()
         # stage output is on disk: intermediates cached inside lazy
@@ -170,7 +174,13 @@ def run_pipeline(
     r = StageRunner(spark, cfg, run_id)
     fp = f"{input_fingerprint}|cfg={cfg.fingerprint()}"
 
-    keyed = r.run("pages_keyed", fp, lambda: blocking.add_blocking_keys(pages))
+    # bloom filter on url: the serving path's point lookups (resolve by
+    # url against the checkpointed keyed table) skip row groups at the
+    # parquet footer
+    keyed = r.run(
+        "pages_keyed", fp, lambda: blocking.add_blocking_keys(pages),
+        bloom_filter_cols=["url"],
+    )
 
     pairs = r.run(
         "candidate_pairs",
