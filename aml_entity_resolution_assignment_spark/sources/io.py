@@ -56,16 +56,34 @@ def write_table(
     a point lookup (resolve by url) then skips row groups at the
     FOOTER, before any data page is read, which at 10^12 rows is the
     difference between touching ~1 row group and scanning the
-    partition."""
+    partition.
+
+    `buckets` (with `sort_by` as the bucket/sort key) writes a
+    BUCKETED table — Spark bucketing requires a catalog entry, so the
+    table is registered as ``bucketed_<name>`` with its files at
+    `path`: two tables bucketed the same way then join/aggregate on
+    the bucket key with NO exchange (the co-located-join lever the
+    100 TB plan uses for repeated joins against the keyed corpus)."""
     path = os.path.join(base, name)
     out = df
-    if sort_by:
+    if sort_by and not buckets:
         out = out.sortWithinPartitions(*sort_by)
     writer = out.write.mode(mode).format(TABLE_FORMAT)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     for c in bloom_filter_cols or []:
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    if buckets:
+        if not sort_by:
+            raise ValueError("bucketed write needs sort_by as the bucket key")
+        table = f"bucketed_{name.replace('=', '_').replace('/', '_').replace('-', '_')}"
+        (
+            writer.bucketBy(buckets, *sort_by)
+            .sortBy(*sort_by)
+            .option("path", path)
+            .saveAsTable(table)
+        )
+        return path
     writer.save(path)
     return path
 

@@ -534,3 +534,28 @@ def test_er_stream_end_to_end_matches_batch_pipeline(spark, tmp_path_factory):
     }
     assert set(got) == set(want)
     assert got == want
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """S6/scale lever: two tables bucketed+sorted on the same key join
+    as a SortMergeJoin with ZERO shuffle exchanges (vs 2 for plain
+    parquet) — the co-located-join shape for repeated joins against
+    the keyed corpus at 10^12 rows."""
+    from aml_entity_resolution_assignment_spark.sources import io as sio
+
+    base = str(tmp_path_factory.mktemp("io_buckets"))
+    a = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    b = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+    sio.write_table(a, base, "bk_a", sort_by=["k"], buckets=8)
+    sio.write_table(b, base, "bk_b", sort_by=["k"], buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bucketed_bk_a").join(spark.table("bucketed_bk_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert j.count() == 5000
+        assert plan.count("Exchange hashpartitioning") == 0, plan[:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("drop table if exists bucketed_bk_a")
+        spark.sql("drop table if exists bucketed_bk_b")
