@@ -122,3 +122,91 @@ def test_rp_band_udf_mixed_dims_deterministic(spark):
     bands8 = {b for k, v in one.items() if k < 100 for b in v}
     bands16 = {b for k, v in one.items() if k >= 100 for b in v}
     assert not (bands8 & bands16)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_recall_and_compression(spark):
+    """PQ top-k must recover most of the exact top-k (ADC is
+    approximate by design) and the code is m ints vs dim floats."""
+    import numpy as np
+
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, k=32, sample=400)
+    assert books.shape == (8, 32, 8)
+    enc = pq_encode(emb, books)
+    row = enc.select("pq_code").first()
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c < 32 for c in row["pq_code"])
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, q, k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    approx = pq_topk(enc, q, books, k_neighbors=10)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    adc_recall = len(a & e) / len(e)
+    # raw ADC on UNCLUSTERED synthetic vectors: modest recall by design
+    assert adc_recall >= 0.25, adc_recall
+
+    # the standard refine step: ADC shortlist -> exact cosine re-rank
+    refined = pq_topk(
+        enc, q, books, k_neighbors=10, rerank=100, vectors=emb
+    )
+    r = {(x["query_id"], x["neighbor_id"]) for x in refined.collect()}
+    refine_recall = len(r & e) / len(e)
+    assert refine_recall >= 0.8, refine_recall
+    assert refine_recall >= adc_recall
+
+
+def test_pq_encoding_partitioning_invariant(spark):
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=4, k=16, sample=300)
+    one = {
+        r["vec_id"]: tuple(r["pq_code"])
+        for r in pq_encode(emb.repartition(1), books).collect()
+    }
+    many = {
+        r["vec_id"]: tuple(r["pq_code"])
+        for r in pq_encode(emb.repartition(13), books).collect()
+    }
+    assert one == many
+
+
+def test_pq_codebooks_deterministic(spark):
+    import numpy as np
+
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        train_pq_codebooks,
+    )
+
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = train_pq_codebooks(emb, m=4, k=8, sample=200)
+    b2 = train_pq_codebooks(emb.repartition(7), m=4, k=8, sample=200)
+    assert np.array_equal(b1, b2)  # id-ordered sample -> same model
