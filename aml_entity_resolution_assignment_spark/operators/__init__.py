@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     dedup,
     evaluate,
     features,
+    joins,
     multimodal,
     quality,
     resolve,

@@ -1,1 +1,1 @@
-from . import generator, io  # noqa: F401
+from . import generator, io, warc  # noqa: F401
