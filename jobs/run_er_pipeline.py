@@ -28,6 +28,7 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages parquet path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input-warc", help="directory of .warc/.warc.gz segment files (Common-Crawl layout)")
     ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic entities instead of reading --input")
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--run-id", default="run0")
@@ -64,11 +65,18 @@ def main() -> None:
             "entity_id"
         )
         input_fp = f"synthetic:{args.synthetic}:42"
+    elif args.input_warc:
+        from aml_entity_resolution_assignment_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input_warc).select(
+            "url", "warc_ts", "html", "text", "lang"
+        )
+        input_fp = f"warc:{args.input_warc}"
     elif args.input:
         pages = spark.read.parquet(args.input)
         input_fp = f"parquet:{args.input}"
     else:
-        raise SystemExit("pass --input PATH or --synthetic N")
+        raise SystemExit("pass --input PATH, --input-warc DIR or --synthetic N")
 
     kw = {}
     if args.salt_cap is not None:
