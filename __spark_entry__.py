@@ -1426,6 +1426,21 @@ def q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-count sketch with a
+    deterministic md5-based hash — DuckDB recomputes the IDENTICAL
+    512-register sketch and estimate in plain SQL (a correctness
+    property engine-internal sketches can't offer)."""
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    out = hll_distinct(_events(spark, sf_dir), "event_id")
+    return out.select(
+        "n_registers_set", F.round("estimate", 6).alias("estimate")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (backward, inclusive): each click event joined to the
     user's most recent prior view — the union/carry-forward merge form
@@ -1653,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": q_multimodal_video,
         "multimodal_wav": q_multimodal_wav,
         "multimodal_g711": q_multimodal_g711,
+        "hll_distinct": q_hll_distinct,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_window": q_events_window,
@@ -2548,6 +2564,34 @@ def oracle_sql() -> dict[str, str]:
     select doc_id, 1 as k, round(peak, 6) as v from f
     union all
     select doc_id, 2 as k, round(zcr, 6) as v from f
+    """
+
+    sql["hll_distinct"] = """
+    with h as (
+      select ('0x' || substr(md5(cast(event_id as varchar)), 1, 15))::UBIGINT as hv
+      from events where event_id is not null
+    ),
+    regs as (
+      select (hv % 512) as register,
+             max(case when (hv >> 9) > 0
+                      then 52 - length(bin(hv >> 9)) else 52 end) as max_rho
+      from h group by 1
+    ),
+    agg as (
+      select count(*) as nset, sum(power(2.0, -max_rho)) as s from regs
+    ),
+    est as (
+      select nset,
+        case when (0.7213/(1+1.079/512))*512*512/(s + (512 - nset)) <= 2.5*512
+                  and (512 - nset) > 0
+             then 512.0 * ln(512.0 / (512 - nset))
+             else (0.7213/(1+1.079/512))*512*512/(s + (512 - nset)) end
+          as estimate
+      from agg
+    )
+    select cast(nset as bigint) as n_registers_set,
+           round(estimate, 6) as estimate
+    from est
     """
 
     sql["asof_join"] = """
