@@ -1426,6 +1426,32 @@ def q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min token-frequency sketch (d=4, w=512, seeded md5 row
+    hashes) probed for every distinct token — deterministic and fully
+    SQL-reproducible, so DuckDB rebuilds the identical counters and
+    min-over-rows estimates."""
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        word_tokens,
+    )
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(word_tokens(F.col("text"))).alias("t"))
+        .where(F.col("t") != "")
+    )
+    sk = cm_sketch(toks, "t")
+    items = toks.select("t").distinct()
+    out = cm_estimate(sk, items, "t")
+    return out.select(
+        F.col("item").alias("token"), F.col("estimate").cast("long")
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog distinct-count sketch with a
     deterministic md5-based hash — DuckDB recomputes the IDENTICAL
@@ -1668,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": q_multimodal_video,
         "multimodal_wav": q_multimodal_wav,
         "multimodal_g711": q_multimodal_g711,
+        "cm_token_counts": q_cm_token_counts,
         "hll_distinct": q_hll_distinct,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2564,6 +2591,34 @@ def oracle_sql() -> dict[str, str]:
     select doc_id, 1 as k, round(peak, 6) as v from f
     union all
     select doc_id, 2 as k, round(zcr, 6) as v from f
+    """
+
+    sql["cm_token_counts"] = """
+    with tok as (
+      select unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as t
+      from documents where trim(text) <> ''
+    ),
+    rows_ as (select unnest(generate_series(0, 3)) as r),
+    hashed as (
+      select rows_.r as row,
+             (('0x' || substr(md5(cast(rows_.r as varchar) || ':' || tok.t), 1, 15))::UBIGINT
+               % 512) as bucket
+      from tok, rows_
+    ),
+    sketch as (
+      select row, bucket, count(*) as cnt from hashed group by row, bucket
+    ),
+    items as (select distinct t from tok),
+    probes as (
+      select items.t, rows_.r as row,
+             (('0x' || substr(md5(cast(rows_.r as varchar) || ':' || items.t), 1, 15))::UBIGINT
+               % 512) as bucket
+      from items, rows_
+    )
+    select probes.t as token,
+           cast(min(coalesce(sketch.cnt, 0)) as bigint) as estimate
+    from probes left join sketch using (row, bucket)
+    group by probes.t
     """
 
     sql["hll_distinct"] = """

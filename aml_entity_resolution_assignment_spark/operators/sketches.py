@@ -90,3 +90,72 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
 def hll_distinct(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
     """One-shot estimate: (n_registers_set, estimate)."""
     return hll_estimate(hll_registers(df, col, p), p)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the frequency companion to HLL — bounded-size,
+# mergeable-by-sum, deterministic (seeded md5 row hashes), and fully
+# SQL-reproducible. At 10^12 tokens the exact frequency table is
+# vocabulary-sized but the ROLLUP pipeline (per-segment sketches
+# merged upward) carries d*w counters per segment instead.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 512
+
+
+def _cm_hash(col, row: int, w: int):
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), F.col(col).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(w),
+    ).cast("int")
+
+
+def cm_sketch(
+    df: DataFrame, col: str, d: int = CM_DEPTH, w: int = CM_WIDTH
+) -> DataFrame:
+    """(row int, bucket int, cnt long) counters — at most d*w rows.
+    Merge sketches with unionByName + groupBy(row, bucket).sum(cnt)."""
+    parts = [
+        df.where(F.col(col).isNotNull()).select(
+            F.lit(i).alias("row"), _cm_hash(col, i, w).alias("bucket")
+        )
+        for i in range(d)
+    ]
+    tall = parts[0]
+    for p in parts[1:]:
+        tall = tall.unionByName(p)
+    return tall.groupBy("row", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, items: DataFrame, item_col: str,
+    d: int = CM_DEPTH, w: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query a set of items: estimate = min over the d rows of
+    the item's counter (the classic overestimate-only bound). The
+    items table is tiny (a vocabulary/watchlist) -> its hashed probe
+    rows broadcast into an equi-join with the sketch."""
+    probes = [
+        items.select(
+            F.col(item_col).alias("item"),
+            F.lit(i).alias("row"),
+            _cm_hash(item_col, i, w).alias("bucket"),
+        )
+        for i in range(d)
+    ]
+    tall = probes[0]
+    for p in probes[1:]:
+        tall = tall.unionByName(p)
+    joined = F.broadcast(tall).join(sketch, ["row", "bucket"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("estimate")
+    )

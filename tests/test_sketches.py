@@ -40,3 +40,50 @@ def test_hll_sketch_is_bounded_and_duplicate_blind(spark):
     assert regs.count() <= 40  # at most one register per distinct value
     est = hll_distinct(df, "v").first()["estimate"]
     assert abs(est - 40) / 40 < 0.25  # linear-counting regime
+
+
+def test_cm_sketch_never_underestimates_and_merges(spark):
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    df = spark.range(30000).select(
+        (F.floor(F.pow(F.rand(7), 3) * 200)).cast("int").cast("string").alias("v")
+    )
+    items = df.select("v").distinct()
+    exact = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    est = {
+        r["item"]: r["estimate"]
+        for r in cm_estimate(cm_sketch(df, "v"), items, "v").collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)  # overestimate-only bound
+    # merge by sum == sketch of the union
+    a = df.where(F.col("v").cast("int") % 2 == 0)
+    b = df.where(F.col("v").cast("int") % 2 == 1)
+    merged = (
+        cm_sketch(a, "v")
+        .unionByName(cm_sketch(b, "v"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    e1 = {
+        r["item"]: r["estimate"]
+        for r in cm_estimate(merged, items, "v").collect()
+    }
+    assert e1 == est
+
+
+def test_cm_absent_item_estimates_bounded(spark):
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    df = spark.range(1000).select(F.concat(F.lit("p"), F.col("id")).alias("v"))
+    sk = cm_sketch(df, "v")
+    ghosts = spark.createDataFrame([("never-seen-1",), ("never-seen-2",)], "v string")
+    est = {r["item"]: r["estimate"] for r in cm_estimate(sk, ghosts, "v").collect()}
+    # min over rows caps the collision overcount well below N
+    assert all(v <= 1000 * 0.05 for v in est.values()), est
