@@ -559,3 +559,42 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("drop table if exists bucketed_bk_a")
         spark.sql("drop table if exists bucketed_bk_b")
+
+
+def test_cluster_stream_restart_is_idempotent(spark, tmp_path_factory):
+    """Restarting cluster_stream on the same checkpoint with no new
+    files must not reprocess batches or change assignments."""
+    import random
+
+    rng = random.Random(41)
+    verts = [f"n{i:03d}" for i in range(30)]
+    edges = [tuple(sorted(rng.sample(verts, 2))) for _ in range(25)]
+    src = str(tmp_path_factory.mktemp("edges_rs2"))
+    for b in range(3):
+        spark.createDataFrame(
+            edges[b::3], "id_a string, id_b string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    path = str(tmp_path_factory.mktemp("clusters_rs2"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_rs2"))
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("id_a string, id_b string")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        q = S.cluster_stream(stream, path, ckpt, compact_every=2)
+        q.awaitTermination(240)
+
+    run()
+    first = {
+        tuple(r)
+        for r in S.read_cluster_assignments(spark, path, 1 << 30).collect()
+    }
+    run()  # restart: checkpoint already covers every file
+    second = {
+        tuple(r)
+        for r in S.read_cluster_assignments(spark, path, 1 << 30).collect()
+    }
+    assert first == second and len(first) > 0
