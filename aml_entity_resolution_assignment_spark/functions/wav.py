@@ -178,7 +178,13 @@ def _ulaw_table() -> np.ndarray:
 
 
 def _alaw_table() -> np.ndarray:
-    """256-entry A-law byte -> linear int16."""
+    """256-entry A-law byte -> linear int16.
+
+    ITU-T G.711 A-law sign convention: the transmitted sign bit 0x80
+    (unaffected by the ^0x55 even-bit toggle) SET means POSITIVE —
+    0xD5 decodes to +8 and 0x55 to -8 (pinned in tests against the
+    spec, not the in-repo encoder, so a shared inversion can't hide).
+    """
     a = np.arange(256, dtype=np.int32) ^ 0x55  # even bits inverted
     sign = (a & 0x80) != 0
     exp = (a >> 4) & 7
@@ -186,7 +192,7 @@ def _alaw_table() -> np.ndarray:
     t = np.where(
         exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0)
     )
-    return np.where(sign, -t, t).astype(np.int16)
+    return np.where(sign, t, -t).astype(np.int16)
 
 
 _ULAW = _ulaw_table()
@@ -212,7 +218,8 @@ def alaw_encode(x: np.ndarray) -> np.ndarray:
     exp = (np.floor(np.log2(np.maximum(mag >> 8, 1))).astype(np.int32) + 1).clip(0, 7)
     exp = np.where(mag < 256, 0, exp)
     mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
-    a = (np.where(sign, 0x80, 0) | (exp << 4) | (mant & 0x0F)) ^ 0x55
+    # G.711: sign bit 0x80 set = non-negative sample
+    a = (np.where(sign, 0, 0x80) | (exp << 4) | (mant & 0x0F)) ^ 0x55
     return a.astype(np.uint8)
 
 

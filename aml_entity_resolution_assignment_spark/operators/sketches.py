@@ -20,7 +20,7 @@ Construction (Flajolet et al. 2007): h = 60-bit hash (first 15 hex
 chars of md5 — byte-identical in Spark's conv() and DuckDB's hex
 cast), register = h mod m with m = 2^p, rho = leading zeros of the
 remaining 60-p bits + 1 (via the exact integer identity
-rho = (60 - p) + 2 - bitlen(w), bitlen via base-2 string length —
+rho = (60 - p) + 1 - bitlen(w), bitlen via base-2 string length —
 no float logs). Estimate = alpha_m * m^2 / sum(2^-M_j) with the
 standard small-range linear-counting correction.
 """

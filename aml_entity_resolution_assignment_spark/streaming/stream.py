@@ -273,6 +273,39 @@ def _list_partition_ids(spark: SparkSession, path: str, key: str) -> list[int]:
 CORPUS_PK_BUCKETS = 32  # partition count of the compacted corpus store
 
 
+def check_key_family(spark: SparkSession, corpus_path: str) -> str:
+    """Fail fast if the corpus dir holds blocking keys from another
+    hash family (ADVICE r3: cross-family banding is ~random — silent
+    recall loss). Returns this family's corpus root. Pre-versioning
+    corpora (bare inc/ or base/ at the top level) are also foreign.
+    Shared by resolve_stream AND er_stream (ADVICE r4: er_stream
+    previously skipped the check and would silently start matching
+    from an empty corpus next to a foreign-family one)."""
+    from ..functions.minhash import KEY_FAMILY
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(corpus_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        names = [st.getPath().getName() for st in fs.listStatus(jpath)]
+        foreign = [
+            n for n in names
+            if (n.startswith("keys=") and n != f"keys={KEY_FAMILY}")
+            or n in ("inc", "base")
+        ]
+        if foreign:
+            raise RuntimeError(
+                f"resolve corpus at {corpus_path} contains blocking "
+                f"keys from a different hash family ({foreign}); this "
+                f"engine derives family '{KEY_FAMILY}' "
+                "(functions/minhash.py KEY_FAMILY). Re-key the corpus "
+                "(re-run ingest) or point corpus_path elsewhere — "
+                "cross-family bands never match and would silently "
+                "drop recall."
+            )
+    return f"{corpus_path}/keys={KEY_FAMILY}"
+
+
 def read_resolve_corpus(
     spark: SparkSession, corpus_path: str, before_batch: int
 ) -> DataFrame | None:
@@ -362,39 +395,11 @@ def resolve_stream(
     only this sandbox pays the full rewrite). Old base/upto=<m> and
     inc/batch=<n<=m> dirs become dead after a newer snapshot and may be
     garbage-collected out of band (reads never touch them)."""
-    from ..functions.minhash import KEY_FAMILY
     from ..operators.resolve import resolve
-
-    def _check_key_family(spark: SparkSession) -> str:
-        """Fail fast if the corpus dir holds keys from another hash
-        family (ADVICE r3: cross-family banding is ~random — silent
-        recall loss). Returns this family's corpus root. Pre-versioning
-        corpora (bare inc/ or base/ at the top level) are also foreign."""
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(corpus_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            names = [st.getPath().getName() for st in fs.listStatus(jpath)]
-            foreign = [
-                n for n in names
-                if (n.startswith("keys=") and n != f"keys={KEY_FAMILY}")
-                or n in ("inc", "base")
-            ]
-            if foreign:
-                raise RuntimeError(
-                    f"resolve corpus at {corpus_path} contains blocking "
-                    f"keys from a different hash family ({foreign}); this "
-                    f"engine derives family '{KEY_FAMILY}' "
-                    "(functions/minhash.py KEY_FAMILY). Re-key the corpus "
-                    "(re-run ingest) or point corpus_path elsewhere — "
-                    "cross-family bands never match and would silently "
-                    "drop recall."
-                )
-        return f"{corpus_path}/keys={KEY_FAMILY}"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        corpus_root = _check_key_family(spark)
+        corpus_root = check_key_family(spark, corpus_path)
         keyed_new = add_blocking_keys(batch_df)
         corpus = read_resolve_corpus(spark, corpus_root, batch_id)
         if corpus is not None:
@@ -557,7 +562,6 @@ def er_stream(
     edge (a, b) is discovered when the later page arrives (new-vs-
     corpus) or in its own batch (new-vs-new), and min-id labels are
     order-invariant."""
-    from ..functions.minhash import KEY_FAMILY
     from ..operators.candidates import candidate_pairs, persisted_scope
     from ..operators.classify import classify
     from ..operators.cluster import (
@@ -589,7 +593,7 @@ def er_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        corpus_root = f"{corpus_path}/keys={KEY_FAMILY}"
+        corpus_root = check_key_family(spark, corpus_path)
         keyed_new = add_blocking_keys(batch_df)
         corpus = read_resolve_corpus(spark, corpus_path, batch_id)
 

@@ -368,6 +368,30 @@ def test_resolve_stream_rejects_foreign_key_family(spark, tmp_path_factory):
         q.processAllAvailable()
 
 
+def test_er_stream_rejects_foreign_key_family(spark, tmp_path_factory):
+    """ADVICE r4: er_stream must run the same foreign-family fail-fast
+    as resolve_stream — a pre-versioning corpus layout next to the
+    versioned root would otherwise be silently ignored (the stream
+    starts matching from empty: exactly the silent-recall-loss mode
+    the guard exists to prevent)."""
+    import os
+
+    import pyspark.errors
+
+    gen = generate_pages(spark, n_entities=5, seed=37).drop("entity_id")
+    src = str(tmp_path_factory.mktemp("pages_erff"))
+    root = str(tmp_path_factory.mktemp("er_root_ff"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_erff"))
+    os.makedirs(f"{root}/corpus/inc/batch=0", exist_ok=True)
+    gen.coalesce(1).write.mode("overwrite").parquet(src)
+    q = S.er_stream(S.read_pages_stream(spark, src), root, ckpt)
+    with pytest.raises(
+        (pyspark.errors.PySparkException, Exception), match="hash family"
+    ):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+
+
 def test_iceberg_roundtrip(spark, tmp_path_factory):
     """Exercise the TABLE_FORMAT=iceberg branch end-to-end when the
     Iceberg Spark runtime is on the classpath: hadoop-catalog

@@ -158,11 +158,19 @@ def test_g711_decode_tables_match_scalar_reference():
     # µ-law: byte 0x00 (complement 0xFF): sign=1, exp=7, mant=15 ->
     # magnitude (((15<<3)+0x84)<<7) - 0x84 = 32124, negative
     assert W._ULAW[0x00] == -32124
-    # A-law: byte 0x55 (xor -> 0x00): exp=0, mant=0 -> +8
-    assert W._ALAW[0x55] == 8
-    # A-law: byte 0x2A (xor 0x55 -> 0x7F): exp=7, mant=15 -> +32256? no:
-    # ((15<<4)+0x108)<<6 = 32256 -> positive max
-    assert W._ALAW[0x2A] == 32256
+    # A-law sign convention per ITU-T G.711 (and the classic g711.c
+    # reference): transmitted sign bit 0x80 SET means POSITIVE. These
+    # vectors are pinned against the spec, not the in-repo encoder, so
+    # a shared encode/decode inversion cannot mask a defect.
+    # byte 0xD5 (xor 0x55 -> 0x80): sign=1, exp=0, mant=0 -> +8
+    assert W._ALAW[0xD5] == 8
+    # byte 0x55 (xor 0x55 -> 0x00): sign=0, exp=0, mant=0 -> -8
+    assert W._ALAW[0x55] == -8
+    # byte 0x2A (xor 0x55 -> 0x7F): sign=0, exp=7, mant=15 ->
+    # -(((15<<4)+0x108)<<6) = -32256 (negative max)
+    assert W._ALAW[0x2A] == -32256
+    # byte 0xAA (xor 0x55 -> 0xFF): sign=1 -> +32256 (positive max)
+    assert W._ALAW[0xAA] == 32256
 
 
 def test_ima_adpcm_roundtrip_mono_stereo():
