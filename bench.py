@@ -35,11 +35,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
-    "dedup_simhash",
-    "dedup_simhash_fast",
+    "dedup_simhash",  # merged entry: md5 oracle twin + production SipHash path
     "dedup_keep_min",
     "resolve_best_match",
-    "ann_topk",
+    "ann_rank",  # merged entry: brute-force baseline + full-probe IVF
     "text_quality",
     "lang_id",
     "rep_signals",
@@ -177,23 +176,28 @@ def bench_main() -> None:
         release_persisted,
     )
 
-    # best-of-2 per query (this sandbox host's effective speed swings
-    # 2-4x between minute-scale throttle windows — r01-r03
-    # 'regressions' on unchanged queries were exactly that; run 1 also
-    # absorbs per-plan JVM codegen so run 2 measures the plan, not the
-    # compiler), PLUS a per-sample single-thread control probe
-    # (VERDICT r3 item 2): each sample records the host's effective
-    # speed in ITS OWN window, the best sample's control is published
-    # per query in the JSON (`controls`, Mops/s), and a query whose
-    # best sample landed in a degraded window (< RETRY_CTL_FRAC of the
-    # session's fastest observed window) gets up to two extra samples —
-    # so a reported regression is attributable to engine vs host on
-    # its face.
+    # one UNTIMED warm-up + best-of-3 timed samples per query (VERDICT
+    # r4 item 1: best-of-~2 with run 1 doubling as warm-up was still
+    # first-sample-dominated for sub-second queries — BENCH_r04
+    # recorded events_window at 7.3s where the warm plan runs 0.96s).
+    # The warm-up absorbs per-plan JVM codegen and Python-worker module
+    # imports (a 10^12-doc deployment is permanently warm); the timed
+    # samples then measure the plan. This host's effective speed also
+    # swings 2-4x between minute-scale throttle windows, so each sample
+    # carries a single-thread control probe (VERDICT r3 item 2): the
+    # best sample's control is published per query (`controls`,
+    # Mops/s), and a query whose best sample landed in a degraded
+    # window (< RETRY_CTL_FRAC of the session's fastest observed
+    # window) gets up to two extra samples — a reported regression is
+    # attributable to engine vs host on its face.
     RETRY_CTL_FRAC = 0.7
-    MAX_SAMPLES = 4
+    MIN_SAMPLES = 3
+    MAX_SAMPLES = 5
     controls: dict[str, float] = {}
     ctl_ref = 0.0
     for name in BENCH_QUERIES:
+        qs[name](spark, SF_DIR).count()  # untimed warm-up
+        release_persisted()
         best, best_ctl, n = float("inf"), 0.0, 0
         for i in range(MAX_SAMPLES):
             ctl = _cpu_control(0.3)
@@ -205,7 +209,7 @@ def bench_main() -> None:
             release_persisted()
             if wall < best:
                 best, best_ctl = wall, ctl
-            if i >= 1 and best_ctl >= RETRY_CTL_FRAC * ctl_ref:
+            if i >= MIN_SAMPLES - 1 and best_ctl >= RETRY_CTL_FRAC * ctl_ref:
                 break
         timings[name] = round(best, 3)
         controls[name] = round(best_ctl, 1)

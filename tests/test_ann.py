@@ -210,3 +210,45 @@ def test_pq_codebooks_deterministic(spark):
     b1 = train_pq_codebooks(emb, m=4, k=8, sample=200)
     b2 = train_pq_codebooks(emb.repartition(7), m=4, k=8, sample=200)
     assert np.array_equal(b1, b2)  # id-ordered sample -> same model
+
+
+def test_pq_scan_is_two_level_topk_no_corpus_scale_exchange(spark):
+    """VERDICT r4 item 3: the ADC scan must not shuffle corpus-scale
+    rows into one task per query. The plan must show the mapInPandas
+    local top-k feeding the window exchange (corpus rows never
+    crossJoin with the query set), and a partitioning-invariance probe
+    must return identical rankings at 1 and 13 partitions (the local
+    prune against the (_d, id) total order is exact)."""
+    import os
+
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=4, k=16, sample=300)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    enc = pq_encode(emb, books)
+    out = pq_topk(enc, q, books, k_neighbors=5)
+    jvm = spark._jvm  # noqa: SLF001
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)  # noqa: SLF001
+    assert "MapInPandas" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "CrossJoin"):
+        assert bad not in plan, bad
+    one = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_topk(pq_encode(emb.repartition(1), books), q, books,
+                         k_neighbors=5).collect()
+    }
+    many = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_topk(pq_encode(emb.repartition(13), books), q, books,
+                         k_neighbors=5).collect()
+    }
+    assert one == many
