@@ -29,13 +29,23 @@ MIN_PATH_KEY_LEN = 5
 
 BLOCKING_KEYS = ["bk_host", "bk_title", "bk_path"]
 BAND_KEYS = ["bk_minhash_bands", "bk_simhash_bands"]
+# optional phonetic key (off by default, mirroring the reference's
+# soundex that exists but isn't wired into its key set —
+# preprocessing.py:192-193): soundex of the title's first two tokens,
+# recovering typo'd titles the exact bk_title misses. Enabled via
+# PipelineConfig.soundex_title_key; coarse blocks it creates are
+# handled by the same salt/drop-cap machinery as every other key.
+SOUNDEX_KEY = "bk_title_soundex"
 
 
-def add_blocking_keys(pages: DataFrame) -> DataFrame:
+def add_blocking_keys(
+    pages: DataFrame, soundex_title_key: bool = False
+) -> DataFrame:
     """pages -> pages_keyed: normalized columns + blocking keys.
 
     One narrow projection (no shuffle); the two pandas UDFs (minhash,
-    simhash) run over the same Arrow batch scan.
+    simhash) run over the same Arrow batch scan. With
+    `soundex_title_key`, adds the optional phonetic SOUNDEX_KEY column.
     """
     host = N.norm_hostname(N.url_host(F.col("url")))
     norm_url = N.norm_url_for_match(F.col("url"))
@@ -61,6 +71,11 @@ def add_blocking_keys(pages: DataFrame) -> DataFrame:
             F.length("norm_title") >= MIN_TITLE_KEY_LEN, F.col("norm_title")
         ).alias("bk_title"),
         F.when(F.length(path_full) >= MIN_PATH_KEY_LEN, path_full).alias("bk_path"),
+        *(
+            [_title_soundex_key(F.col("norm_title")).alias(SOUNDEX_KEY)]
+            if soundex_title_key
+            else []
+        ),
         mh.minhash_udf()(F.when(F.col("norm_text") != "", F.col("norm_text"))).alias(
             "minhash_sig"
         ),
@@ -85,12 +100,33 @@ def add_blocking_keys(pages: DataFrame) -> DataFrame:
     return keyed.drop("norm_text", "minhash_sig")
 
 
+def _title_soundex_key(norm_title):
+    """Phonetic key: soundex of the first two title tokens joined with
+    '|'. ONE token's soundex is a stop-word key at web scale (< 26*7^3
+    distinct codes -> quadratic blocks); two tokens square the keyspace
+    while still recovering single-typo titles. Null when the title is
+    short or either code is the '0000' empty sentinel."""
+    toks = F.split(norm_title, r"\s+")
+    s1 = N.get_soundex(F.element_at(toks, 1))
+    s2 = N.get_soundex(F.element_at(toks, 2))
+    return F.when(
+        (F.length(norm_title) >= MIN_TITLE_KEY_LEN)
+        & (F.size(toks) >= 2)
+        & (s1 != "0000")
+        & (s2 != "0000"),
+        F.concat_ws("|", s1, s2),
+    )
+
+
 def key_coverage(keyed: DataFrame) -> DataFrame:
     """B6 (preprocessing.py:250-253): how many blocking keys each record
-    carries; returns (key_count, n_records) rows."""
-    count_expr = sum(
-        F.col(k).isNotNull().cast("int") for k in BLOCKING_KEYS + BAND_KEYS
-    )
+    carries; returns (key_count, n_records) rows. Counts whichever of
+    the known keys (incl. the optional soundex key) the table carries."""
+    keys = [
+        k for k in BLOCKING_KEYS + [SOUNDEX_KEY] + BAND_KEYS
+        if k in keyed.columns
+    ]
+    count_expr = sum(F.col(k).isNotNull().cast("int") for k in keys)
     return (
         keyed.select(count_expr.alias("key_count"))
         .groupBy("key_count")

