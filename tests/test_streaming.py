@@ -622,3 +622,73 @@ def test_cluster_stream_restart_is_idempotent(spark, tmp_path_factory):
         for r in S.read_cluster_assignments(spark, path, 1 << 30).collect()
     }
     assert first == second and len(first) > 0
+
+
+def test_er_stream_routes_late_pages_by_event_time(spark, tmp_path_factory):
+    """VERDICT r4 item 6: with lateness_seconds set, a page whose
+    warc_ts is older than the stream's event-time high watermark minus
+    the allowance is ROUTED to root/late/batch=<id> and excluded from
+    matching, corpus, and cluster maintenance; on-time pages in the
+    same batch still process. Two availableNow runs force the
+    out-of-order page into a strictly later micro-batch."""
+    import datetime as dt
+
+    from aml_entity_resolution_assignment_spark.sources.generator import (
+        render_html,
+    )
+
+    def _pages(rows):
+        return spark.createDataFrame(
+            [
+                (u, ts, render_html(t, x), x, "en")
+                for u, ts, t, x in rows
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    t0 = dt.datetime(2024, 1, 10, 0, 0, 0)
+    src = str(tmp_path_factory.mktemp("pages_late"))
+    root = str(tmp_path_factory.mktemp("er_root_late"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_late"))
+
+    _pages([
+        ("http://acme.example/a", t0, "Acme Widgets Handbook",
+         "alpha beta gamma delta epsilon"),
+        ("http://acme.example/b", t0 + dt.timedelta(hours=1),
+         "Acme Widgets Handbook", "alpha beta gamma delta zeta"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    q = S.er_stream(
+        S.read_pages_stream(spark, src), root, ckpt, lateness_seconds=86400
+    )
+    q.awaitTermination(180)
+
+    # second run: one VERY late page (9 days behind the watermark) and
+    # one on-time page of the same entity
+    _pages([
+        ("http://old.example/z", dt.datetime(2024, 1, 1), "Ancient News",
+         "omega psi chi phi upsilon"),
+        ("http://acme.example/c", t0 + dt.timedelta(hours=2),
+         "Acme Widgets Handbook", "alpha beta gamma delta eta"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    q = S.er_stream(
+        S.read_pages_stream(spark, src), root, ckpt, lateness_seconds=86400
+    )
+    q.awaitTermination(180)
+
+    late = spark.read.parquet(f"{root}/late")
+    assert {r["url"] for r in late.collect()} == {"http://old.example/z"}
+    corpus = S.read_resolve_corpus(
+        spark, f"{root}/corpus", 1 << 30
+    )
+    assert {r["url"] for r in corpus.collect()} == {
+        "http://acme.example/a", "http://acme.example/b",
+        "http://acme.example/c",
+    }
+    clusters = S.read_er_stream_clusters(spark, root)
+    got = {r["url"]: r["predicted_entity_id"] for r in clusters.collect()}
+    assert "http://old.example/z" not in got
+    # the on-time page still matched into the existing entity
+    assert (
+        got["http://acme.example/c"] == got["http://acme.example/a"]
+        == got["http://acme.example/b"]
+    )
