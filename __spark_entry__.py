@@ -1615,11 +1615,18 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio + video decode paths END-TO-END with one hard oracle: each
-    doc becomes an MJPEG AVI (doc_id % 3 == 0, per-frame means =
+    doc becomes an MJPEG AVI (doc_id % 4 == 0, per-frame means =
     source bytes), an 8-bit PCM WAV (== 1, peak/zcr exactly
-    SQL-expressible), or a G.711 µ-law WAV (== 2, the ITU-T expansion
-    in integer SQL). Same constructions as the unregistered
-    q_multimodal_video/wav/g711 helpers."""
+    SQL-expressible), a G.711 µ-law WAV (== 2, the ITU-T expansion in
+    integer SQL), or — round 5 — a VP8-in-IVF video with TRUE INTER
+    FRAMES (== 3): frame 0 is a key frame, frames 1-3 are P-frames
+    predicted from 'last' with NEWMV sub-pel motion over flat planes
+    (six-tap of a constant is the constant, and the flat residual's
+    Y2/WHT path divides exactly at qi=0), so each decoded frame mean
+    equals the source byte — the same SQL twin as the AVI branch,
+    binding MV entropy decode + reference buffers + motion
+    compensation end-to-end. Same constructions as the unregistered
+    q_multimodal_video/wav/g711 helpers and tests/test_vp8_inter.py."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import BinaryType
@@ -1627,18 +1634,27 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aml_entity_resolution_assignment_spark.functions.avi import (
         encode_gray_video,
     )
+    from aml_entity_resolution_assignment_spark.functions import vp8 as V8
     from aml_entity_resolution_assignment_spark.functions.wav import encode_wav
     from aml_entity_resolution_assignment_spark.operators.multimodal import (
         extract_media_features,
     )
     import struct as _s
 
+    # every inter frame uses NEWMV with a sub-pel MV (exact on flat
+    # planes) so the oracle row exercises real motion machinery
+    _ivf_modes = {
+        f: {(r, c): {"mode": V8.NEWMV, "mv": (2 * f, -6)}
+            for r in range(2) for c in range(2)}
+        for f in (1, 2, 3)
+    }
+
     def _encode(ids, texts):
         out = []
         g711_fmt = _s.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
         for i, t in zip(ids, texts):
             b = str(t).encode("utf-8")[:16]
-            fmt = int(i) % 3
+            fmt = int(i) % 4
             if fmt == 0:
                 frames = np.stack(
                     [np.full((16, 16), x, dtype=np.uint8) for x in b[:4]]
@@ -1647,49 +1663,59 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif fmt == 1:
                 raw = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
                 out.append(encode_wav(raw + 48, sample_rate=8000, bits=8))
-            else:
+            elif fmt == 2:
                 body = (
                     b"WAVE"
                     + b"fmt " + _s.pack("<I", len(g711_fmt)) + g711_fmt
                     + b"data" + _s.pack("<I", len(b)) + b
                 )
                 out.append(b"RIFF" + _s.pack("<I", len(body)) + body)
+            else:
+                frames = [np.full((32, 32), x, dtype=np.uint8) for x in b[:4]]
+                ivf, _recs = V8.encode_vp8_video(
+                    frames, qi=0, mb_modes_per_frame=_ivf_modes
+                )
+                out.append(ivf)
         return pd.Series(out, index=texts.index, dtype="object")
 
     enc_udf = F.pandas_udf(_encode, BinaryType())
-    fmt_i = F.pmod(F.col("doc_id"), F.lit(3))
+    fmt_i = F.pmod(F.col("doc_id"), F.lit(4))
+    is_video = fmt_i.isin(0, 3)
     d = _docs(spark, sf_dir).where(F.col("n_chars") >= 16)
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.when(fmt_i == 0, F.lit("video")).otherwise(F.lit("audio")).alias(
+        F.when(is_video, F.lit("video")).otherwise(F.lit("audio")).alias(
             "kind"
         ),
         enc_udf(F.col("doc_id"), F.col("text")).alias("payload"),
         F.when(fmt_i == 0, F.lit("video/x-msvideo"))
+        .when(fmt_i == 3, F.lit("video/x-ivf"))
         .otherwise(F.lit("audio/wav"))
         .alias("mime"),
-        F.when(fmt_i == 0, F.lit(16)).cast("int").alias("width"),
-        F.when(fmt_i == 0, F.lit(16)).cast("int").alias("height"),
-        F.when(fmt_i == 0, F.lit(400)).otherwise(F.lit(2)).alias("duration_ms"),
+        F.when(is_video, F.lit(16)).cast("int").alias("width"),
+        F.when(is_video, F.lit(16)).cast("int").alias("height"),
+        F.when(is_video, F.lit(400)).otherwise(F.lit(2)).alias("duration_ms"),
     )
     feats = extract_media_features(media, deterministic_fake=False)
     did = F.col("media_id").cast("long")
     fmt_name = (
-        F.when(F.pmod(did, F.lit(3)) == 0, F.lit("video"))
-        .when(F.pmod(did, F.lit(3)) == 1, F.lit("wav"))
-        .otherwise(F.lit("g711"))
+        F.when(F.pmod(did, F.lit(4)) == 0, F.lit("video"))
+        .when(F.pmod(did, F.lit(4)) == 1, F.lit("wav"))
+        .when(F.pmod(did, F.lit(4)) == 2, F.lit("g711"))
+        .otherwise(F.lit("vp8"))
     )
     exploded = feats.select(
         did.alias("doc_id"),
         fmt_name.alias("fmt"),
         F.posexplode(F.col("feature")).alias("k", "v"),
     )
+    video_fmt = F.col("fmt").isin("video", "vp8")
     return exploded.where(
-        ((F.col("fmt") == "video") & (F.col("k") < 4))
-        | ((F.col("fmt") != "video") & F.col("k").isin(1, 2))
+        (video_fmt & (F.col("k") < 4))
+        | (~video_fmt & F.col("k").isin(1, 2))
     ).select(
         "doc_id", "fmt", "k",
-        F.when(F.col("fmt") == "video", F.round(F.col("v") * 255))
+        F.when(video_fmt, F.round(F.col("v") * 255))
         .otherwise(F.round(F.col("v"), 6))
         .cast("double")
         .alias("v"),
@@ -3273,18 +3299,22 @@ def oracle_sql() -> dict[str, str]:
     from documents d, pos
     where d.n_chars >= 4
     """
+    # 'video' = MJPEG-AVI, 'vp8' = VP8-in-IVF with true inter frames;
+    # both decode each flat frame to its source byte exactly
     sql["multimodal_av"] = f"""
     with vpos as (select unnest(generate_series(0, 3)) as k)
-    select d.doc_id, 'video' as fmt, vpos.k,
+    select d.doc_id,
+           case d.doc_id % 4 when 0 then 'video' else 'vp8' end as fmt,
+           vpos.k,
            cast(ord(substr(d.text, cast(vpos.k + 1 as int), 1)) as double) as v
     from documents d, vpos
-    where d.n_chars >= 16 and d.doc_id % 3 = 0
+    where d.n_chars >= 16 and d.doc_id % 4 in (0, 3)
     union all
     select doc_id, 'wav' as fmt, k, v
-    from ({sql["multimodal_wav"]}) where doc_id % 3 = 1
+    from ({sql["multimodal_wav"]}) where doc_id % 4 = 1
     union all
     select doc_id, 'g711' as fmt, k, v
-    from ({sql["multimodal_g711"]}) where doc_id % 3 = 2
+    from ({sql["multimodal_g711"]}) where doc_id % 4 = 2
     """
     # drop the subsumed per-format/per-variant twins so oracle keys
     # mirror queries() exactly

@@ -9,7 +9,9 @@ lossless VP8L (functions/webp.py) and lossy VP8 key frames
 (functions/vp8.py), baseline AND progressive JPEG
 (functions/jpeg.py), TIFF (functions/tiff.py), BMP + ICO
 (functions/bmp.py), WAV audio incl. G.711/ADPCM (functions/wav.py)
-and MJPEG-AVI video (functions/avi.py); VP8 inter frames and
+MJPEG-AVI video (functions/avi.py), and — round 5 — VP8 INTER frames
+in IVF sequences (functions/vp8.py: motion compensation against
+last/golden/altref reference buffers); SPLITMV and the remaining
 inter-frame/psychoacoustic codecs (MP3/AAC/H.264/VP9/...) need codec
 libraries absent from this container and raise at a clearly-marked
 boundary. The Spark-side plumbing — schema, batch
@@ -109,8 +111,9 @@ def _decode_image(payload: bytes) -> np.ndarray:
     pure numpy (incl. Adam7 interlace), as do GIF (LZW) and WebP
     lossless (full VP8L) AND lossy VP8 key frames (functions/vp8.py:
     boolean coder + intra prediction + iDCT/iWHT); JPEG covers
-    baseline AND progressive (SOF2) since round 4. The remaining
-    frontier — VP8 inter frames, H.264/VP9, MP3/AAC — raises at a
+    baseline AND progressive (SOF2) since round 4, and VP8 INTER
+    frames decode in IVF sequences since round 5 (video path). The
+    remaining frontier — SPLITMV, H.264/VP9, MP3/AAC — raises at a
     clearly-marked boundary."""
     if payload and payload[:1] == b"P" and payload[1:2] in (b"5", b"6"):
         return decode_netpbm(payload)
@@ -198,8 +201,12 @@ def _audio_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 def decode_video_frames(payload: bytes) -> np.ndarray:
     """Decode a video payload to a (n, h, w[, c]) uint8 frame stack.
-    Real formats: MJPEG-AVI (functions/avi.py) and animated GIF
-    (functions/gif.py). Inter-frame codecs raise at the boundary."""
+    Real formats: MJPEG-AVI (functions/avi.py), animated GIF
+    (functions/gif.py), and — round 5 — VP8-in-IVF with true INTER
+    frames (functions/vp8.py: motion-vector entropy decode, near-MV
+    survey, last/golden/altref reference buffers, quarter/eighth-pel
+    six-tap motion compensation). IVF returns the luma plane per frame
+    (gray). H.264/VP9/AV1 remain the marked boundary."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from ..functions.avi import decode_mjpeg_avi
 
@@ -208,17 +215,23 @@ def decode_video_frames(payload: bytes) -> np.ndarray:
         from ..functions.gif import decode_gif
 
         return decode_gif(payload)[0]
+    if payload[:4] == b"DKIF":
+        from ..functions.vp8 import decode_ivf
+
+        planes, _fps = decode_ivf(payload)
+        return np.stack([y for (y, _u, _v) in planes])
     raise ValueError(
-        "video decode supports MJPEG-AVI and animated GIF; inter-frame "
-        "codecs (H.264/VP9/AV1) need libraries absent from this container"
+        "video decode supports MJPEG-AVI, animated GIF, and VP8-in-IVF "
+        "(key + inter frames); H.264/VP9/AV1 need libraries absent "
+        "from this container"
     )
 
 
 def _video_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Real video feature: frame-stack decode (MJPEG-AVI or animated
-    GIF) -> per-frame gray mean in [0, 1] for up to dim frames. A
-    stand-in for a per-frame embedding with the same fixed-width
-    contract."""
+    """Real video feature: frame-stack decode (MJPEG-AVI, animated
+    GIF, or VP8-in-IVF) -> per-frame gray mean in [0, 1] for up to dim
+    frames. A stand-in for a per-frame embedding with the same
+    fixed-width contract."""
     if payload is None or len(payload) == 0:
         return np.zeros(dim, dtype=np.float32)
     frames = decode_video_frames(payload)
@@ -239,8 +252,9 @@ def extract_media_features(
     dropped from the output (never re-shuffle binary). With
     deterministic_fake=False, image rows with netpbm/JPEG/PNG/GIF
     payloads, audio rows with WAV payloads, and video rows with
-    MJPEG-AVI payloads decode FOR REAL; other compressed formats fall
-    back to the byte-histogram feature (codec libs absent here)."""
+    MJPEG-AVI or VP8-in-IVF payloads decode FOR REAL; other compressed
+    formats fall back to the byte-histogram feature (codec libs absent
+    here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -279,6 +293,7 @@ def extract_media_features(
                     and (
                         (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ")
                         or payload[:4] == b"GIF8"
+                        or payload[:4] == b"DKIF"
                     )
                 ):
                     feats.append(_video_feature(payload, dim))

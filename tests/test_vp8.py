@@ -273,12 +273,18 @@ def test_odd_dimensions_cropped():
     assert got[1].shape == (19, 27)
 
 
-def test_inter_frame_raises():
+def test_inter_frame_needs_refs():
+    """decode_vp8 (the key-frame API) refuses inter frames with an
+    actionable message; decode_vp8_frame without refs likewise (round
+    5: inter frames DO decode once reference buffers are supplied —
+    see test_vp8_inter.py)."""
     y = np.full((16, 16), 128, dtype=np.uint8)
     stream, _ = vp8.encode_vp8(y)
     bad = bytes([stream[0] | 1]) + stream[1:]  # flip key-frame bit
-    with pytest.raises(NotImplementedError, match="inter frames"):
+    with pytest.raises(ValueError, match="inter frame"):
         vp8.decode_vp8(bad)
+    with pytest.raises(ValueError, match="reference buffers"):
+        vp8.decode_vp8_frame(bad)
 
 
 def test_webp_container_lossy_dispatch():

@@ -269,10 +269,13 @@ class TestBoundary:
         ok, rec = encode_webp_lossy(y, qi=0)
         rgb = decode_webp(ok)
         assert rgb.shape == (16, 16, 3)
-        # inter frame (key bit set) raises the marked boundary
+        # round 5: inter frames decode as SEQUENCES (functions/vp8.py
+        # decode_vp8_frame/decode_ivf); a bare inter frame inside a
+        # still-image WebP container has no reference buffers and is
+        # rejected with an actionable error
         idx = ok.index(b"VP8 ") + 8
         bad = ok[:idx] + bytes([ok[idx] | 1]) + ok[idx + 1 :]
-        with pytest.raises(NotImplementedError, match="inter frames"):
+        with pytest.raises(ValueError, match="inter frame"):
             decode_webp(bad)
 
     def test_corrupt_rejected(self):
