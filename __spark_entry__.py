@@ -1620,13 +1620,16 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible), a G.711 µ-law WAV (== 2, the ITU-T expansion in
     integer SQL), or — round 5 — a VP8-in-IVF video with TRUE INTER
     FRAMES (== 3): frame 0 is a key frame, frames 1-3 are P-frames
-    predicted from 'last' with NEWMV sub-pel motion over flat planes
-    (six-tap of a constant is the constant, and the flat residual's
-    Y2/WHT path divides exactly at qi=0), so each decoded frame mean
-    equals the source byte — the same SQL twin as the AVI branch,
-    binding MV entropy decode + reference buffers + motion
-    compensation end-to-end. Same constructions as the unregistered
-    q_multimodal_video/wav/g711 helpers and tests/test_vp8_inter.py."""
+    predicted from 'last' over flat planes — 1/3 via NEWMV sub-pel
+    motion, 2 via SPLITMV per-subblock motion (all four partition
+    types across the MBs). Six-tap of a constant is the constant, and
+    both residual layouts (Y2/WHT for whole-MB, full-DC 4x4 for
+    SPLITMV) divide exactly at qi=0, so each decoded frame mean equals
+    the source byte — the same SQL twin as the AVI branch, binding MV
+    entropy decode + reference buffers + motion compensation + split
+    partition coding end-to-end. Same constructions as the
+    unregistered q_multimodal_video/wav/g711 helpers and
+    tests/test_vp8_inter.py / tests/test_vp8_splitmv.py."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import BinaryType
@@ -1641,12 +1644,23 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import struct as _s
 
-    # every inter frame uses NEWMV with a sub-pel MV (exact on flat
-    # planes) so the oracle row exercises real motion machinery
+    # every inter frame uses real motion machinery, exact on flat
+    # planes: frames 1/3 NEWMV with a sub-pel MV; frame 2 SPLITMV with
+    # a different partition type per MB and per-partition sub-pel MVs
+    # (binds partition + sub_mv_ref coding and per-4x4 MC end-to-end)
     _ivf_modes = {
         f: {(r, c): {"mode": V8.NEWMV, "mv": (2 * f, -6)}
             for r in range(2) for c in range(2)}
-        for f in (1, 2, 3)
+        for f in (1, 3)
+    }
+    _ivf_modes[2] = {
+        (r, c): {
+            "mode": V8.SPLITMV,
+            "split": (r * 2 + c) % 4,
+            "mvs": [(2 * (i + 1), -6)
+                    for i in range(V8.MBSPLIT_COUNT[(r * 2 + c) % 4])],
+        }
+        for r in range(2) for c in range(2)
     }
 
     def _encode(ids, texts):

@@ -12,9 +12,11 @@ full MV-component entropy coder (quarter-pel coded, eighth-pel
 internal), whole-MB inter modes (ZERO/NEAREST/NEAR/NEWMV) against
 last/golden/altref buffers, six-tap and bilinear sub-pel motion
 compensation, intra MBs inside inter frames (non-KF trees,
-context-free 4x4 probs), plus the IVF sequence container. SPLITMV
-(per-subblock motion) remains the marked boundary, as does interop
-fidelity of the default probability tables (below).
+context-free 4x4 probs), plus the IVF sequence container — and
+SPLITMV (per-subblock motion): all four partition types, the
+context-conditioned sub_mv_ref coding (LEFT/ABOVE/ZERO/NEW4x4), and
+the 2x2-quad-averaged chroma MVs. The remaining marked boundary is
+interop fidelity of the default probability tables (below).
 
 Written against RFC 6386 ("VP8 Data Format and Decoding Guide").
 Reference parity target: the reference repo has no codec layer at all
@@ -111,12 +113,12 @@ def _kf_bmode_prob(above: int, left: int) -> tuple:
 # "VP8 inter frames" boundary named since round 3 — P-frame header
 # parse, last/golden/altref reference buffers (refresh/copy/sign-bias
 # semantics), the near-MV survey with its count-based mode contexts,
-# the full MV-component entropy coder, and quarter-pel (luma) /
-# eighth-pel (chroma) six-tap & bilinear motion compensation. SPLITMV
-# (per-subblock MVs) is the remaining marked boundary. Default tables
-# carry the module-docstring fidelity note: transcribed from RFC 6386
-# best-effort, encoder/decoder share them, external interop
-# unverifiable in-sandbox.
+# the full MV-component entropy coder, quarter-pel (luma) /
+# eighth-pel (chroma) six-tap & bilinear motion compensation, and
+# SPLITMV per-subblock motion (partition + sub_mv_ref coding, §16.2).
+# Default tables carry the module-docstring fidelity note: transcribed
+# from RFC 6386 best-effort, encoder/decoder share them, external
+# interop unverifiable in-sandbox.
 # ---------------------------------------------------------------------------
 
 ZEROMV, NEARESTMV, NEARMV, NEWMV, SPLITMV = 5, 6, 7, 8, 9
@@ -320,6 +322,155 @@ def _find_near_mvs(minfo, r, c, ref, sign_bias, mb_rows, mb_cols):
     return best, nearest, near, probs
 
 
+# ---------------------------------------------------------------------------
+# SPLITMV (§16.2): per-subblock motion. Partition types: 0 = two 16x8
+# halves (top/bottom), 1 = two 8x16 halves (left/right), 2 = four 8x8
+# quarters, 3 = sixteen 4x4 blocks. Each partition codes one MV via the
+# sub_mv_ref tree (LEFT4x4 copies the left neighbor subblock's MV,
+# ABOVE4x4 the above one's, ZERO4x4 is zero, NEW4x4 adds a coded
+# residual to the near-MV survey's best_mv, unclamped).
+# ---------------------------------------------------------------------------
+LEFT4x4, ABOVE4x4, ZERO4x4, NEW4x4 = 0, 1, 2, 3
+# leaf probe order: 16-way, quarters, top/bottom (-0), left/right
+MBSPLIT_TREE = (-3, 2, -2, 4, 0, -1)
+MBSPLIT_PROBS = (110, 111, 150)
+MBSPLIT_COUNT = (2, 2, 4, 16)
+# partition label of each 4x4 subblock (raster order)
+MBSPLITS = (
+    (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1),
+    (0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1),
+    (0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3),
+    tuple(range(16)),
+)
+# first subblock of each partition, in coding order
+MBSPLIT_OFFSET = ((0, 8), (0, 2), (0, 2, 8, 10), tuple(range(16)))
+SUB_MV_REF_TREE = (-LEFT4x4, 2, -ABOVE4x4, 4, -ZERO4x4, -NEW4x4)
+# sub_mv_ref probs by context: NORMAL, LEFT_ZED, ABOVE_ZED,
+# LEFT_ABOVE_SAME, LEFT_ABOVE_ZED
+SUB_MV_REF_PROBS = (
+    (147, 136, 18),
+    (106, 145, 1),
+    (179, 121, 1),
+    (223, 1, 34),
+    (208, 1, 1),
+)
+
+
+def _sub_mv_ref_probs(leftmv, abovemv):
+    if leftmv == abovemv:
+        return SUB_MV_REF_PROBS[4] if leftmv == (0, 0) else SUB_MV_REF_PROBS[3]
+    if abovemv == (0, 0):
+        return SUB_MV_REF_PROBS[2]
+    if leftmv == (0, 0):
+        return SUB_MV_REF_PROBS[1]
+    return SUB_MV_REF_PROBS[0]
+
+
+def _neighbor_submv(entry, idx):
+    """MV of subblock `idx` of a neighboring MB's minfo entry (None =
+    out of frame -> zero, matching the spec's zeroed border row).
+    Non-SPLITMV MBs answer with their whole-MB MV (zero for intra)."""
+    if entry is None:
+        return (0, 0)
+    if entry["mode"] == SPLITMV:
+        return entry["submvs"][idx]
+    if entry["ref"] == REF_INTRA:
+        return (0, 0)
+    return entry["mv"]
+
+
+def _left_submv(minfo, r, c, cur, b):
+    """left_block_mv: subblock b-1 of this MB, or the left MB's
+    rightmost subblock in the same row. Sign bias is NOT applied to
+    sub-MV neighbor fetches (only the near-MV survey biases)."""
+    if b % 4:
+        return cur[b - 1]
+    return _neighbor_submv(minfo[r][c - 1] if c > 0 else None, b + 3)
+
+
+def _above_submv(minfo, r, c, cur, b):
+    """above_block_mv: subblock b-4 of this MB, or the above MB's
+    bottom-row subblock in the same column."""
+    if b >= 4:
+        return cur[b - 4]
+    return _neighbor_submv(minfo[r - 1][c] if r > 0 else None, b + 12)
+
+
+def _split_uvmvs(submvs):
+    """The 4 chroma-subblock MVs (eighth-CHROMA-pel) from the 16 luma
+    sub-MVs: each 4x4 chroma block averages its 2x2 luma quad's MVs
+    with round-half-away C-truncation (build_uvmvs semantics:
+    t = sum + 4 - (8 if sum < 0), then C division t/8)."""
+    def rnd(s):
+        t = s + 4 + (-8 if s < 0 else 0)
+        return t // 8 if t >= 0 else -((-t) // 8)
+
+    out = []
+    for i in range(2):
+        for j in range(2):
+            q = (i * 8 + j * 2, i * 8 + j * 2 + 1,
+                 i * 8 + j * 2 + 4, i * 8 + j * 2 + 5)
+            out.append((
+                rnd(sum(submvs[k][0] for k in q)),
+                rnd(sum(submvs[k][1] for k in q)),
+            ))
+    return out
+
+
+def _read_split_mvs(bd, minfo, r, c, best, mvc):
+    """Decode a SPLITMV MB's partition type + per-partition sub-MV
+    modes -> (submvs[16], partition). All subblocks of a partition are
+    filled as soon as its first subblock decodes, so LEFT4x4/ABOVE4x4
+    lookups into this MB always resolve (decodemv.c fill order)."""
+    part = bd.tree(MBSPLIT_TREE, MBSPLIT_PROBS)
+    labels = MBSPLITS[part]
+    cur = [None] * 16
+    for k in MBSPLIT_OFFSET[part][: MBSPLIT_COUNT[part]]:
+        leftmv = _left_submv(minfo, r, c, cur, k)
+        abovemv = _above_submv(minfo, r, c, cur, k)
+        leaf = bd.tree(SUB_MV_REF_TREE, _sub_mv_ref_probs(leftmv, abovemv))
+        if leaf == LEFT4x4:
+            mv = leftmv
+        elif leaf == ABOVE4x4:
+            mv = abovemv
+        elif leaf == ZERO4x4:
+            mv = (0, 0)
+        else:  # NEW4x4: residual on best_mv, unclamped
+            dr, dc_ = _read_mv(bd, mvc)
+            mv = (best[0] + dr, best[1] + dc_)
+        lab = labels[k]
+        for t in range(16):
+            if labels[t] == lab:
+                cur[t] = mv
+    return tuple(cur), part
+
+
+def _write_split_mvs(be, minfo, r, c, submvs, part, best, mvc):
+    """Encoder twin of _read_split_mvs: per partition, emit the first
+    codable leaf (LEFT/ABOVE/ZERO preferred over NEW) for its MV."""
+    be.tree(MBSPLIT_TREE, MBSPLIT_PROBS, part)
+    labels = MBSPLITS[part]
+    cur = [None] * 16
+    for k in MBSPLIT_OFFSET[part][: MBSPLIT_COUNT[part]]:
+        leftmv = _left_submv(minfo, r, c, cur, k)
+        abovemv = _above_submv(minfo, r, c, cur, k)
+        probs = _sub_mv_ref_probs(leftmv, abovemv)
+        mv = tuple(submvs[k])
+        if mv == leftmv:
+            be.tree(SUB_MV_REF_TREE, probs, LEFT4x4)
+        elif mv == abovemv:
+            be.tree(SUB_MV_REF_TREE, probs, ABOVE4x4)
+        elif mv == (0, 0):
+            be.tree(SUB_MV_REF_TREE, probs, ZERO4x4)
+        else:
+            be.tree(SUB_MV_REF_TREE, probs, NEW4x4)
+            _write_mv(be, mvc, (mv[0] - best[0], mv[1] - best[1]))
+        lab = labels[k]
+        for t in range(16):
+            if labels[t] == lab:
+                cur[t] = mv
+
+
 def _mc_pad(plane: np.ndarray) -> np.ndarray:
     """Reference plane with a replicated-edge MC border, int64."""
     return np.pad(plane, MC_PAD, mode="edge").astype(np.int64)
@@ -366,6 +517,39 @@ def _inter_predict_mb(padded_refs, ref_name, mv, r, c, plane_idx: int,
     y0 = MC_PAD + base_y + (row >> 3)
     x0 = MC_PAD + base_x + (col >> 3)
     return _mc_block(src, y0, x0, size, size, row & 7, col & 7, filters)
+
+
+def _inter_predict_mb_split(padded_refs, ref_name, submvs, r, c,
+                            filter_kind: str = "sixtap"):
+    """SPLITMV prediction -> (pred_y 16x16, pred_u 8x8, pred_v 8x8):
+    per-4x4 luma MC from each subblock's own MV (filtering is
+    window-local, so per-4x4 equals the spec's per-partition fetch),
+    per-4x4 chroma MC from the 2x2-quad-averaged MVs (_split_uvmvs)."""
+    filters = SUBPEL_FILTERS_6 if filter_kind == "sixtap" else BILINEAR_FILTERS
+    ysrc = padded_refs[ref_name][0]
+    predy = np.empty((16, 16), dtype=np.uint8)
+    for b in range(16):
+        sy, sx = b // 4, b % 4
+        row, col = submvs[b]
+        y0 = MC_PAD + r * 16 + sy * 4 + (row >> 3)
+        x0 = MC_PAD + c * 16 + sx * 4 + (col >> 3)
+        predy[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = _mc_block(
+            ysrc, y0, x0, 4, 4, row & 7, col & 7, filters
+        )
+    uvmvs = _split_uvmvs(submvs)
+    preds = []
+    for plane_idx in (1, 2):
+        src = padded_refs[ref_name][plane_idx]
+        pred = np.empty((8, 8), dtype=np.uint8)
+        for q, (row, col) in enumerate(uvmvs):
+            qy, qx = q // 2, q % 2
+            y0 = MC_PAD + r * 8 + qy * 4 + (row >> 3)
+            x0 = MC_PAD + c * 8 + qx * 4 + (col >> 3)
+            pred[qy * 4 : qy * 4 + 4, qx * 4 : qx * 4 + 4] = _mc_block(
+                src, y0, x0, 4, 4, row & 7, col & 7, filters
+            )
+        preds.append(pred)
+    return predy, preds[0], preds[1]
 
 
 # ---------------------------------------------------------------------------
@@ -1380,8 +1564,8 @@ def decode_vp8_frame(data: bytes, refs: dict | None = None) -> tuple:
     `refs` holds the reference buffers as {"last"|"golden"|"altref":
     (y, u, v) uint8 mb-aligned planes} — required for inter frames,
     ignored for key frames. `refs_out` is the post-frame buffer state
-    (refresh/copy semantics, §9.7): pass it to the next frame.
-    SPLITMV (per-subblock MVs) remains the marked boundary."""
+    (refresh/copy semantics, §9.7): pass it to the next frame. All
+    inter MB modes decode, including SPLITMV per-subblock motion."""
     if len(data) < 4:
         raise ValueError("truncated VP8 payload")
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
@@ -1471,11 +1655,22 @@ def decode_vp8_frame(data: bytes, refs: dict | None = None) -> tuple:
                 )
                 mode = bd.tree(MV_REF_TREE, mprobs)
                 if mode == SPLITMV:
-                    raise NotImplementedError(
-                        "VP8 SPLITMV (per-subblock motion) is outside "
-                        "this codec's boundary; whole-MB inter modes "
-                        "(ZERO/NEAREST/NEAR/NEWMV) decode"
+                    submvs, _part = _read_split_mvs(
+                        bd, minfo, r, c, best, h["mv_context"]
                     )
+                    mv = submvs[15]  # bottom-right subblock is the
+                    # MB's MV for the neighbor survey
+                    minfo[r][c] = {"ref": ref, "mv": mv, "mode": SPLITMV,
+                                   "submvs": submvs}
+                    mbs[r][c] = {
+                        "seg": seg, "skip": skip, "ymode": SPLITMV,
+                        "bmodes": [B_DC] * 16, "uvmode": DC_PRED,
+                        "is_inter": True, "ref": ref, "mv": mv,
+                        "submvs": submvs,
+                    }
+                    above_bmodes[c] = [B_DC] * 4
+                    left_bmodes = [B_DC] * 4
+                    continue
                 if mode == ZEROMV:
                     mv = (0, 0)
                 elif mode == NEARESTMV:
@@ -1548,7 +1743,9 @@ def decode_vp8_frame(data: bytes, refs: dict | None = None) -> tuple:
         for c in range(mb_cols):
             mb = mbs[r][c]
             dq = dqs[mb["seg"]]
-            has_y2 = mb["ymode"] != B_PRED
+            # B_PRED and SPLITMV MBs carry no Y2 block: luma tokens
+            # keep their DC (plane type 3)
+            has_y2 = mb["ymode"] not in (B_PRED, SPLITMV)
             ycoefs = [None] * 16
             ucoefs = [None] * 4
             vcoefs = [None] * 4
@@ -1596,21 +1793,17 @@ def decode_vp8_frame(data: bytes, refs: dict | None = None) -> tuple:
 
             if mb.get("is_inter"):
                 rn = _REF_NAMES[mb["ref"]]
-                _reconstruct_mb_inter(
-                    ypl, r, c,
-                    _inter_predict_mb(padded_refs, rn, mb["mv"], r, c, 0),
-                    ycoefs,
-                )
-                _reconstruct_mb_inter(
-                    upl, r, c,
-                    _inter_predict_mb(padded_refs, rn, mb["mv"], r, c, 1),
-                    ucoefs,
-                )
-                _reconstruct_mb_inter(
-                    vpl, r, c,
-                    _inter_predict_mb(padded_refs, rn, mb["mv"], r, c, 2),
-                    vcoefs,
-                )
+                if mb["ymode"] == SPLITMV:
+                    predy, predu, predv = _inter_predict_mb_split(
+                        padded_refs, rn, mb["submvs"], r, c
+                    )
+                else:
+                    predy = _inter_predict_mb(padded_refs, rn, mb["mv"], r, c, 0)
+                    predu = _inter_predict_mb(padded_refs, rn, mb["mv"], r, c, 1)
+                    predv = _inter_predict_mb(padded_refs, rn, mb["mv"], r, c, 2)
+                _reconstruct_mb_inter(ypl, r, c, predy, ycoefs)
+                _reconstruct_mb_inter(upl, r, c, predu, ucoefs)
+                _reconstruct_mb_inter(vpl, r, c, predv, vcoefs)
             else:
                 _reconstruct_mb_luma(ypl, r, c, mb["ymode"], mb["bmodes"], ycoefs)
                 _reconstruct_mb_chroma(upl, r, c, mb["uvmode"], ucoefs)
@@ -1621,12 +1814,21 @@ def decode_vp8_frame(data: bytes, refs: dict | None = None) -> tuple:
                 lvl = h["segment_lf"][mb["seg"]] if h["segment_abs"] else lvl + h["segment_lf"][mb["seg"]]
             if h["lf_delta_enabled"]:
                 lvl += h["ref_lf_deltas"][mb.get("ref", 0) if mb.get("is_inter") else 0]
-                if mb["ymode"] == B_PRED:
+                # mode_lf_lut: B_PRED -> delta 0, ZEROMV -> 1,
+                # NEAREST/NEAR/NEWMV -> 2, SPLITMV -> 3, other intra
+                # modes take no mode delta
+                ym = mb["ymode"]
+                if ym == B_PRED:
                     lvl += h["mode_lf_deltas"][0]
+                elif mb.get("is_inter"):
+                    lvl += h["mode_lf_deltas"][
+                        1 if ym == ZEROMV else (3 if ym == SPLITMV else 2)
+                    ]
             lvl = max(0, min(63, lvl))
             mb_info[r][c] = {
                 "level": lvl,
-                "inner": bool(any_coeffs) or mb["ymode"] == B_PRED,
+                "inner": bool(any_coeffs)
+                or mb["ymode"] in (B_PRED, SPLITMV),
             }
         _extend_right(ypl, 1 + r * 16, 16, W16)
 
@@ -1924,7 +2126,7 @@ def encode_vp8(
         left_y2 = 0
         for c in range(mb_cols):
             mb = mbs[r][c]
-            has_y2 = mb["ymode"] != B_PRED
+            has_y2 = mb["ymode"] not in (B_PRED, SPLITMV)
             if mb["skip"]:
                 above_y[c * 4 : c * 4 + 4] = 0
                 left_y[:] = 0
@@ -1999,12 +2201,14 @@ def encode_vp8_inter(
     flags.
 
     `mb_modes`: optional dict (row, col) -> {"mode": ZEROMV|NEARESTMV|
-    NEARMV|NEWMV or an intra mode (DC_PRED..B_PRED), "mv": (row, col)
-    eighth-pel with even components (NEWMV), "ref": "last"|"golden"|
-    "altref", "bmodes": [16] for B_PRED}; default ZEROMV from "last"
-    everywhere. Runs the decoder's own near-MV survey, so NEAREST/
-    NEAR refer to exactly what the decoder will compute, and NEWMV is
-    coded as a residual against the surveyed best_mv."""
+    NEARMV|NEWMV|SPLITMV or an intra mode (DC_PRED..B_PRED), "mv":
+    (row, col) eighth-pel with even components (NEWMV), "split":
+    partition type 0..3 and "mvs": one MV per partition (SPLITMV),
+    "ref": "last"|"golden"|"altref", "bmodes": [16] for B_PRED};
+    default ZEROMV from "last" everywhere. Runs the decoder's own
+    near-MV survey, so NEAREST/NEAR refer to exactly what the decoder
+    will compute, and NEWMV/NEW4x4 are coded as residuals against the
+    surveyed best_mv."""
     height, width = y.shape
     if u is None:
         u = np.full(((height + 1) // 2, (width + 1) // 2), 128, dtype=np.uint8)
@@ -2039,46 +2243,80 @@ def encode_vp8_inter(
             ylevels = [np.zeros(16, dtype=np.int64) for _ in range(16)]
             y2levels = np.zeros(16, dtype=np.int64)
             if is_inter:
-                if mode == SPLITMV:
-                    raise NotImplementedError("SPLITMV is out of scope")
                 rname = spec.get("ref", default_ref)
                 ref = ref_ids[rname]
                 best, nearest, near, mprobs = _find_near_mvs(
                     minfo, r, c, ref, sign_bias, mb_rows, mb_cols
                 )
-                if mode == ZEROMV:
-                    mv = (0, 0)
-                elif mode == NEARESTMV:
-                    mv = nearest
-                elif mode == NEARMV:
-                    mv = near
+                if mode == SPLITMV:
+                    # spec: "split" = partition type 0..3, "mvs" = one
+                    # (row, col) eighth-pel MV per partition
+                    part = int(spec["split"])
+                    part_mvs = [tuple(m) for m in spec["mvs"]]
+                    if len(part_mvs) != MBSPLIT_COUNT[part]:
+                        raise ValueError(
+                            f"split type {part} needs "
+                            f"{MBSPLIT_COUNT[part]} MVs, got {len(part_mvs)}"
+                        )
+                    for m in part_mvs:
+                        if (m[0] | m[1]) & 1:
+                            raise ValueError("sub-MVs are quarter-pel: "
+                                             "components must be even")
+                        if _clamp_mv(m, r, c, mb_rows, mb_cols) != m:
+                            raise ValueError(f"sub-mv {m} exceeds the "
+                                             f"clamp window at mb ({r},{c})")
+                    labels = MBSPLITS[part]
+                    submvs = tuple(part_mvs[labels[t]] for t in range(16))
+                    mv = submvs[15]
+                    predy, predu, predv = _inter_predict_mb_split(
+                        padded_refs, rname, submvs, r, c
+                    )
                 else:
-                    mv = tuple(spec["mv"])
-                    if _clamp_mv(mv, r, c, mb_rows, mb_cols) != mv:
-                        raise ValueError(f"mv {mv} exceeds the clamp "
-                                         f"window at mb ({r},{c})")
-                predy = _inter_predict_mb(padded_refs, rname, mv, r, c, 0)
-                predu = _inter_predict_mb(padded_refs, rname, mv, r, c, 1)
-                predv = _inter_predict_mb(padded_refs, rname, mv, r, c, 2)
+                    part = submvs = None
+                    if mode == ZEROMV:
+                        mv = (0, 0)
+                    elif mode == NEARESTMV:
+                        mv = nearest
+                    elif mode == NEARMV:
+                        mv = near
+                    else:
+                        mv = tuple(spec["mv"])
+                        if _clamp_mv(mv, r, c, mb_rows, mb_cols) != mv:
+                            raise ValueError(f"mv {mv} exceeds the clamp "
+                                             f"window at mb ({r},{c})")
+                    predy = _inter_predict_mb(padded_refs, rname, mv, r, c, 0)
+                    predu = _inter_predict_mb(padded_refs, rname, mv, r, c, 1)
+                    predv = _inter_predict_mb(padded_refs, rname, mv, r, c, 2)
                 res = ysrc[r * 16 : r * 16 + 16, c * 16 : c * 16 + 16] - predy.astype(np.int64)
-                dcts = []
-                for i in range(16):
-                    sy, sx = i // 4, i % 4
-                    dcts.append(fdct4x4(res[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4]))
-                dcmat = np.array(
-                    [[dcts[sy * 4 + sx][0, 0] for sx in range(4)] for sy in range(4)]
-                )
-                y2levels = _quantize(fwht4x4(dcmat), dq["y2"])
-                dcs = iwht4x4(_dequant_levels(y2levels, dq["y2"]))
                 ycoefs = [None] * 16
-                for i in range(16):
-                    sy, sx = i // 4, i % 4
-                    lv = _quantize(dcts[i], (dq["y"][0], dq["y"][1]))
-                    lv[0] = 0
-                    ylevels[i] = lv
-                    blk = _dequant_levels(lv, (dq["y"][0], dq["y"][1]))
-                    blk[0, 0] = dcs[sy, sx]
-                    ycoefs[i] = blk
+                if mode == SPLITMV:
+                    # no Y2: each luma 4x4 keeps its DC (plane type 3)
+                    for i in range(16):
+                        sy, sx = i // 4, i % 4
+                        lv = _quantize(
+                            fdct4x4(res[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4]),
+                            (dq["y"][0], dq["y"][1]),
+                        )
+                        ylevels[i] = lv
+                        ycoefs[i] = _dequant_levels(lv, (dq["y"][0], dq["y"][1]))
+                else:
+                    dcts = []
+                    for i in range(16):
+                        sy, sx = i // 4, i % 4
+                        dcts.append(fdct4x4(res[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4]))
+                    dcmat = np.array(
+                        [[dcts[sy * 4 + sx][0, 0] for sx in range(4)] for sy in range(4)]
+                    )
+                    y2levels = _quantize(fwht4x4(dcmat), dq["y2"])
+                    dcs = iwht4x4(_dequant_levels(y2levels, dq["y2"]))
+                    for i in range(16):
+                        sy, sx = i // 4, i % 4
+                        lv = _quantize(dcts[i], (dq["y"][0], dq["y"][1]))
+                        lv[0] = 0
+                        ylevels[i] = lv
+                        blk = _dequant_levels(lv, (dq["y"][0], dq["y"][1]))
+                        blk[0, 0] = dcs[sy, sx]
+                        ycoefs[i] = blk
                 _reconstruct_mb_inter(ypl, r, c, predy, ycoefs)
                 ulevels, vlevels = [], []
                 for pl, src, pred8, levels in (
@@ -2095,10 +2333,12 @@ def encode_vp8_inter(
                         levels.append(lv)
                         coefs[i] = _dequant_levels(lv, dq["uv"])
                     _reconstruct_mb_inter(pl, r, c, pred8, coefs)
-                minfo[r][c] = {"ref": ref, "mv": mv, "mode": mode}
+                minfo[r][c] = {"ref": ref, "mv": mv, "mode": mode,
+                               "submvs": submvs}
                 mbs[r][c] = {
                     "is_inter": True, "mode": mode, "ref": ref, "mv": mv,
                     "mv_residual": (mv[0] - best[0], mv[1] - best[1]),
+                    "split": part, "submvs": submvs,
                     "ymode": mode, "uvmode": DC_PRED, "bmodes": [B_DC] * 16,
                     "ylevels": ylevels, "y2levels": y2levels,
                     "ulevels": ulevels, "vlevels": vlevels,
@@ -2168,7 +2408,7 @@ def encode_vp8_inter(
                     "vlevels": vlevels,
                 }
             mb = mbs[r][c]
-            has_y2 = mb["ymode"] != B_PRED
+            has_y2 = mb["ymode"] not in (B_PRED, SPLITMV)
             all_zero = (
                 not any(lv.any() for lv in mb["ylevels"])
                 and not (has_y2 and mb["y2levels"].any())
@@ -2177,7 +2417,8 @@ def encode_vp8_inter(
             mb["skip"] = 1 if all_zero else 0
             mb_info[r][c] = {
                 "level": max(0, min(63, filter_level)),
-                "inner": (not all_zero) or mb["ymode"] == B_PRED,
+                "inner": (not all_zero)
+                or mb["ymode"] in (B_PRED, SPLITMV),
             }
         _extend_right(ypl, 1 + r * 16, 16, W16)
 
@@ -2240,11 +2481,16 @@ def encode_vp8_inter(
                     be.put(prob_last, 1)
                     be.put(prob_gf, 0 if mb["ref"] == REF_GOLDEN else 1)
                 # recompute the survey exactly as the decoder will
-                _, _, _, mprobs = _find_near_mvs(
+                best, _, _, mprobs = _find_near_mvs(
                     minfo, r, c, mb["ref"], sign_bias, mb_rows, mb_cols
                 )
                 be.tree(MV_REF_TREE, mprobs, mb["mode"])
-                if mb["mode"] == NEWMV:
+                if mb["mode"] == SPLITMV:
+                    _write_split_mvs(
+                        be, minfo, r, c, mb["submvs"], mb["split"],
+                        best, mvc,
+                    )
+                elif mb["mode"] == NEWMV:
                     _write_mv(be, mvc, mb["mv_residual"])
             else:
                 be.put(prob_intra, 0)
@@ -2269,7 +2515,7 @@ def encode_vp8_inter(
         left_y2 = 0
         for c in range(mb_cols):
             mb = mbs[r][c]
-            has_y2 = mb["ymode"] != B_PRED
+            has_y2 = mb["ymode"] not in (B_PRED, SPLITMV)
             if mb["skip"]:
                 above_y[c * 4 : c * 4 + 4] = 0
                 left_y[:] = 0

@@ -11,10 +11,10 @@ lossless VP8L (functions/webp.py) and lossy VP8 key frames
 (functions/bmp.py), WAV audio incl. G.711/ADPCM (functions/wav.py)
 MJPEG-AVI video (functions/avi.py), and — round 5 — VP8 INTER frames
 in IVF sequences (functions/vp8.py: motion compensation against
-last/golden/altref reference buffers); SPLITMV and the remaining
-inter-frame/psychoacoustic codecs (MP3/AAC/H.264/VP9/...) need codec
-libraries absent from this container and raise at a clearly-marked
-boundary. The Spark-side plumbing — schema, batch
+last/golden/altref reference buffers, incl. SPLITMV per-subblock
+motion); the remaining inter-frame/psychoacoustic codecs
+(MP3/AAC/H.264/VP9/...) need codec libraries absent from this
+container and raise at a clearly-marked boundary. The Spark-side plumbing — schema, batch
 shape, partition-size control, null propagation — is real and tested
 for every kind.
 
@@ -113,7 +113,7 @@ def _decode_image(payload: bytes) -> np.ndarray:
     boolean coder + intra prediction + iDCT/iWHT); JPEG covers
     baseline AND progressive (SOF2) since round 4, and VP8 INTER
     frames decode in IVF sequences since round 5 (video path). The
-    remaining frontier — SPLITMV, H.264/VP9, MP3/AAC — raises at a
+    remaining frontier — H.264/VP9, MP3/AAC — raises at a
     clearly-marked boundary."""
     if payload and payload[:1] == b"P" and payload[1:2] in (b"5", b"6"):
         return decode_netpbm(payload)

@@ -83,7 +83,7 @@ def test_decode_video_frames_boundary():
         decode_video_frames,
     )
 
-    with pytest.raises(ValueError, match="inter-frame"):
+    with pytest.raises(ValueError, match="H.264/VP9/AV1"):
         decode_video_frames(b"\x00\x00\x01\xba mpeg-ps junk")
 
 

@@ -215,15 +215,5 @@ def test_ivf_container_roundtrip_and_guards():
         vp8.decode_ivf_frames(b"RIFFxxxx")
 
 
-def test_splitmv_is_marked_boundary():
-    with pytest.raises(NotImplementedError, match="SPLITMV"):
-        vp8.encode_vp8_inter(
-            _flat(10),
-            refs={k: vp8.encode_vp8(_flat(10), qi=0)[1]
-                  for k in ("last", "golden", "altref")},
-            mb_modes={(0, 0): {"mode": vp8.SPLITMV}},
-        )
-
-
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
