@@ -720,6 +720,33 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact refine (round 5) in full-coverage mode: probe
+    all lists and let the refine shortlist span the corpus, so the
+    exact-cosine DuckDB oracle binds coarse assignment, residual
+    encoding, the per-cell ADC LUTs, the two-level pruned scan, and
+    the refine join end-to-end. Bounded-probe recall (the actual
+    scale dial) is covered by unit tests (test_ann)."""
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent, books = train_ivf_pq(emb, n_lists=8, m=8, k=32, sample=512)
+    enc = ivf_pq_encode(emb, cent, books)
+    out = ivf_pq_topk(
+        enc, q, cent, books, k_neighbors=5, n_probe=8, rerank=n,
+        vectors=emb, exclude_self=True,
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RP-LSH near-dup embedding pairs. The raw table is
     near-orthogonal random vectors (max pairwise cosine ~0.51), so
@@ -1484,14 +1511,19 @@ def q_dedup_simhash_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k ANN rankings, both rank-shaped methods under one oracle:
-    'brute' (the correctness baseline) and 'ivf' (full-probe mode, so
-    the exact-cosine oracle binds the whole cell machinery)."""
+    """Top-k ANN rankings, all three rank-shaped methods under one
+    oracle: 'brute' (the correctness baseline), 'ivf' (full-probe
+    mode, binding the whole cell machinery), and 'ivfpq' (round 5:
+    IVF-PQ + exact refine in full-coverage mode, binding residual
+    encoding and the per-cell ADC scan)."""
     return (
         q_ann_topk(spark, sf_dir)
         .withColumn("method", F.lit("brute"))
         .unionByName(
             q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+        )
+        .unionByName(
+            q_ann_ivfpq(spark, sf_dir).withColumn("method", F.lit("ivfpq"))
         )
     )
 
@@ -3289,6 +3321,8 @@ def oracle_sql() -> dict[str, str]:
     select 'brute' as method, * from ({sql["ann_topk"]})
     union all
     select 'ivf' as method, * from ({sql["ann_ivf"]})
+    union all
+    select 'ivfpq' as method, * from ({sql["ann_topk"]})
     """
     # one format per doc (doc_id % 8); lossless branches decode to the
     # raw text byte, the lossy-VP8 branch applies the BT.601 integer map

@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "rule_cascade",
     "connected_components",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    "dedup_ngram",  # merged entry: plain + capped n-gram Jaccard
     "dedup_minhash",
     "dedup_simhash",  # merged entry: md5 oracle twin + production SipHash path
     "dedup_keep_min",
@@ -158,6 +158,12 @@ def bench_main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    unknown = [n for n in BENCH_QUERIES if n not in qs]
+    if unknown:
+        raise KeyError(
+            f"BENCH_QUERIES not in the registry: {unknown} — "
+            "update bench.py when renaming/merging queries()"
+        )
     timings: dict[str, float] = {}
 
     # ER throughput first: fresh executor state, no residual caches.

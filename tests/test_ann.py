@@ -252,3 +252,146 @@ def test_pq_scan_is_two_level_topk_no_corpus_scale_exchange(spark):
                          k_neighbors=5).collect()
     }
     assert one == many
+
+
+def test_ivf_pq_full_coverage_matches_exact(spark):
+    """n_probe = n_lists + rerank spanning the corpus: the refine step
+    sees every row, so IVF-PQ output must EQUAL brute-force exact
+    top-k — binding coarse assignment, residual encode, per-cell ADC
+    LUTs, the pruned two-level scan and the refine join."""
+    import os
+
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        brute_force_topk,
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    cent, books = train_ivf_pq(emb, n_lists=4, m=4, k=16, sample=300)
+    assert cent.shape[1] == 64 and books.shape == (4, 16, 16)
+    enc = ivf_pq_encode(emb, cent, books)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_pq_topk(
+            enc, q, cent, books, k_neighbors=8, n_probe=4, rerank=n,
+            vectors=emb, exclude_self=True,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, q, k=8).collect()
+    }
+    assert got == want
+
+
+def test_ivf_pq_bounded_probe_recall_on_clustered_data(spark):
+    """The scale configuration (n_probe << n_lists) on data with real
+    cluster structure: queries drawn from the clusters recover most of
+    their exact top-k while scanning a fraction of the corpus."""
+    import numpy as np
+
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        brute_force_topk,
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    centers = rng.standard_normal((8, 32)) * 4.0
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, (centers[c] + rng.standard_normal(32)).tolist()))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+    cent, books = train_ivf_pq(df, n_lists=8, m=4, k=16, sample=400)
+    enc = ivf_pq_encode(df, cent, books)
+    q = df.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, q, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            enc, q, cent, books, k_neighbors=10, n_probe=2, rerank=50,
+            vectors=df, exclude_self=True,
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, recall
+    df.unpersist()
+
+
+def test_ivf_pq_scan_pruned_and_partitioning_invariant(spark):
+    """The ADC scan must keep the pq_topk scale shape: mapInPandas
+    local top-k (no cartesian/query-cross-corpus join) AND a probed-
+    cell filter ahead of the scan; results must be identical at 1 and
+    13 partitions."""
+    import os
+
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent, books = train_ivf_pq(emb, n_lists=8, m=4, k=16, sample=300)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    enc = ivf_pq_encode(emb, cent, books)
+    out = ivf_pq_topk(enc, q, cent, books, k_neighbors=5, n_probe=3)
+    jvm = spark._jvm  # noqa: SLF001
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)  # noqa: SLF001
+    assert "MapInPandas" in plan
+    assert "cell" in plan  # the probe filter reached the plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "CrossJoin"):
+        assert bad not in plan, bad
+    one = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_pq_topk(
+            ivf_pq_encode(emb.repartition(1), cent, books),
+            q, cent, books, k_neighbors=5, n_probe=3,
+        ).collect()
+    }
+    many = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_pq_topk(
+            ivf_pq_encode(emb.repartition(13), cent, books),
+            q, cent, books, k_neighbors=5, n_probe=3,
+        ).collect()
+    }
+    assert one == many
+
+
+def test_ivf_pq_training_deterministic(spark):
+    import os
+
+    import numpy as np
+
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        train_ivf_pq,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1, b1 = train_ivf_pq(emb, n_lists=4, m=4, k=8, sample=200)
+    c2, b2 = train_ivf_pq(emb.repartition(7), n_lists=4, m=4, k=8, sample=200)
+    assert np.array_equal(c1, c2) and np.array_equal(b1, b2)
