@@ -601,6 +601,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021 ExactSubstr, hash-gram
+    distributed form — operators/dedup.py:duplicated_substring_spans):
+    one per-affected-doc row carrying span positions, counts, AND the
+    span-stripped text, so a single oracle binds the 64-bit gram
+    hashing, the window-function island merge, and the
+    aggregate()-fold strip end-to-end."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    spans = D.duplicated_substring_spans(d, "doc_id", "text", min_len=50)
+    stripped = D.strip_duplicated_spans(d, spans, "doc_id", "text")
+    per = spans.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("span_start", "span_end"))
+                ),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["span_start"].cast("string"),
+                    s["span_end"].cast("string"),
+                ),
+            ),
+        ).alias("spans_str")
+    )
+    return stripped.join(per, "doc_id").select(
+        "doc_id",
+        "n_dup_spans",
+        "dup_chars",
+        "spans_str",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        "clean_text",
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-3-gram Jaccard near-dup pairs (pure built-ins)."""
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
@@ -2012,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         # dedup / ANN
         "dedup_exact": q_dedup_exact,
+        "dedup_substring": q_dedup_substring,
         "dedup_ngram": q_dedup_ngram,
         "topk_ranking": q_topk_ranking,
         "ann_rank": q_ann_rank,
@@ -2651,6 +2687,57 @@ def oracle_sql() -> dict[str, str]:
     select g.canonical_id, d.doc_id, g.group_size
     from d join g on d.k = g.k
     where g.group_size > 1
+    """
+
+    sql["dedup_substring"] = """
+    with g as (
+      select doc_id, unnest(range(0, greatest(length(text) - 50 + 1, 0))) as pos, text
+      from documents
+    ), gr as (
+      select doc_id, pos, substr(text, pos + 1, 50) as gram from g
+    ), dup as (
+      select gram from gr group by gram having count(*) > 1
+    ), dpos as (
+      select gr.doc_id, gr.pos from gr join dup using (gram)
+    ), isl as (
+      select doc_id, pos,
+        case when max(pos + 50) over (partition by doc_id order by pos
+               rows between unbounded preceding and 1 preceding) is null
+          or pos > max(pos + 50) over (partition by doc_id order by pos
+               rows between unbounded preceding and 1 preceding)
+        then 1 else 0 end as ni
+      from dpos
+    ), isl2 as (
+      select doc_id, pos,
+        sum(ni) over (partition by doc_id order by pos
+          rows between unbounded preceding and current row) as island
+      from isl
+    ), spans as (
+      select doc_id, min(pos) as span_start, max(pos) + 50 as span_end
+      from isl2 group by doc_id, island
+    ), seg as (
+      select s.doc_id,
+        coalesce(lag(s.span_end) over (partition by s.doc_id order by s.span_start), 0) as gs,
+        s.span_start as ge
+      from spans s
+      union all
+      select s.doc_id, max(s.span_end) as gs, max(length(d.text)) as ge
+      from spans s join documents d using (doc_id)
+      group by s.doc_id
+    ), agg as (
+      select seg.doc_id,
+        string_agg(substr(d.text, seg.gs + 1, seg.ge - seg.gs), '' order by seg.gs) as clean_text
+      from seg join documents d using (doc_id)
+      group by seg.doc_id
+    )
+    select s.doc_id,
+           count(*) as n_dup_spans,
+           cast(sum(s.span_end - s.span_start) as bigint) as dup_chars,
+           string_agg(s.span_start || ':' || s.span_end, ',' order by s.span_start) as spans_str,
+           cast(max(length(a.clean_text)) as bigint) as clean_len,
+           max(a.clean_text) as clean_text
+    from spans s join agg a using (doc_id)
+    group by s.doc_id
     """
 
     sql["dedup_ngram_jaccard"] = """

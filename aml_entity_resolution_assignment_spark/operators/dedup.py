@@ -12,6 +12,8 @@ engine (operators/candidates.py):
   ngram        — token n-gram Jaccard via explode + count aggregation
                  (pure built-ins, SQL-expressible for oracle checks)
   embedding    — cosine near-dup over an embedding column (see ann.py)
+  substring    — exact duplicated-substring spans + strip (Lee et al.
+                 2021 ExactSubstr, hash-gram + window-island form)
 
 Each `*_pairs` function returns (id_a, id_b [, score]); `dedup_keep_min`
 turns any pair set into a keep/drop decision via connected components
@@ -260,4 +262,154 @@ def dedup_keep_best(
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .drop("_rk", "predicted_entity_id")
+    )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    maximal character range covered by some length-`min_len` substring
+    that occurs at >= 2 positions corpus-wide. Returns
+    (doc_id, span_start, span_end) with span_end exclusive, 0-based.
+
+    Spark-first plan (the paper's suffix array is a single-machine
+    structure; the distributed equivalent is gram hashing):
+      1. explode window START POSITIONS (sequence + explode, fully
+         codegen'd; the text column is never expanded into a
+         materialized gram array — substring + xxhash64 run in the
+         same pipelined stage, so only (doc_id, pos, hash64) rows
+         ever hit a shuffle: ~24 B per corpus character),
+      2. ONE groupBy on the 64-bit gram hash with map-side partial
+         aggregation -> the duplicated-hash set (count >= 2),
+      3. semi-join positions against that set (both sides already
+         hash-partitioned on the key -> the exchange is reused; AQE
+         skew-join splits pathological grams, e.g. boilerplate),
+      4. per-doc island merge with window functions: a new island
+         starts where pos exceeds the running max of prior pos +
+         min_len (overlap OR adjacency merges), islands -> min/max
+         aggregate. One further shuffle, keyed by doc.
+
+    `use_hash=False` groups on the raw gram string instead (exact,
+    collision-free; the DuckDB oracle's form). The default hashes:
+    at 64 bits a false dup needs a corpus-scale birthday collision
+    (~1e-10 at 10^9 grams) and a unit test pins both modes equal."""
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    n = F.length(F.col(text_col))
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.explode(
+            F.when(n >= L, F.sequence(F.lit(0), n - L)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+    )
+    gram = F.col("_t").substr(F.col("pos") + F.lit(1), F.lit(L))
+    key = F.xxhash64(gram) if use_hash else gram
+    keyed = pos.select("doc_id", "pos", key.alias("_k"))
+    dup_keys = (
+        keyed.groupBy("_k")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") > 1)
+        .select("_k")
+    )
+    dpos = keyed.join(dup_keys, "_k", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prior_end = F.max(F.col("pos") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islanded = dpos.withColumn(
+        "_new",
+        F.when(prior_end.isNull() | (F.col("pos") > prior_end), 1).otherwise(
+            0
+        ),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islanded.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(L)).cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every duplicated span from the text (the paper's
+    ExactSubstr cut, applied to ALL occurrences — deterministic and
+    order-free, where keep-first would depend on a global occurrence
+    order). Adds `clean_text`, `dup_chars`, `n_dup_spans`; docs
+    without spans pass through intact.
+
+    Pure built-ins: spans collect per doc (bounded: spans are maximal
+    and disjoint, <= len/min_len of them), then ONE F.aggregate fold
+    walks them in order concatenating the gaps — no Python UDF, one
+    left join + one groupBy."""
+    per_doc = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    joined = df.join(
+        per_doc, df[id_col] == F.col("_sid"), "left"
+    ).drop("_sid")
+    txt = F.col(text_col)
+    fold = F.aggregate(
+        F.col("_spans"),
+        F.struct(
+            F.lit("").alias("out"), F.lit(0).cast("long").alias("cur")
+        ),
+        lambda acc, s: F.struct(
+            F.concat(
+                acc["out"],
+                txt.substr(
+                    (acc["cur"] + 1).cast("int"),
+                    (s["span_start"] - acc["cur"]).cast("int"),
+                ),
+            ).alias("out"),
+            s["span_end"].alias("cur"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            txt.substr(
+                (acc["cur"] + 1).cast("int"),
+                (F.length(txt) - acc["cur"]).cast("int"),
+            ),
+        ),
+    )
+    has = F.col("_spans").isNotNull()
+    return (
+        joined.withColumn("clean_text", F.when(has, fold).otherwise(txt))
+        .withColumn(
+            "dup_chars",
+            F.when(
+                has,
+                F.aggregate(
+                    F.col("_spans"),
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + (s["span_end"] - s["span_start"]),
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "n_dup_spans",
+            F.when(has, F.size("_spans")).otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_spans")
     )

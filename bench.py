@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "rule_cascade",
     "connected_components",
     "dedup_exact",
+    "dedup_substring",
     "dedup_ngram",  # merged entry: plain + capped n-gram Jaccard
     "dedup_minhash",
     "dedup_simhash",  # merged entry: md5 oracle twin + production SipHash path
