@@ -22,6 +22,8 @@ turns any pair set into a keep/drop decision via connected components
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
@@ -262,6 +264,98 @@ def dedup_keep_best(
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .drop("_rk", "predicted_entity_id")
+    )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    min_cosine: float = 0.9,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then search for near-duplicate pairs ONLY within
+    each cluster — the clustering bounds the quadratic pairwise work
+    to per-cluster blocks (~n/k rows each) instead of the corpus.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b and cosine >=
+    min_cosine, same shape as the other *_pairs dedup functions, so
+    dedup_keep_min / dedup_keep_best apply unchanged downstream
+    ("keep one representative per semantic duplicate group").
+
+    Spark-first plan: centroids train driver-side via seeded Lloyd
+    k-means on a deterministic id-ordered sample (vocabulary-sized
+    model state, exactly like the IVF/PQ quantizers in ann.py — the
+    paper also clusters on a bounded budget); assignment is one Arrow
+    matmul per batch; the within-cluster pair search is a plain
+    equi-self-join on cluster id — shuffle partitioned by cluster, no
+    cross join. `max_cluster` caps any pathological cluster by
+    dropping its excess members from the JOIN'S RIGHT SIDE ONLY after
+    a deterministic id sort (documented truncation, logged nowhere
+    silently: capped members still appear as id_a candidates).
+
+    At 100 TB, raise n_clusters so n/k rows fit a task (the paper uses
+    ~11k clusters for LAION); skew-prone hubs are what max_cluster is
+    for."""
+    from .ann import _lloyd, _unit, cosine_similarity_col
+
+    rows = df.select(vec_col).orderBy(id_col).limit(sample).toPandas()[
+        vec_col
+    ]
+    x = _unit(
+        np.array([np.asarray(v, dtype=np.float64) for v in rows])
+    )
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = _lloyd(x, int(n_clusters), int(iters), rng)
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        arr = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if arr.size == 0:
+            return pd.Series([], dtype="int32")
+        arr = _unit(arr)
+        d2 = (
+            (arr**2).sum(axis=1)[:, None]
+            - 2.0 * arr @ cents.T
+            + (cents**2).sum(axis=1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype(np.int32), index=vecs.index)
+
+    assigned = _persist_tracked(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            _assign(F.col(vec_col)).alias("_cell"),
+        )
+    )
+    right = assigned
+    if max_cluster is not None:
+        from pyspark.sql import Window
+
+        wc = Window.partitionBy("_cell").orderBy("_id")
+        right = (
+            assigned.withColumn("_rk", F.row_number().over(wc))
+            .where(F.col("_rk") <= int(max_cluster))
+            .drop("_rk")
+        )
+    a = assigned.select(
+        F.col("_cell"), F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = right.select(
+        F.col("_cell"), F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(b, "_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity_col(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
     )
 
 
