@@ -13,6 +13,12 @@ current without full recompute. Three streaming operators:
     to the keyed table; candidate generation then runs new-vs-all as a
     two-sided join (operators/resolve.find_candidates), which is the
     streaming-compatible form of the self-join.
+  * resolve_stream / er_stream — streaming end-to-end ER (new-vs-all
+    resolve, incremental connected components) over a compacted,
+    key-family-versioned corpus store.
+  * dedup_gate_stream — exact + MinHash-LSH near-dup ADMISSION GATE:
+    reject already-seen documents at ingest before they enter the
+    corpus; gate state is signatures only, never raw text.
 
 All sinks are exercised with Trigger.AvailableNow in tests —
 deterministic, no wall-clock waits.
@@ -767,3 +773,191 @@ def read_er_stream_clusters(spark: SparkSession, root: str) -> DataFrame:
             spark.read.parquet(f"{clusters_path}/delta/batch={n}/fresh"),
         )
     return assign
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup gate: reject already-seen / near-duplicate documents
+# at ingest, BEFORE they enter the corpus — the training-data-pipeline
+# front door (a crawl re-serves the same page endlessly; admitting it
+# and deduping later multiplies every downstream stage's input).
+# ---------------------------------------------------------------------------
+
+
+def dedup_gate_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    compact_every: int = 16,
+):
+    """Streaming exact + MinHash-LSH near-dup ADMISSION GATE: each
+    micro-batch keeps only documents that are neither byte-duplicates
+    nor jaccard>=threshold near-duplicates of (a) the accumulated
+    accepted store or (b) an earlier-id document in the same batch.
+    Survivors' documents land under out_path/batch=<id>; survivors'
+    SIGNATURES (content hash + packed token hash set + LSH band
+    hashes — never raw text) land in the store, so gate state is a
+    few dozen bytes per accepted doc.
+
+    Store layout/versioning/idempotency are the resolve_stream
+    machinery verbatim: keys=<KEY_FAMILY> root (check_key_family fails
+    fast on a foreign token-hash family), inc/batch=<id> overwrite
+    dirs, base/upto=<id> compaction every compact_every batches, reads
+    bounded to one base + a short inc tail, every write a
+    deterministic per-batch-id overwrite (at-least-once replay safe:
+    a replayed batch reads only ids < its own and rewrites identical
+    bytes).
+
+    In-batch tie-break is the standard greedy gate: of each verified
+    near-dup pair, the larger id is rejected. Greedy (not transitive):
+    in a chain a<b<c with a~b and b~c but NOT a~c, both b and c are
+    rejected even though c's nearest kept neighbor was itself
+    rejected — deterministic, one pass, no CC; the conservative
+    direction for a gate (never admits a near-dup, may over-reject on
+    chains). Batch-vs-store checking uses the store's banded
+    signatures: an equi-join on band hash + exact hashset-jaccard
+    verify, the same bounded LSH shape as the batch dedup operator."""
+    from ..functions import minhash as mh
+    from ..functions import similarity as sim
+    from ..operators.candidates import band_join_pairs, release_persisted
+    from pyspark.sql.types import DoubleType
+
+    bands, rows_per = mh.banding_for_threshold(threshold)
+    jacc = F.pandas_udf(sim.batch_hashset_jaccard, DoubleType())
+
+    def _sigs(df: DataFrame) -> DataFrame:
+        norm = F.lower(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+        )
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.xxhash64(norm).alias("_chash"),
+            mh.token_hashset_udf()(norm).alias("_tok"),
+            mh.band_hashes_udf(bands, rows_per)(
+                mh.minhash_udf(bands * rows_per)(norm)
+            ).alias("_bands"),
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        root = check_key_family(spark, store_path)
+
+        # one doc per id (at-source retries can repeat a url within a
+        # batch), then signatures once, persisted: they feed the exact
+        # gate, both band-join sides, and the final writes
+        w_id = Window.partitionBy("_gid").orderBy(F.col(text_col))
+        docs = (
+            batch_df.withColumn("_gid", F.col(id_col))
+            .withColumn("_rn", F.row_number().over(w_id))
+            .where(F.col("_rn") == 1)
+            .drop("_gid", "_rn")
+        )
+        persisted = []
+
+        def _persist(df: DataFrame) -> DataFrame:
+            df = df.persist()
+            persisted.append(df)
+            return df
+
+        sigs = _persist(_sigs(docs))
+        store = read_resolve_corpus(spark, root, batch_id)
+
+        # exact gates: content hash vs store, then keep-min within batch
+        if store is not None:
+            sigs_live = sigs.join(
+                store.select("_chash").distinct(), "_chash", "left_anti"
+            )
+        else:
+            sigs_live = sigs
+        w_ch = Window.partitionBy("_chash").orderBy("_id")
+        sigs_live = _persist(
+            sigs_live.withColumn("_rn", F.row_number().over(w_ch))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        # near-dup vs store: batch band -> store band equi-join,
+        # hashset-jaccard verify >= threshold rejects the batch doc
+        if store is not None:
+            b_bands = sigs_live.select(
+                "_id", "_tok", F.explode("_bands").alias("_b")
+            )
+            s_bands = store.select(
+                F.col("_tok").alias("_stok"), F.explode("_bands").alias("_b")
+            )
+            hit = (
+                b_bands.join(s_bands, "_b")
+                .withColumn("_j", jacc("_tok", "_stok"))
+                .where(F.col("_j") >= threshold)
+                .select("_id")
+                .distinct()
+            )
+            sigs_live = _persist(sigs_live.join(hit, "_id", "left_anti"))
+
+        # near-dup within batch: banded self-join + verify; greedy
+        # larger-id rejection
+        pairs = band_join_pairs(sigs_live, "_bands", id_col="_id")
+        a = sigs_live.select(F.col("_id").alias("id_a"), F.col("_tok").alias("_ta"))
+        b = sigs_live.select(F.col("_id").alias("id_b"), F.col("_tok").alias("_tb"))
+        rejected = (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("_j", jacc("_ta", "_tb"))
+            .where(F.col("_j") >= threshold)
+            .select(
+                F.greatest(
+                    F.col("id_a").cast("string"),
+                    F.col("id_b").cast("string"),
+                ).alias("_id")
+            )
+            .distinct()
+        )
+        survivors = _persist(sigs_live.join(rejected, "_id", "left_anti"))
+
+        # idempotent writes: docs out, signatures into the store
+        docs.join(
+            survivors.select(F.col("_id").alias(id_col)), id_col, "left_semi"
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        survivors.select("_id", "_chash", "_tok", "_bands").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/inc/batch={batch_id}")
+
+        bases = _list_partition_ids(spark, f"{root}/base", "upto")
+        last_base = max((m for m in bases if m < batch_id), default=-1)
+        if batch_id - last_base >= compact_every:
+            snapshot = read_resolve_corpus(spark, root, batch_id)
+            new_sigs = survivors.select("_id", "_chash", "_tok", "_bands")
+            snapshot = (
+                new_sigs if snapshot is None
+                else snapshot.unionByName(new_sigs)
+            )
+            (
+                snapshot.withColumn(
+                    "_pk",
+                    F.pmod(F.xxhash64("_id"), F.lit(CORPUS_PK_BUCKETS)),
+                )
+                .repartition("_pk")
+                .write.mode("overwrite")
+                .partitionBy("_pk")
+                .parquet(f"{root}/base/upto={batch_id}")
+            )
+        for df in persisted:
+            df.unpersist()
+        release_persisted()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_accepted_docs(spark: SparkSession, out_path: str) -> DataFrame:
+    """All documents the dedup gate has accepted so far."""
+    return spark.read.parquet(out_path).drop("batch")
