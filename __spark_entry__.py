@@ -1682,21 +1682,25 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio + video decode paths END-TO-END with one hard oracle: each
-    doc becomes an MJPEG AVI (doc_id % 4 == 0, per-frame means =
+    doc becomes an MJPEG AVI (doc_id % 5 == 0, per-frame means =
     source bytes), an 8-bit PCM WAV (== 1, peak/zcr exactly
     SQL-expressible), a G.711 µ-law WAV (== 2, the ITU-T expansion in
-    integer SQL), or — round 5 — a VP8-in-IVF video with TRUE INTER
-    FRAMES (== 3): frame 0 is a key frame, frames 1-3 are P-frames
-    predicted from 'last' over flat planes — 1/3 via NEWMV sub-pel
-    motion, 2 via SPLITMV per-subblock motion (all four partition
-    types across the MBs). Six-tap of a constant is the constant, and
-    both residual layouts (Y2/WHT for whole-MB, full-DC 4x4 for
-    SPLITMV) divide exactly at qi=0, so each decoded frame mean equals
-    the source byte — the same SQL twin as the AVI branch, binding MV
-    entropy decode + reference buffers + motion compensation + split
-    partition coding end-to-end. Same constructions as the
-    unregistered q_multimodal_video/wav/g711 helpers and
-    tests/test_vp8_inter.py / tests/test_vp8_splitmv.py."""
+    integer SQL), a VP8-in-IVF video with TRUE INTER FRAMES (== 3):
+    frame 0 is a key frame, frames 1-3 are P-frames predicted from
+    'last' over flat planes — 1/3 via NEWMV sub-pel motion, 2 via
+    SPLITMV per-subblock motion (all four partition types across the
+    MBs); six-tap of a constant is the constant, and both residual
+    layouts (Y2/WHT for whole-MB, full-DC 4x4 for SPLITMV) divide
+    exactly at qi=0, so each decoded frame mean equals the source
+    byte — the same SQL twin as the AVI branch, binding MV entropy
+    decode + reference buffers + motion compensation + split
+    partition coding end-to-end. Round 5 adds FLAC (== 4): the same
+    samples as the WAV arm compressed with an LPC-order-4 subframe and
+    partitioned Rice residuals (functions/flac.py) — lossless, so the
+    WAV arm's exact peak/zcr SQL binds the whole FLAC decode: bit
+    reader, LPC prediction, Rice partitions, CRCs. Same constructions
+    as the unregistered q_multimodal_video/wav/g711 helpers and
+    tests/test_vp8_inter.py / tests/test_flac.py."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import BinaryType
@@ -1705,6 +1709,7 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_gray_video,
     )
     from aml_entity_resolution_assignment_spark.functions import vp8 as V8
+    from aml_entity_resolution_assignment_spark.functions.flac import encode_flac
     from aml_entity_resolution_assignment_spark.functions.wav import encode_wav
     from aml_entity_resolution_assignment_spark.operators.multimodal import (
         extract_media_features,
@@ -1735,7 +1740,7 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
         g711_fmt = _s.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
         for i, t in zip(ids, texts):
             b = str(t).encode("utf-8")[:16]
-            fmt = int(i) % 4
+            fmt = int(i) % 5
             if fmt == 0:
                 frames = np.stack(
                     [np.full((16, 16), x, dtype=np.uint8) for x in b[:4]]
@@ -1751,16 +1756,26 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + b"data" + _s.pack("<I", len(b)) + b
                 )
                 out.append(b"RIFF" + _s.pack("<I", len(body)) + body)
-            else:
+            elif fmt == 3:
                 frames = [np.full((32, 32), x, dtype=np.uint8) for x in b[:4]]
                 ivf, _recs = V8.encode_vp8_video(
                     frames, qi=0, mb_modes_per_frame=_ivf_modes
                 )
                 out.append(ivf)
+            else:
+                # same signed samples as the WAV arm's normalized
+                # waveform: (raw + 48) - 128 = raw - 80
+                raw = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 80
+                out.append(
+                    encode_flac(
+                        raw, rate=8000, bps=8, block_size=16,
+                        mode="lpc4", porder=1,
+                    )
+                )
         return pd.Series(out, index=texts.index, dtype="object")
 
     enc_udf = F.pandas_udf(_encode, BinaryType())
-    fmt_i = F.pmod(F.col("doc_id"), F.lit(4))
+    fmt_i = F.pmod(F.col("doc_id"), F.lit(5))
     is_video = fmt_i.isin(0, 3)
     d = _docs(spark, sf_dir).where(F.col("n_chars") >= 16)
     media = d.select(
@@ -1771,6 +1786,7 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc_udf(F.col("doc_id"), F.col("text")).alias("payload"),
         F.when(fmt_i == 0, F.lit("video/x-msvideo"))
         .when(fmt_i == 3, F.lit("video/x-ivf"))
+        .when(fmt_i == 4, F.lit("audio/flac"))
         .otherwise(F.lit("audio/wav"))
         .alias("mime"),
         F.when(is_video, F.lit(16)).cast("int").alias("width"),
@@ -1780,10 +1796,11 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_media_features(media, deterministic_fake=False)
     did = F.col("media_id").cast("long")
     fmt_name = (
-        F.when(F.pmod(did, F.lit(4)) == 0, F.lit("video"))
-        .when(F.pmod(did, F.lit(4)) == 1, F.lit("wav"))
-        .when(F.pmod(did, F.lit(4)) == 2, F.lit("g711"))
-        .otherwise(F.lit("vp8"))
+        F.when(F.pmod(did, F.lit(5)) == 0, F.lit("video"))
+        .when(F.pmod(did, F.lit(5)) == 1, F.lit("wav"))
+        .when(F.pmod(did, F.lit(5)) == 2, F.lit("g711"))
+        .when(F.pmod(did, F.lit(5)) == 3, F.lit("vp8"))
+        .otherwise(F.lit("flac"))
     )
     exploded = feats.select(
         did.alias("doc_id"),
@@ -3439,17 +3456,22 @@ def oracle_sql() -> dict[str, str]:
     sql["multimodal_av"] = f"""
     with vpos as (select unnest(generate_series(0, 3)) as k)
     select d.doc_id,
-           case d.doc_id % 4 when 0 then 'video' else 'vp8' end as fmt,
+           case d.doc_id % 5 when 0 then 'video' else 'vp8' end as fmt,
            vpos.k,
            cast(ord(substr(d.text, cast(vpos.k + 1 as int), 1)) as double) as v
     from documents d, vpos
-    where d.n_chars >= 16 and d.doc_id % 4 in (0, 3)
+    where d.n_chars >= 16 and d.doc_id % 5 in (0, 3)
     union all
     select doc_id, 'wav' as fmt, k, v
-    from ({sql["multimodal_wav"]}) where doc_id % 4 = 1
+    from ({sql["multimodal_wav"]}) where doc_id % 5 = 1
     union all
     select doc_id, 'g711' as fmt, k, v
-    from ({sql["multimodal_g711"]}) where doc_id % 4 = 2
+    from ({sql["multimodal_g711"]}) where doc_id % 5 = 2
+    union all
+    -- FLAC is lossless over the SAME samples as the WAV arm, so the
+    -- identical peak/zcr SQL binds the whole compressed decode path
+    select doc_id, 'flac' as fmt, k, v
+    from ({sql["multimodal_wav"]}) where doc_id % 5 = 4
     """
     # drop the subsumed per-format/per-variant twins so oracle keys
     # mirror queries() exactly

@@ -8,11 +8,13 @@ baseline JPEG (functions/jpeg.py), PNG incl. Adam7/16-bit
 lossless VP8L (functions/webp.py) and lossy VP8 key frames
 (functions/vp8.py), baseline AND progressive JPEG
 (functions/jpeg.py), TIFF (functions/tiff.py), BMP + ICO
-(functions/bmp.py), WAV audio incl. G.711/ADPCM (functions/wav.py)
-MJPEG-AVI video (functions/avi.py), and — round 5 — VP8 INTER frames
+(functions/bmp.py), WAV audio incl. G.711/ADPCM (functions/wav.py),
+FLAC compressed audio (functions/flac.py: Rice partitions, fixed+LPC
+predictors, all stereo decorrelations, CRCs — round 5),
+MJPEG-AVI video (functions/avi.py), and VP8 INTER frames
 in IVF sequences (functions/vp8.py: motion compensation against
 last/golden/altref reference buffers, incl. SPLITMV per-subblock
-motion); the remaining inter-frame/psychoacoustic codecs
+motion — round 5); the remaining psychoacoustic codecs
 (MP3/AAC/H.264/VP9/...) need codec libraries absent from this
 container and raise at a clearly-marked boundary. The Spark-side plumbing — schema, batch
 shape, partition-size control, null propagation — is real and tested
@@ -185,14 +187,22 @@ def _image_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def _audio_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Real audio feature: WAV/PCM decode (functions/wav.py, pure
-    struct + numpy) -> RMS/peak/ZCR/centroid + FFT bands, padded or
-    truncated to the fixed feature width."""
+    """Real audio feature: WAV/PCM (functions/wav.py) or FLAC
+    (functions/flac.py) decode, pure struct + numpy ->
+    RMS/peak/ZCR/centroid + FFT bands, padded or truncated to the
+    fixed feature width. FLAC samples normalize by 2^(bps-1) to the
+    same [-1, 1] convention decode_wav uses."""
     from ..functions.wav import audio_features, decode_wav
 
     if payload is None or len(payload) == 0:
         return np.zeros(dim, dtype=np.float32)
-    samples, _rate = decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from ..functions.flac import decode_flac
+
+        raw, _rate, bps = decode_flac(payload)
+        samples = raw.astype(np.float64) / float(1 << (bps - 1))
+    else:
+        samples, _rate = decode_wav(payload)
     feat = audio_features(samples, n_bands=max(dim - 4, 1))
     out = np.zeros(dim, dtype=np.float32)
     out[: min(dim, feat.size)] = feat[:dim]
@@ -251,7 +261,7 @@ def extract_media_features(
     mapInPandas so each Arrow batch is one vectorized pass; payloads are
     dropped from the output (never re-shuffle binary). With
     deterministic_fake=False, image rows with netpbm/JPEG/PNG/GIF
-    payloads, audio rows with WAV payloads, and video rows with
+    payloads, audio rows with WAV or FLAC payloads, and video rows with
     MJPEG-AVI or VP8-in-IVF payloads decode FOR REAL; other compressed
     formats fall back to the byte-histogram feature (codec libs absent
     here)."""
@@ -283,7 +293,7 @@ def extract_media_features(
                     not deterministic_fake
                     and kind == "audio"
                     and payload
-                    and payload[:4] == b"RIFF"
+                    and payload[:4] in (b"RIFF", b"fLaC")
                 ):
                     feats.append(_audio_feature(payload, dim))
                 elif (
