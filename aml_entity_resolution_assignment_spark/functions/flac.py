@@ -474,9 +474,27 @@ def _lpc_coefficients(samples: list[int], order: int, prec: int = 12):
     return [int(v) for v in q], shift
 
 
+def _effective_porder(n: int, order: int, porder: int) -> int:
+    """Largest partition order <= requested that is legal for this
+    block: 2^po must divide the block size and the first partition
+    must keep a non-negative residual count after the warmup."""
+    po = porder
+    while po > 0 and (n % (1 << po) or n // (1 << po) < order):
+        po -= 1
+    return po
+
+
 def _encode_subframe(
     bw: _BitWriter, samples: list[int], bps: int, mode: str, porder: int = 0
 ) -> None:
+    # downgrade gracefully on short blocks (the final block of a
+    # stream may be shorter than the requested predictor order — real
+    # encoders pick per-block orders the same way)
+    if mode.startswith("fixed") and int(mode[-1]) > len(samples):
+        mode = f"fixed{len(samples) if len(samples) <= 4 else 4}"
+    if mode.startswith("lpc"):
+        order = min(int(mode[3:]), len(samples) - 1)
+        mode = f"lpc{order}" if order >= 1 else "verbatim"
     if mode == "constant" and len(set(samples)) == 1:
         bw.write(0, 1)
         bw.write(0, 6)
@@ -504,7 +522,10 @@ def _encode_subframe(
             for j, c in enumerate(coefs):
                 acc -= c * samples[i - 1 - j]
             res.append(acc)
-        _write_residual(bw, res, order, _best_rice_param(res), porder)
+        _write_residual(
+            bw, res, order, _best_rice_param(res),
+            _effective_porder(len(samples), order, porder),
+        )
         return
     if mode.startswith("lpc"):
         order = int(mode[3:])
@@ -525,7 +546,10 @@ def _encode_subframe(
             for j in range(order):
                 acc += coefs[j] * samples[i - 1 - j]
             res.append(samples[i] - (acc >> shift))
-        _write_residual(bw, res, order, _best_rice_param(res), porder)
+        _write_residual(
+            bw, res, order, _best_rice_param(res),
+            _effective_porder(len(samples), order, porder),
+        )
         return
     raise ValueError(f"unknown subframe mode {mode}")
 

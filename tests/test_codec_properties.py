@@ -204,3 +204,39 @@ def test_progressive_jpeg_equals_baseline(h, w, color, seed):
         base = decode_jpeg(encode_jpeg_gray(img))
     prog = decode_jpeg(encode_jpeg_progressive(img))
     np.testing.assert_array_equal(base, prog)
+
+
+@settings(**_common)
+@given(
+    n=st.integers(min_value=1, max_value=700),
+    ch=st.sampled_from([1, 2]),
+    bps=st.sampled_from([8, 16]),
+    block=st.sampled_from([64, 192, 256]),
+    mode=st.sampled_from(
+        ["verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4",
+         "lpc2", "lpc6"]
+    ),
+    stereo=st.sampled_from(
+        ["independent", "left_side", "right_side", "mid_side"]
+    ),
+    porder=st.sampled_from([0, 1]),
+    seed=_seeds,
+)
+def test_flac_roundtrip(n, ch, bps, block, mode, stereo, porder, seed):
+    from aml_entity_resolution_assignment_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    # no guards: the encoder must downgrade order/partitioning itself
+    # on short/odd blocks (that's the property under test)
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bps - 1)
+    x = rng.integers(-lim, lim, (n, ch)).astype(np.int64)
+    enc = encode_flac(
+        x, rate=8000, bps=bps, block_size=block, mode=mode,
+        stereo=stereo if ch == 2 else "independent", porder=porder,
+    )
+    dec, rate, got_bps = decode_flac(enc)
+    assert rate == 8000 and got_bps == bps
+    np.testing.assert_array_equal(dec, x.astype(np.int32))
