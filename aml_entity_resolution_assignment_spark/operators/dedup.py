@@ -507,3 +507,74 @@ def strip_duplicated_spans(
         )
         .drop("_spans")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_len: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level dedup (the CCNet / RefinedWeb pass: Wenzek et al.
+    2019 §3.1, Penedo et al. 2023 §4): drop every line whose trimmed
+    form appears in >= `min_docs` DISTINCT documents — boilerplate
+    (navigation bars, cookie banners, footers) repeats across pages
+    verbatim while real prose does not. Lines shorter than `min_len`
+    after trimming never count as boilerplate (blank separators stay).
+
+    Returns one row per input doc: `clean_text` (surviving lines
+    joined by `sep`, original order), `n_lines`, `n_removed`.
+
+    Spark-first plan, 100 TB shape: posexplode lines; aggregate the
+    DISTINCT (line-md5, doc) pairs down to the duplicated-key set
+    (partial aggregation does the heavy lifting map-side — the
+    repeated boilerplate lines are exactly the ones that collapse);
+    ONE equi-join of lines against that aggregated key set (no skew:
+    the right side holds distinct keys only, and AQE broadcasts it
+    when small); reassemble with array_sort(collect_list(struct)) —
+    per-doc line counts are bounded, so the collect_list is safe.
+    Everything is built-ins; the md5 join key keeps shuffle width
+    fixed regardless of line length and is SQL-reproducible for the
+    oracle harness."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    ).withColumn("_norm", F.trim("_line"))
+    eligible = F.length("_norm") >= int(min_len)
+    dup_keys = (
+        lines.where(eligible)
+        .select(F.md5("_norm").alias("_k"), "_id")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= int(min_docs))
+        .select("_k")
+    )
+    flagged = lines.join(
+        dup_keys.withColumn("_dup", F.lit(True)),
+        F.md5(F.col("_norm")) == F.col("_k"),
+        "left",
+    ).withColumn("_drop", eligible & F.coalesce("_dup", F.lit(False)))
+    return (
+        flagged.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct("_pos", "_line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+        )
+    )
