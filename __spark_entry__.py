@@ -2031,6 +2031,157 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_pair_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 + P2/P4 under one oracle: Jaro-Winkler and unrestricted
+    Damerau-Levenshtein over the candidate pairs, hydrated in ONE
+    join pass (both prefixes ride the same hydration instead of the
+    former two separate query trees) — vs DuckDB's built-in
+    jaro_winkler_similarity / damerau_levenshtein."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.lower(F.trim("text")), 1, 20).alias("p20"),
+        F.substring(F.lower(F.trim("text")), 1, 16).alias("p16"),
+    )
+    pairs = q_candidate_pairs(spark, sf_dir)
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("p20").alias("pa20"),
+        F.col("p16").alias("pa16"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("p20").alias("pb20"),
+        F.col("p16").alias("pb16"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_JW("pa20", "pb20"), 6).alias("jw_score"),
+            F.round(_DL("pa16", "pb16"), 6).alias("dl_score"),
+        )
+    )
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features, composite quality score, and both token
+    counters in ONE codegen projection (the former text_quality /
+    quality_score / token_counts entries, same expressions, same
+    oracles, one scan instead of three)."""
+    d = _docs(spark, sf_dir)
+    qf = T.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        qf["n_chars"].alias("n_chars_q"),
+        qf["n_tokens"].alias("n_tokens"),
+        F.round(qf["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(qf["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(qf["stopword_ratio"], 6).alias("stopword_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.word_token_count(F.col("text")).alias("word_tokens"),
+    )
+
+
+# mixture rates pinned for the oracle (thresholds are exact integers
+# computed once here and inlined into BOTH engines' predicates)
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+_MIX_DEFAULT = 0.1
+_REP_RATES = {"src0": 2.5, "src1": 1.25, "src2": 0.5}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling (operators/sampling.py),
+    all three forms under one oracle: 'frac' (uniform 35% keep), 'mix'
+    (per-source keep rates + default), 'rep' (weights > 1 as
+    deterministic repetition epochs). Selection is a content-hash
+    threshold — md5 last-8-bytes little-endian, exactly DuckDB's
+    md5_number_lower — so the kept row set is identical on every run,
+    partitioning, and cluster size, and the SQL twin recomputes every
+    decision."""
+    from aml_entity_resolution_assignment_spark.operators import sampling as SA
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    zero = F.lit(0).alias("epoch")
+    frac = SA.sample_fraction(d, 0.35, seed=17).select(
+        F.lit("frac").alias("variant"), "doc_id", zero
+    )
+    mix = SA.mixture_sample(
+        d, _MIX_RATES, default_rate=_MIX_DEFAULT, seed=17
+    ).select(F.lit("mix").alias("variant"), "doc_id", zero)
+    rep = SA.mixture_repeat(d, _REP_RATES, seed=17).select(
+        F.lit("rep").alias("variant"), "doc_id", "epoch"
+    )
+    return frac.unionByName(mix).unionByName(rep)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/pii.py) end-to-end with a hard oracle:
+    inject deterministic doc_id-derived PII (email always; SSN, phone,
+    IP on residue classes so zero-counts are exercised), redact, and
+    emit the clean text plus per-class counts — the SQL twin rebuilds
+    the same injected text and applies the same RE2-compatible
+    patterns."""
+    from aml_entity_resolution_assignment_spark.operators import pii as PII
+
+    d = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" reach u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex-"),
+        F.col("source"),
+        F.lit(".com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" ssn "),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-45-6789"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call +1 555-123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = PII.redact_pii_df(d.select("doc_id", injected.alias("text")))
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("pii.email").alias("n_email"),
+        F.col("pii.ssn").alias("n_ssn"),
+        F.col("pii.phone").alias("n_phone"),
+        F.col("pii.ip").alias("n_ip"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup (operators/dedup.py:line_dedup, the CCNet /
+    RefinedWeb boilerplate pass) with a hard oracle: documents are
+    deterministically re-lined (every 4th token boundary becomes a
+    newline), then lines appearing in >= 2 distinct docs drop and the
+    doc is reassembled in order."""
+    lined = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){3}\S+) ", "$1\n").alias("text"),
+    )
+    return D.line_dedup(lined, min_docs=2, min_len=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 entries, ordered CHEAP-FIRST (the driver snapshots in dict
     # order under a per-round budget — round 4 cut off at 50 with the
@@ -2047,10 +2198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_coverage": q_key_coverage,
         "block_stats": q_block_stats,
         "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "quality_score": q_quality_score,
-        "token_counts": q_token_counts,
+        "text_metrics": q_text_metrics,
         "fingerprint": q_fingerprint,
+        "mixture_sample": q_mixture_sample,
+        "pii_redact": q_pii_redact,
         # analytics / joins / sketches
         "tpch_pricing": q_tpch_pricing,
         "tpch_join_agg": q_tpch_join_agg,
@@ -2065,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / ANN
         "dedup_exact": q_dedup_exact,
         "dedup_substring": q_dedup_substring,
+        "line_dedup": q_line_dedup,
         "dedup_ngram": q_dedup_ngram,
         "topk_ranking": q_topk_ranking,
         "ann_rank": q_ann_rank,
@@ -2072,8 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ER core
         "candidate_pairs": q_candidate_pairs,
         "pair_features": q_pair_features,
-        "pair_jw": q_pair_jw,
-        "pair_dl": q_pair_dl,
+        "pair_edit": q_pair_edit,
         "rule_cascade": q_rule_cascade,
         "ml_prob": q_ml_prob,
         "connected_components": q_connected_components,
@@ -2238,22 +2389,16 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["pair_features"] = f"select * from ({_feats})"
 
-    sql["pair_jw"] = f"""
+    sql["pair_edit"] = f"""
     with pairs as ({_pairs}),
-    d as (select doc_id, substr(lower(trim(text)), 1, 20) as prefix from documents)
+    d as (select doc_id, substr(lower(trim(text)), 1, 20) as p20,
+                 substr(lower(trim(text)), 1, 16) as p16 from documents)
     select p.id_a, p.id_b,
-           round(jaro_winkler_similarity(da.prefix, db.prefix), 6) as jw_score
-    from pairs p join d da on p.id_a = da.doc_id join d db on p.id_b = db.doc_id
-    """
-
-    sql["pair_dl"] = f"""
-    with pairs as ({_pairs}),
-    d as (select doc_id, substr(lower(trim(text)), 1, 16) as prefix from documents)
-    select p.id_a, p.id_b,
-           case when da.prefix = '' or db.prefix = '' then 0.0
-                when da.prefix = db.prefix then 1.0
-                else round(1.0 - damerau_levenshtein(da.prefix, db.prefix)
-                     / cast(greatest(length(da.prefix), length(db.prefix)) as double), 6)
+           round(jaro_winkler_similarity(da.p20, db.p20), 6) as jw_score,
+           case when da.p16 = '' or db.p16 = '' then 0.0
+                when da.p16 = db.p16 then 1.0
+                else round(1.0 - damerau_levenshtein(da.p16, db.p16)
+                     / cast(greatest(length(da.p16), length(db.p16)) as double), 6)
            end as dl_score
     from pairs p join d da on p.id_a = da.doc_id join d db on p.id_b = db.doc_id
     """
@@ -2789,65 +2934,41 @@ def oracle_sql() -> dict[str, str]:
 
     sql["ann_ivf"] = sql["ann_topk"]
 
-    sql["text_quality"] = """
+    sql["text_metrics"] = """
     with t as (select doc_id, text,
                  length(text) as n_chars_q,
                  case when trim(text) = '' then 0
                       else len(regexp_split_to_array(lower(trim(text)), '\\s+')) end as n_tokens,
                  length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) as n_punct,
-                 length(regexp_replace(text, '[^0-9]', '', 'g')) as n_digit
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) as n_digit,
+                 len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) as word_tokens
                from documents),
-    s as (select doc_id, n_chars_q, n_tokens, n_punct, n_digit,
-            (select count(distinct x) from unnest(regexp_split_to_array(lower(trim(t.text)), '\\s+')) w(x)
-             where x in ('the','and','of','to','in','is','that','with',
-                         'der','die','und','das','nicht','ist','ein','mit',
-                         'que','los','las','una','por','para','con','del',
-                         'nie','jest','czy','ale','jak','tak','przez','dla')) as stop_hits
-          from t)
-    select doc_id, n_chars_q, n_tokens,
-           round(n_punct / cast(greatest(n_chars_q, 1) as double), 6) as punct_ratio,
-           round(n_digit / cast(greatest(n_chars_q, 1) as double), 6) as digit_ratio,
-           round(stop_hits / cast(greatest(n_tokens, 1) as double), 6) as stopword_ratio
-    from s
-    """
-
-    sql["quality_score"] = """
-    with t as (select doc_id, text,
-                 length(text) as n_chars,
-                 case when trim(text) = '' then 0
-                      else len(regexp_split_to_array(lower(trim(text)), '\\s+')) end as n_tokens,
-                 length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) as n_punct,
-                 length(regexp_replace(text, '[^0-9]', '', 'g')) as n_digit
-               from documents),
-    s as (select doc_id, n_chars, n_tokens, n_punct, n_digit,
+    s as (select doc_id, n_chars_q, n_tokens, n_punct, n_digit, word_tokens,
             (select count(distinct x) from unnest(regexp_split_to_array(lower(trim(t.text)), '\\s+')) w(x)
              where x in ('the','and','of','to','in','is','that','with',
                          'der','die','und','das','nicht','ist','ein','mit',
                          'que','los','las','una','por','para','con','del',
                          'nie','jest','czy','ale','jak','tak','przez','dla')) as stop_hits
           from t),
-    r as (select doc_id,
+    r as (select *,
             stop_hits / cast(greatest(n_tokens, 1) as double) as stop_ratio,
-            n_digit / cast(greatest(n_chars, 1) as double) as digit_ratio,
-            n_punct / cast(greatest(n_chars, 1) as double) as punct_ratio,
-            (n_chars - (n_tokens - 1)) / cast(greatest(n_tokens, 1) as double) as mwl
+            n_digit / cast(greatest(n_chars_q, 1) as double) as digit_r,
+            n_punct / cast(greatest(n_chars_q, 1) as double) as punct_r,
+            (n_chars_q - (n_tokens - 1)) / cast(greatest(n_tokens, 1) as double) as mwl
           from s)
-    select doc_id,
+    select doc_id, n_chars_q, n_tokens,
+           round(punct_r, 6) as punct_ratio,
+           round(digit_r, 6) as digit_ratio,
+           round(stop_ratio, 6) as stopword_ratio,
            round(greatest(least(
              least(stop_ratio * 2.0, 1.0) * 0.5
              + case when mwl >= 3 and mwl <= 10 then 0.3 else 0.0 end
-             - least(digit_ratio * 2.0, 0.3)
-             - least(punct_ratio * 2.0, 0.2)
-             + 0.2, 1.0), 0.0), 6) as quality
+             - least(digit_r * 2.0, 0.3)
+             - least(punct_r * 2.0, 0.2)
+             + 0.2, 1.0), 0.0), 6) as quality,
+           n_tokens as ws_tokens,
+           word_tokens
     from r
-    """
-
-    sql["token_counts"] = """
-    select doc_id,
-           case when trim(text) = '' then 0
-                else len(regexp_split_to_array(lower(trim(text)), '\\s+')) end as ws_tokens,
-           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) as word_tokens
-    from documents
     """
 
     # CC labels compare ids LEXICOGRAPHICALLY (operators/cluster.py
@@ -3473,6 +3594,119 @@ def oracle_sql() -> dict[str, str]:
     select doc_id, 'flac' as fmt, k, v
     from ({sql["multimodal_wav"]}) where doc_id % 5 = 4
     """
+    # --- mixture sampling: thresholds are EXACT integers computed by
+    # the same expression the engine uses (sampling.threshold), inlined
+    # into both predicates ---
+    from aml_entity_resolution_assignment_spark.operators.sampling import (
+        threshold as _thr,
+    )
+
+    t035, t075, t050, t025, t010 = (
+        _thr(0.35), _thr(0.75), _thr(0.5), _thr(0.25), _thr(0.1)
+    )
+    sql["mixture_sample"] = f"""
+    with h as (
+      select doc_id, source,
+             md5_number_lower(cast(doc_id as varchar) || '|17')::HUGEINT as hv
+      from documents
+    ),
+    frac as (
+      select 'frac' as variant, doc_id, 0 as epoch from h
+      where hv < {t035}::HUGEINT
+    ),
+    mix as (
+      select 'mix' as variant, doc_id, 0 as epoch from h
+      where case source
+              when 'src0' then true
+              when 'src1' then hv < {t075}::HUGEINT
+              when 'src2' then hv < {t050}::HUGEINT
+              when 'src3' then hv < {t025}::HUGEINT
+              else hv < {t010}::HUGEINT
+            end
+    ),
+    rep_n as (
+      select doc_id,
+             (case source when 'src0' then 2 when 'src1' then 1
+                          when 'src2' then 0 else 1 end
+              + case source
+                  when 'src0' then (hv < {t050}::HUGEINT)::int
+                  when 'src1' then (hv < {t025}::HUGEINT)::int
+                  when 'src2' then (hv < {t050}::HUGEINT)::int
+                  else 0 end) as n
+      from h
+    ),
+    rep as (
+      select 'rep' as variant, doc_id, cast(unnest(range(n)) as int) as epoch
+      from rep_n where n > 0
+    )
+    select * from frac union all select * from mix union all select * from rep
+    """
+
+    # --- PII redaction: same injected text, same RE2-subset patterns,
+    # same progressive count-then-redact chain ---
+    from aml_entity_resolution_assignment_spark.operators.pii import (
+        PII_PATTERNS as _PII,
+    )
+
+    _pii_inj = """
+      select doc_id,
+        text || ' reach u' || cast(doc_id as varchar) || '@ex-' || source || '.com'
+        || case when doc_id % 2 = 0
+                then ' ssn ' || lpad(cast(doc_id % 1000 as varchar), 3, '0') || '-45-6789'
+                else '' end
+        || case when doc_id % 3 = 0
+                then ' call +1 555-123-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                else '' end
+        || case when doc_id % 5 = 0
+                then ' from 10.' || cast(doc_id % 256 as varchar) || '.0.1'
+                else '' end
+        as t0
+      from documents
+    """
+    _pii_steps = ""
+    for _i, (_name, _pat, _token) in enumerate(_PII):
+        _pii_steps += f""",
+    r{_i} as (select * exclude (t{_i}),
+         len(regexp_extract_all(t{_i}, '{_pat}'))::int as n_{_name},
+         regexp_replace(t{_i}, '{_pat}', '{_token}', 'g') as t{_i + 1}
+       from {"inj" if _i == 0 else f"r{_i - 1}"})"""
+    sql["pii_redact"] = f"""
+    with inj as ({_pii_inj}){_pii_steps}
+    select doc_id, t{len(_PII)} as clean_text, n_email, n_ssn, n_phone, n_ip
+    from r{len(_PII) - 1}
+    """
+
+    # --- line dedup: same re-lining regex (RE2 replacement syntax),
+    # same >= 2-distinct-docs rule, order-preserving reassembly ---
+    _relined = (
+        r"regexp_replace(text, '((\S+ ){3}\S+) ', '\1' || chr(10), 'g')"
+    )
+    sql["line_dedup"] = f"""
+    with lined as (select doc_id, {_relined} as t from documents),
+    lines as (
+      select doc_id, unnest(range(len(l))) as pos, unnest(l) as line
+      from (select doc_id, string_split(t, chr(10)) as l from lined)
+    ),
+    dupk as (
+      select k from (
+        select distinct doc_id, trim(line) as k from lines
+        where length(trim(line)) >= 1
+      ) group by k having count(*) >= 2
+    ),
+    flagged as (
+      select l.doc_id, l.pos, l.line,
+             (length(trim(l.line)) >= 1
+              and trim(l.line) in (select k from dupk)) as is_drop
+      from lines l
+    )
+    select doc_id,
+           coalesce(string_agg(case when not is_drop then line end,
+                               chr(10) order by pos), '') as clean_text,
+           count(*)::bigint as n_lines,
+           sum(case when is_drop then 1 else 0 end)::bigint as n_removed
+    from flagged group by doc_id
+    """
+
     # drop the subsumed per-format/per-variant twins so oracle keys
     # mirror queries() exactly
     for k in (

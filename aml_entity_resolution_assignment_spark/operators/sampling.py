@@ -40,8 +40,15 @@ def hash_u64(col: Column, seed: int | str = 17) -> Column:
     return F.conv(le, 16, 10).cast("decimal(20,0)")
 
 
+def threshold(rate: float) -> int:
+    """The exact integer keep-threshold for a rate — public so oracle
+    twins inline the SAME integer instead of re-deriving it from a
+    float."""
+    return int(round(float(rate) * _FULL))
+
+
 def _keep(col: Column, rate: float, seed: int | str) -> Column:
-    thr = int(round(float(rate) * _FULL))
+    thr = threshold(rate)
     if thr <= 0:
         return F.lit(False)
     if thr >= _FULL:

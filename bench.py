@@ -29,7 +29,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "candidate_pairs",
-    "pair_jw",
+    "pair_edit",  # merged entry: JW + DL in one hydration
     "rule_cascade",
     "connected_components",
     "dedup_exact",
@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "dedup_keep_min",
     "resolve_best_match",
     "ann_rank",  # merged entry: brute-force baseline + full-probe IVF
-    "text_quality",
+    "text_metrics",  # merged entry: quality features + score + token counts
     "lang_id",
     "rep_signals",
     "decontaminate",
@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "events_sessionize",
     "tpch_pricing",
     "tpch_join_agg",
+    # round-5 operators
+    "line_dedup",
+    "pii_redact",
+    "mixture_sample",
 ]
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "8000"))
 # scaling evidence needs a compute-dominated run: big enough that the
