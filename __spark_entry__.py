@@ -2182,6 +2182,56 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.line_dedup(lined, min_docs=2, min_len=1)
 
 
+def q_bz2_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable-bz2 dump ingestion (sources/bz2_dump.py) end-to-end
+    with a hard oracle: the documents table is serialized to a
+    MULTISTREAM .bz2 dump (stdlib libbzip2 — the decoder never sees
+    bytes this repo produced), read back through the parallel
+    block-split reader at an 8 KB split size (so splits fall inside
+    blocks, inside magics, and between streams), and re-parsed; the
+    SQL twin reads the same fields straight from documents. Fixture
+    construction (collect + compress) is content-addressed into the
+    temp dir; the measured Spark plan is the binaryFile-listing ->
+    range-split -> mapInPandas decode."""
+    import bz2 as _bz2
+    import hashlib
+    import os
+    import tempfile
+
+    from aml_entity_resolution_assignment_spark.sources.bz2_dump import (
+        read_bz2_lines,
+    )
+
+    rows = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    text = "".join(
+        f"{r.doc_id}\t{r.lang}\t{r.source}\t{r.text}\n" for r in rows
+    ).encode()
+    blob = b"".join(
+        _bz2.compress(text[i : i + 40_000], 1)
+        for i in range(0, max(len(text), 1), 40_000)
+    )
+    key = hashlib.md5(blob).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_dump_{key}.bz2")
+    if not os.path.exists(path):
+        tmp = path + f".{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    parts = F.split(F.col("value"), "\t", 4)
+    return read_bz2_lines(spark, path, split_bytes=1 << 13).select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("source"),
+        F.length(parts.getItem(3)).cast("long").alias("text_len"),
+        F.md5(F.encode(F.col("value"), "utf-8")).alias("line_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 entries, ordered CHEAP-FIRST (the driver snapshots in dict
     # order under a per-round budget — round 4 cut off at 50 with the
@@ -2202,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "pii_redact": q_pii_redact,
+        "bz2_lines": q_bz2_lines,
         # analytics / joins / sketches
         "tpch_pricing": q_tpch_pricing,
         "tpch_join_agg": q_tpch_join_agg,
@@ -3705,6 +3756,15 @@ def oracle_sql() -> dict[str, str]:
            count(*)::bigint as n_lines,
            sum(case when is_drop then 1 else 0 end)::bigint as n_removed
     from flagged group by doc_id
+    """
+
+    # --- splittable bz2 dump: the reader reproduces every serialized
+    # line exactly once, so the twin is simply the source fields ---
+    sql["bz2_lines"] = """
+    select doc_id, lang, source, length(text) as text_len,
+           md5(doc_id || chr(9) || lang || chr(9) || source || chr(9) || text)
+             as line_md5
+    from documents
     """
 
     # drop the subsumed per-format/per-variant twins so oracle keys
