@@ -2232,6 +2232,66 @@ def q_bz2_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wiki_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki dump ingestion (sources/wiki.py) end-to-end with a
+    hard oracle: documents are wrapped in wikitext markup (bold title,
+    template, piped link, heading, external link) inside a multistream
+    .bz2 XML dump, read back through the parallel <page>-record reader
+    at 8 KB splits, wikitext-stripped, and compared field-exact — the
+    generator's text is markup-free (the oracle matching proves it),
+    so the expected plain text is a pure concat in SQL."""
+    import bz2 as _bz2
+    import hashlib
+    import os
+    import tempfile
+    from xml.sax.saxutils import escape
+
+    from aml_entity_resolution_assignment_spark.sources.wiki import (
+        read_wiki_pages,
+    )
+
+    rows = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    parts = ['<mediawiki xml:lang="en">\n<siteinfo><sitename>graft'
+             "</sitename></siteinfo>\n"]
+    for r in rows:
+        wikitext = (
+            f"'''Doc {r.doc_id}'''\n"
+            f"{{{{quality|src={r.source}}}}}\n"
+            f"{r.text} is about [[topic {r.doc_id}|{r.lang}]].\n"
+            "== See also ==\n"
+            f"* [http://example.com/{r.doc_id} ext{r.doc_id}]"
+        )
+        parts.append(
+            "<page>\n"
+            f"<title>{escape(f'Doc {r.doc_id}')}</title>\n"
+            f"<ns>0</ns>\n<id>{r.doc_id}</id>\n"
+            "<revision><id>1</id>"
+            "<timestamp>2024-06-01T00:00:00Z</timestamp>\n"
+            f"<text>{escape(wikitext)}</text></revision>\n</page>\n"
+        )
+    parts.append("</mediawiki>\n")
+    xml = "".join(parts).encode()
+    blob = b"".join(
+        _bz2.compress(xml[i : i + 20_000], 1)
+        for i in range(0, len(xml), 20_000)
+    )
+    key = hashlib.md5(blob).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_wiki_{key}.bz2")
+    if not os.path.exists(path):
+        tmp = path + f".{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    return read_wiki_pages(spark, path, split_bytes=1 << 13).select(
+        F.col("page_id").alias("doc_id"), "title", "plain_text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 entries, ordered CHEAP-FIRST (the driver snapshots in dict
     # order under a per-round budget — round 4 cut off at 50 with the
@@ -2253,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pii_redact": q_pii_redact,
         "bz2_lines": q_bz2_lines,
+        "wiki_pages": q_wiki_pages,
         # analytics / joins / sketches
         "tpch_pricing": q_tpch_pricing,
         "tpch_join_agg": q_tpch_join_agg,
@@ -3764,6 +3825,17 @@ def oracle_sql() -> dict[str, str]:
     select doc_id, lang, source, length(text) as text_len,
            md5(doc_id || chr(9) || lang || chr(9) || source || chr(9) || text)
              as line_md5
+    from documents
+    """
+
+    # --- wiki dump: title/template/link/heading markup strips to a
+    # pure concat because the generator's text is markup-free ---
+    sql["wiki_pages"] = """
+    select doc_id, 'Doc ' || doc_id as title,
+           'Doc ' || doc_id || chr(10)
+           || text || ' is about ' || lang || '.' || chr(10)
+           || 'See also' || chr(10)
+           || '* ext' || doc_id as plain_text
     from documents
     """
 

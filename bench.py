@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "line_dedup",
     "pii_redact",
     "mixture_sample",
+    "bz2_lines",  # splittable bzip2 dump ingestion
+    "wiki_pages",  # MediaWiki dump -> plain training text
 ]
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "8000"))
 # scaling evidence needs a compute-dominated run: big enough that the
