@@ -103,6 +103,22 @@ SECTIONS = [
         "BroadcastNestedLoop/Cartesian.",
     ),
     (
+        "bz2_lines",
+        "Splittable bz2 dump: the binaryFile scan reads METADATA ONLY "
+        "(ReadSchema is path/length — content pruned), "
+        "explode(sequence()) plans byte-range splits declaratively, and "
+        "decode runs as one MapInPandas stage — task count scales with "
+        "dump BYTES, not file count, so a single 20 GB file fans out.",
+    ),
+    (
+        "wiki_pages",
+        "MediaWiki dump -> training text: same metadata-only listing + "
+        "range-split MapInPandas as bz2_lines, then the wikitext strip "
+        "as ArrowEvalPython — page payloads never shuffle; the "
+        "articles-only filter sits before the strip so redirects/"
+        "non-ns0 pages never reach Python.",
+    ),
+    (
         "resolve_best_match",
         "A1-A4 serving path (round-4 plan): both sides melt to one tall "
         "(id, key_hash) table so ONE BroadcastHashJoin covers every "
