@@ -1861,6 +1861,99 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- link graph: deterministic synthetic pages shared by the three
+# link-graph queries and their DuckDB twins. 48 source hosts (doc_id %
+# 48, behind a stripped www. label), up to 3 links per doc into a
+# 72-host target space via multiplicative hashing, so hosts 48..71
+# exist only as targets (dangling — they exercise the PageRank mass
+# redistribution); (doc_id + k) % 7 == 0 drops link k (varying
+# out-degree); a relative and a mailto: link per page exercise the
+# absolute-http filter.
+_LG_HOSTS, _LG_TARGETS, _LG_MULT = 48, 72, 2654435761
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id")
+
+    def link(k: int):
+        t = (i * F.lit(_LG_MULT + k)) % _LG_TARGETS
+        return F.when(
+            (i + k) % 7 != 0,
+            F.concat(
+                F.lit('<a href="http://h'),
+                t.cast("string"),
+                F.lit(".example.com/p"),
+                i.cast("string"),
+                F.lit('">x</a>'),
+            ),
+        ).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><body>"),
+        link(1),
+        link(2),
+        link(3),
+        F.lit('<a href="/local">l</a><a href="mailto:a@b.c">m</a></body></html>'),
+    )
+    url = F.concat(
+        F.lit("http://www.h"),
+        (i % _LG_HOSTS).cast("string"),
+        F.lit(".example.com/doc/"),
+        i.cast("string"),
+    )
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-edge extraction from raw HTML: regexp href scan
+    + explode + JVM url parse + norm_hostname on both endpoints (same
+    normalizer as the bk_host blocking key), aggregated to (src_host,
+    dst_host, n_links). Pure column expressions; the DuckDB twin
+    re-runs the identical regexp + host normalization."""
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        extract_links,
+    )
+
+    out = extract_links(_link_pages(spark, sf_dir))
+    return out.select("src_host", "dst_host", F.col("n_links").cast("long"))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-iteration PageRank (d=0.85) with dangling-mass redistribution
+    over the extracted host link graph — each iteration ONE fused Spark
+    job (scalar dangling-mass collect materializes the previous round's
+    lazy localCheckpoint); the oracle replays the exact power iteration
+    as 10 chained SQL CTEs."""
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        extract_links,
+        pagerank,
+    )
+
+    edges = extract_links(_link_pages(spark, sf_dir))
+    out = pagerank(edges, iterations=10, damping=0.85)
+    return out.select("host", F.round("rank", 6).alias("rank"))
+
+
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-iteration HITS hubs/authorities (L1-normalized) over the same
+    host link graph — two key-grouped aggregations per iteration, one
+    scalar job per round; chained-CTE SQL twin replays the identical
+    normalization order."""
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        extract_links,
+        hits,
+    )
+
+    edges = extract_links(_link_pages(spark, sf_dir))
+    out = hits(edges, iterations=8)
+    return out.select(
+        "host",
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (backward, inclusive): each click event joined to the
     user's most recent prior view — the union/carry-forward merge form
@@ -2323,6 +2416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "hll_distinct": q_hll_distinct,
         "cm_token_counts": q_cm_token_counts,
+        "link_graph": q_link_graph,
+        "pagerank": q_pagerank,
+        "link_hits": q_link_hits,
         "lm_score": q_lm_score,
         "tfidf": q_tfidf,
         # dedup / ANN
@@ -3324,6 +3420,117 @@ def oracle_sql() -> dict[str, str]:
            round(estimate, 6) as estimate
     from est
     """
+
+    # --- link graph twins. Page/html synthesis mirrors _link_pages
+    # column-for-column; the link_graph twin re-runs the href regexp +
+    # host normalization, while the pagerank/hits twins derive the edge
+    # set arithmetically (the regexp path is already pinned by
+    # link_graph — same edges either way) and replay the exact
+    # iteration as chained CTEs.
+    _lg_link = (
+        lambda k: "case when (doc_id + {k}) % 7 <> 0 then "
+        "'<a href=\"http://h' || ((doc_id::bigint * {m}) % 72) || "
+        "'.example.com/p' || doc_id || '\">x</a>' else '' end".format(
+            k=k, m=_LG_MULT + k
+        )
+    )
+    _lg_pages = f"""
+    select doc_id::bigint as doc_id,
+           'http://www.h' || (doc_id % 48) || '.example.com/doc/' || doc_id as url,
+           '<html><body>' || {_lg_link(1)} || {_lg_link(2)} || {_lg_link(3)}
+           || '<a href="/local">l</a><a href="mailto:a@b.c">m</a></body></html>'
+           as html
+    from documents
+    """
+    _lg_norm = (
+        lambda c: "regexp_replace(regexp_replace(lower(split_part("
+        f"split_part({c}, '//', 2), '/', 1)), ':[0-9]+$', ''), "
+        "'^(www\\d?|m|mobile)\\.', '')"
+    )
+    sql["link_graph"] = f"""
+    with pages as ({_lg_pages}),
+    exploded as (
+      select {_lg_norm('url')} as src_host,
+             unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) as href
+      from pages
+    ),
+    f as (
+      select src_host, {_lg_norm('href')} as dst_host
+      from exploded where regexp_matches(href, '^https?://')
+    )
+    select src_host, dst_host, count(*)::bigint as n_links
+    from f where src_host <> '' and dst_host <> ''
+    group by 1, 2
+    """
+
+    _lg_links = " union all ".join(
+        f"select (doc_id % 48) as s, ((doc_id::bigint * {_LG_MULT + k}) % 72)"
+        f" as t from documents where (doc_id + {k}) % 7 <> 0"
+        for k in (1, 2, 3)
+    )
+    _lg_graph = f"""
+    links as materialized ({_lg_links}),
+    edges as materialized (select distinct 'h' || s || '.example.com' as src,
+                              'h' || t || '.example.com' as dst from links),
+    verts as materialized (select src as v from edges union select dst from edges),
+    nn as materialized (select count(*)::double as n from verts),
+    outdeg as materialized (select src, count(*)::double as deg from edges group by src),
+    wedges as materialized (select src, dst, 1.0/deg as w from edges join outdeg using (src))
+    """
+
+    _pr = [
+        """r0 as materialized (
+      select v.v, 1.0/nn.n as rank, (o.src is null) as dang
+      from verts v cross join nn left join outdeg o on o.src = v.v
+    )"""
+    ]
+    for k in range(1, 11):
+        _pr.append(f"""d{k} as materialized (
+      select coalesce(sum(rank), 0) as mass from r{k-1} where dang
+    ),
+    c{k} as materialized (
+      select w.dst as v, sum(r.rank * w.w) as contrib
+      from r{k-1} r join wedges w on w.src = r.v group by w.dst
+    ),
+    r{k} as materialized (
+      select r.v,
+             (1 - 0.85)/nn.n + 0.85*(coalesce(c.contrib, 0) + d{k}.mass/nn.n)
+               as rank,
+             r.dang
+      from r{k-1} r cross join nn cross join d{k}
+      left join c{k} c on c.v = r.v
+    )""")
+    sql["pagerank"] = (
+        f"with {_lg_graph}, {', '.join(_pr)}\n"
+        "select v as host, round(rank, 6) as rank from r10"
+    )
+
+    _ht = ["h0 as materialized (select v.v, 1.0/nn.n as auth, 1.0/nn.n as hub "
+           "from verts v cross join nn)"]
+    for k in range(1, 9):
+        _ht.append(f"""a{k} as materialized (
+      select v.v, coalesce(x.s, 0) as a_raw
+      from verts v left join (
+        select e.dst as v, sum(h.hub) as s
+        from h{k-1} h join edges e on e.src = h.v group by e.dst
+      ) x on x.v = v.v
+    ),
+    b{k} as materialized (
+      select a.v, a.a_raw, coalesce(y.s, 0) as h_raw
+      from a{k} a left join (
+        select e.src as v, sum(a2.a_raw) as s
+        from a{k} a2 join edges e on e.dst = a2.v group by e.src
+      ) y on y.v = a.v
+    ),
+    s{k} as materialized (select sum(a_raw) as sa, sum(h_raw) as sh from b{k}),
+    h{k} as materialized (
+      select b.v, b.a_raw/s{k}.sa as auth, b.h_raw/s{k}.sh as hub
+      from b{k} b cross join s{k}
+    )""")
+    sql["link_hits"] = (
+        f"with {_lg_graph}, {', '.join(_ht)}\n"
+        "select v as host, round(auth, 6) as auth, round(hub, 6) as hub from h8"
+    )
 
     sql["asof_join"] = """
     with clicks as (

@@ -1,0 +1,236 @@
+"""Link-graph analytics over web pages: href extraction + PageRank + HITS.
+
+The reference pipeline stops at entity clustering (connected components
+over match edges, src/matching.py); a Common-Crawl-scale corpus also
+carries the *hyperlink* graph, and the standard training-data uses for
+it are host-level authority scores (PageRank / HITS) for quality
+weighting and crawl prioritization. This module provides:
+
+- ``extract_links``    pages(url, html) -> (src_host, dst_host, n_links)
+                       host-level edge table, pure column expressions
+                       (regexp href scan + JVM url parse — no UDF).
+- ``pagerank``         fixed-iteration power method with dangling-mass
+                       redistribution (Page et al. 1999 form).
+- ``hits``             Kleinberg hubs/authorities, L1-normalized per
+                       iteration (L1 instead of the paper's L2 so the
+                       SQL oracle twin needs no sqrt; the ranking order
+                       is identical — normalization only rescales).
+
+Scale notes (10^12 pages): extract_links is a single codegen'd
+projection — no shuffle until the host-pair groupBy, whose key space is
+|hosts|^2-bounded and heavily combinable map-side. PageRank/HITS
+iterate over the HOST graph (|hosts| ~ 10^8 for the full web, ~5 orders
+smaller than pages): the weighted edge table is computed once and
+persisted partitioned by src; each iteration is ONE fused job (the
+dangling-mass scalar collect materializes the previous round's lazy
+localCheckpoint), with one shuffle for the contribution groupBy. On a
+cluster the edge table would be bucketed by src (sources/io.py
+write_bucketed) so the per-iteration join is one-sided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aml_entity_resolution_assignment_spark.functions.normalize import (
+    norm_hostname,
+    url_host,
+)
+
+_HREF_RE = r'href="([^"]+)"'
+
+
+def extract_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Host-level link edges from raw page HTML.
+
+    Scans ``href="..."`` attributes (double-quoted form — the shape the
+    engine's page generator and WARC fixtures emit), keeps absolute
+    http(s) targets only (relative / mailto: / javascript: links carry
+    no cross-host signal), and normalizes both endpoints with the same
+    ``norm_hostname`` used by the bk_host blocking key, so the link
+    graph and the ER graph share one host vocabulary.
+
+    Returns (src_host, dst_host, n_links) — n_links counts parallel
+    links; self-links (same host) are kept, PageRank handles them.
+    Entirely JVM column expressions: regexp scan + explode + parse_url;
+    the only shuffle is the final bounded host-pair aggregation.
+    """
+    html = F.col(html_col).cast("string")
+    src = norm_hostname(url_host(F.col(url_col)))
+    out = (
+        pages.select(
+            src.alias("src_host"),
+            F.explode(
+                F.regexp_extract_all(html, F.lit(_HREF_RE), F.lit(1))
+            ).alias("href"),
+        )
+        .where(F.col("href").rlike("^https?://"))
+        .select(
+            "src_host",
+            norm_hostname(url_host(F.col("href"))).alias("dst_host"),
+        )
+        .where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+    return out
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an (src, dst) edge table.
+
+    r_k(v) = (1-d)/N + d * (sum_{u->v} r_{k-1}(u)/outdeg(u) + D_{k-1}/N)
+
+    where D is the total rank mass on dangling vertices (no out-edges),
+    redistributed uniformly — so sum(rank) == 1 exactly at every
+    iteration (the standard stochastic-matrix completion). Parallel
+    edges are collapsed first (unweighted graph). Deterministic for a
+    fixed iteration count; returns (host, rank).
+
+    Each iteration runs as ONE Spark job: the dangling-mass aggregate
+    (a 1-row collect) is the action that materializes the previous
+    round's lazy localCheckpoint, mirroring connected_components'
+    fused-round pattern (cluster.py). The static weighted edge table is
+    persisted once, repartitioned by src so every iteration's join
+    shuffles only the (small, |hosts|-sized) rank table.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select("dst"))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # dangling flag rides the vertex table: the per-iteration mass
+    # aggregate is then a filter+sum with no join
+    verts = (
+        verts.join(outdeg.withColumnRenamed("src", "v"), "v", "left")
+        .select("v", F.col("deg").isNull().alias("is_dangling"))
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select(F.col("v").alias("host"), F.lit(0.0).alias("rank"))
+    w_edges = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .repartition("src")
+        .persist()
+    )
+
+    base = (1.0 - damping) / n
+    ranks = verts.select(
+        "v", F.lit(1.0 / n).alias("rank"), "is_dangling"
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        # ONE job: this collect materializes `ranks` (lazy checkpoint)
+        dm = (
+            ranks.where("is_dangling").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            ranks.join(w_edges, ranks["v"] == w_edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        ranks = (
+            verts.join(contrib, verts["v"] == contrib["dst"], "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dm / n))
+                ).alias("rank"),
+                "is_dangling",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select(F.col("v").alias("host"), "rank")
+    out = out.localCheckpoint(eager=True)  # release the persisted inputs
+    verts.unpersist()
+    w_edges.unpersist()
+    return out
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    iterations: int = 8,
+) -> DataFrame:
+    """Kleinberg HITS: (host, auth, hub), L1-normalized per iteration.
+
+    auth_k(v) = sum_{u->v} hub_{k-1}(u), then auth_k /= sum(auth_k);
+    hub_k(u)  = sum_{u->v} auth_k(v),   then hub_k  /= sum(hub_k).
+
+    Both scores start uniform (1/N). Vertices with no in-edges get
+    auth 0, no out-edges hub 0 (after the first iteration). Same
+    fused-job iteration shape as pagerank; the edge table is persisted
+    once in both orientations' join key partitioning.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    verts = (
+        e.select(F.col("src").alias("v")).union(e.select("dst")).distinct().persist()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select(
+            F.col("v").alias("host"),
+            F.lit(0.0).alias("auth"),
+            F.lit(0.0).alias("hub"),
+        )
+    e = e.persist()
+
+    scores = verts.select(
+        "v", F.lit(1.0 / n).alias("auth"), F.lit(1.0 / n).alias("hub")
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        auth_raw = (
+            scores.join(e, scores["v"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        with_auth = verts.join(
+            auth_raw, verts["v"] == auth_raw["dst"], "left"
+        ).select("v", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+        hub_raw = (
+            with_auth.join(e, with_auth["v"] == e["dst"])
+            .groupBy("src")
+            .agg(F.sum("a_raw").alias("h_raw"))
+        )
+        nxt = (
+            with_auth.join(hub_raw, with_auth["v"] == hub_raw["src"], "left")
+            .select(
+                "v", "a_raw", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
+            )
+            .localCheckpoint(eager=False)
+        )
+        # ONE scalar job materializes the round, then normalize lazily
+        # (the L1 sums are over already-checkpointed rows)
+        sums = nxt.agg(
+            F.sum("a_raw").alias("sa"), F.sum("h_raw").alias("sh")
+        ).collect()[0]
+        sa = sums["sa"] or 1.0
+        sh = sums["sh"] or 1.0
+        scores = nxt.select(
+            "v",
+            (F.col("a_raw") / F.lit(sa)).alias("auth"),
+            (F.col("h_raw") / F.lit(sh)).alias("hub"),
+        )
+    out = scores.select(F.col("v").alias("host"), "auth", "hub")
+    out = out.localCheckpoint(eager=True)
+    verts.unpersist()
+    e.unpersist()
+    return out

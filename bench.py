@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "bcubed",
     "asof_join",
     "range_join",
+    "link_graph",
+    "pagerank",  # 10 fused-job power iterations over the host graph
     "events_window",
     "events_sessionize",
     "tpch_pricing",

@@ -1,0 +1,171 @@
+"""Link-graph operators: href extraction, PageRank, HITS.
+
+PageRank/HITS are checked against an independent dense numpy power
+iteration (same formulas, matrix form) — not against the operator's own
+arithmetic — plus invariants (mass conservation, partitioning
+invariance).
+"""
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+    extract_links,
+    hits,
+    pagerank,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_extract_links_filters_and_normalizes(spark):
+    rows = [
+        # www stripped on both ends, port stripped, parallel links counted
+        (
+            "http://www.a.com/x",
+            '<a href="http://b.com/1">.</a><a href="https://www.b.com:8080/2">.</a>',
+        ),
+        # relative / mailto / javascript dropped; self-link kept
+        (
+            "http://a.com/y",
+            '<a href="/rel">.</a><a href="mailto:x@y.z">.</a>'
+            '<a href="javascript:void(0)">.</a><a href="http://a.com/z">.</a>',
+        ),
+        ("http://m.c.com/", '<a href="http://A.COM/up">.</a>'),
+        ("http://empty.com/", "<p>no links</p>"),
+    ]
+    out = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in extract_links(_pages(spark, rows)).collect()
+    }
+    assert out == {
+        ("a.com", "b.com"): 2,
+        ("a.com", "a.com"): 1,
+        ("c.com", "a.com"): 1,
+    }
+
+
+def _np_pagerank(edges, verts, iters, d):
+    verts = sorted(verts)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    a = np.zeros((n, n))
+    for s, t in edges:
+        a[idx[s], idx[t]] = 1.0
+    deg = a.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dm = r[deg == 0].sum()
+        contrib = (r[deg > 0] / deg[deg > 0]) @ a[deg > 0]
+        r = (1 - d) / n + d * (contrib + dm / n)
+    return dict(zip(verts, r))
+
+
+def _edge_df(spark, edges):
+    return spark.createDataFrame(
+        [(s, t) for s, t in edges], "src_host string, dst_host string"
+    )
+
+
+GRAPH = [  # 6 vertices: f dangling, e only a target via c
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "e"),
+    ("d", "a"), ("e", "f"),
+]
+
+
+def test_pagerank_matches_numpy(spark):
+    verts = {v for e in GRAPH for v in e}
+    expected = _np_pagerank(GRAPH, verts, iters=10, d=0.85)
+    got = {r["host"]: r["rank"] for r in pagerank(_edge_df(spark, GRAPH)).collect()}
+    assert set(got) == verts
+    for v in verts:
+        assert got[v] == pytest.approx(expected[v], abs=1e-12)
+
+
+def test_pagerank_mass_conserved_and_dangling(spark):
+    # f has no out-edges: its mass must be redistributed, total == 1
+    got = pagerank(_edge_df(spark, GRAPH), iterations=7).collect()
+    assert sum(r["rank"] for r in got) == pytest.approx(1.0, abs=1e-9)
+    # every rank >= teleport base
+    n = len(got)
+    assert all(r["rank"] >= (1 - 0.85) / n - 1e-12 for r in got)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    e = _edge_df(spark, GRAPH)
+    r1 = {r["host"]: r["rank"] for r in pagerank(e.repartition(1)).collect()}
+    r8 = {r["host"]: r["rank"] for r in pagerank(e.repartition(8)).collect()}
+    for v in r1:
+        assert r1[v] == pytest.approx(r8[v], abs=1e-12)
+
+
+def test_pagerank_parallel_edges_collapse(spark):
+    dup = GRAPH + GRAPH[:3]
+    r1 = {r["host"]: r["rank"] for r in pagerank(_edge_df(spark, GRAPH)).collect()}
+    r2 = {r["host"]: r["rank"] for r in pagerank(_edge_df(spark, dup)).collect()}
+    assert r1 == r2
+
+
+def _np_hits(edges, verts, iters):
+    verts = sorted(verts)
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    a = np.zeros((n, n))
+    for s, t in edges:
+        a[idx[s], idx[t]] = 1.0
+    auth = np.full(n, 1.0 / n)
+    hub = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        a_raw = hub @ a
+        h_raw = a @ a_raw  # hub from UNnormalized auth (matches operator)
+        auth = a_raw / a_raw.sum()
+        hub = h_raw / h_raw.sum()
+    return {v: (auth[idx[v]], hub[idx[v]]) for v in verts}
+
+
+def test_hits_matches_numpy(spark):
+    verts = {v for e in GRAPH for v in e}
+    expected = _np_hits(GRAPH, verts, iters=8)
+    got = {
+        r["host"]: (r["auth"], r["hub"])
+        for r in hits(_edge_df(spark, GRAPH)).collect()
+    }
+    assert set(got) == verts
+    for v in verts:
+        assert got[v][0] == pytest.approx(expected[v][0], abs=1e-12)
+        assert got[v][1] == pytest.approx(expected[v][1], abs=1e-12)
+    # L1 normalization: both score vectors sum to 1
+    assert sum(a for a, _ in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(h for _, h in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_sink_and_source_scores(spark):
+    got = {
+        r["host"]: (r["auth"], r["hub"])
+        for r in hits(_edge_df(spark, GRAPH), iterations=4).collect()
+    }
+    assert got["f"][1] == 0.0  # no out-edges -> hub 0
+    assert got["d"][0] == 0.0  # no in-edges -> auth 0
+
+
+def test_pagerank_on_extracted_generator_links(spark):
+    """extract_links -> pagerank end-to-end on html built the same way
+    the registry query builds it (absolute links into a host space)."""
+    rows = [
+        (
+            f"http://www.h{i % 4}.example.com/doc/{i}",
+            f'<html><body><a href="http://h{(i * 7) % 6}.example.com/p">x</a>'
+            "</body></html>",
+        )
+        for i in range(40)
+    ]
+    edges = extract_links(_pages(spark, rows))
+    ranks = pagerank(edges, iterations=5)
+    rows_out = ranks.collect()
+    assert sum(r["rank"] for r in rows_out) == pytest.approx(1.0, abs=1e-9)
+    hosts = {r["host"] for r in rows_out}
+    assert {f"h{i}.example.com" for i in range(6)} >= hosts
+    assert any(h.startswith("h4") or h.startswith("h5") for h in hosts)

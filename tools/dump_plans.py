@@ -119,6 +119,16 @@ SECTIONS = [
         "non-ns0 pages never reach Python.",
     ),
     (
+        "link_graph",
+        "Link extraction: regexp href scan + explode + parse_url all "
+        "inside one codegen'd projection; the only exchange is the "
+        "host-pair HashAggregate with map-side partial combine. "
+        "(pagerank/hits iterate on top of this: each round is one "
+        "fused job whose returned plan is a checkpoint scan, so the "
+        "per-iteration join+agg shape is documented in linkgraph.py "
+        "rather than dumped here.)",
+    ),
+    (
         "resolve_best_match",
         "A1-A4 serving path (round-4 plan): both sides melt to one tall "
         "(id, key_hash) table so ONE BroadcastHashJoin covers every "
