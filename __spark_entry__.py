@@ -1861,6 +1861,28 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pretraining sequence packing: whitespace tokens + per-doc
+    EOS, concatenated in doc_id order and cut into 256-token training
+    blocks (partial tail dropped). Two-phase distributed prefix sum —
+    no global single-partition window, no per-token explode; each
+    token moves through exactly one shuffle. Compared as per-block
+    md5 digests vs a window/list_slice SQL twin."""
+    from aml_entity_resolution_assignment_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    out = pack_sequences(d, block_size=256, eos="<eos>")
+    return out.select(
+        F.col("block_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.md5(F.concat_ws(" ", "tokens")).alias("digest"),
+    )
+
+
 # --- link graph: deterministic synthetic pages shared by the three
 # link-graph queries and their DuckDB twins. 48 source hosts (doc_id %
 # 48, behind a stripped www. label), up to 3 links per doc into a
@@ -2419,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
         "link_hits": q_link_hits,
+        "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
         "tfidf": q_tfidf,
         # dedup / ANN
@@ -3419,6 +3442,44 @@ def oracle_sql() -> dict[str, str]:
     select cast(nset as bigint) as n_registers_set,
            round(estimate, 6) as estimate
     from est
+    """
+
+    sql["pack_sequences"] = """
+    with d as materialized (
+      select doc_id,
+             list_append(string_split(text, ' '), '<eos>') as toks
+      from documents
+    ),
+    w as materialized (
+      select doc_id, toks, len(toks)::bigint as n,
+             coalesce(sum(len(toks)) over (
+               order by doc_id rows between unbounded preceding
+               and 1 preceding), 0)::bigint as start
+      from d
+    ),
+    spans as materialized (
+      select toks, start, n,
+             unnest(generate_series(start // 256, (start + n - 1) // 256))
+               as block_id
+      from w where n > 0
+    ),
+    pieces as materialized (
+      select block_id,
+             greatest(start, block_id * 256) as off,
+             list_slice(toks,
+                        (greatest(start, block_id * 256) - start + 1)::int,
+                        (least(start + n, (block_id + 1) * 256) - start)::int)
+               as chunk
+      from spans
+    ),
+    blocks as materialized (
+      select block_id, flatten(list(chunk order by off)) as tokens
+      from pieces group by block_id
+    )
+    select block_id::bigint as block_id,
+           len(tokens)::bigint as n_tokens,
+           md5(array_to_string(tokens, ' ')) as digest
+    from blocks where len(tokens) = 256
     """
 
     # --- link graph twins. Page/html synthesis mirrors _link_pages

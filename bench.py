@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "range_join",
     "link_graph",
     "pagerank",  # 10 fused-job power iterations over the host graph
+    "pack_sequences",  # distributed prefix sum + one-pass block shuffle
     "events_window",
     "events_sessionize",
     "tpch_pricing",

@@ -1,0 +1,112 @@
+"""Sequence packing: fixed-length training blocks from tokenized docs."""
+import pytest
+
+from pyspark.sql import functions as F
+
+from aml_entity_resolution_assignment_spark.operators.packing import (
+    pack_sequences,
+)
+
+
+def _py_pack(docs, L, eos=None, drop_last=True):
+    """Pure-Python reference: concat in id order, cut every L."""
+    stream = []
+    for _, toks in sorted(docs):
+        toks = list(toks) + ([eos] if eos is not None else [])
+        stream.extend(toks)
+    blocks = {}
+    for b in range(0, len(stream), L):
+        chunk = stream[b : b + L]
+        if drop_last and len(chunk) < L:
+            continue
+        blocks[b // L] = chunk
+    return blocks
+
+
+def _df(spark, docs, typ="string"):
+    return spark.createDataFrame(
+        [(i, list(t)) for i, t in docs], f"doc_id long, tokens array<{typ}>"
+    )
+
+
+DOCS = [
+    (3, ["d", "e", "f", "g"]),
+    (1, ["a", "b"]),
+    (7, ["h"]),
+    (2, ["c"]),
+    (9, ["i", "j", "k", "l", "m", "n"]),
+]
+
+
+@pytest.mark.parametrize("L,eos", [(4, None), (4, "<eos>"), (3, None), (5, "E")])
+def test_pack_matches_python_reference(spark, L, eos):
+    got = {
+        r["block_id"]: r["tokens"]
+        for r in pack_sequences(_df(spark, DOCS), L, eos=eos).collect()
+    }
+    assert got == _py_pack(DOCS, L, eos=eos)
+
+
+def test_pack_drop_last_false_keeps_tail(spark):
+    got = {
+        r["block_id"]: r["tokens"]
+        for r in pack_sequences(_df(spark, DOCS), 4, drop_last=False).collect()
+    }
+    expected = _py_pack(DOCS, 4, drop_last=False)
+    assert got == expected
+    assert len(got[max(got)]) < 4  # the tail block really is partial
+
+
+def test_pack_doc_spanning_multiple_blocks(spark):
+    docs = [(1, [str(i) for i in range(10)])]  # one doc, 10 tokens, L=3
+    got = {
+        r["block_id"]: r["tokens"]
+        for r in pack_sequences(_df(spark, docs), 3).collect()
+    }
+    assert got == {0: ["0", "1", "2"], 1: ["3", "4", "5"], 2: ["6", "7", "8"]}
+
+
+def test_pack_empty_docs(spark):
+    docs = [(1, ["a"]), (2, []), (3, ["b", "c"])]
+    # without eos an empty doc contributes nothing
+    got = {
+        r["block_id"]: r["tokens"]
+        for r in pack_sequences(_df(spark, docs), 3).collect()
+    }
+    assert got == {0: ["a", "b", "c"]}
+    # with eos it still marks a document boundary
+    got = {
+        r["block_id"]: r["tokens"]
+        for r in pack_sequences(_df(spark, docs), 3, eos="E").collect()
+    }
+    assert got == {0: ["a", "E", "E"], 1: ["b", "c", "E"]}
+
+
+def test_pack_partitioning_invariant(spark):
+    docs = [(i, [f"t{i}_{j}" for j in range(1 + i % 7)]) for i in range(200)]
+    d = _df(spark, docs)
+    r1 = {
+        r["block_id"]: r["tokens"]
+        for r in pack_sequences(d.repartition(1), 16).collect()
+    }
+    r8 = {
+        r["block_id"]: r["tokens"]
+        for r in pack_sequences(d.repartition(8), 16).collect()
+    }
+    assert r1 == r8 == _py_pack(docs, 16)
+
+
+def test_pack_int_token_ids(spark):
+    """BPE-shaped input: integer token ids, eos id appended per doc."""
+    docs = [(1, [5, 6, 7]), (2, [8]), (3, [9, 10, 11, 12])]
+    got = {
+        r["block_id"]: r["tokens"]
+        for r in pack_sequences(_df(spark, docs, "int"), 4, eos=0).collect()
+    }
+    assert got == _py_pack(docs, 4, eos=0)
+    assert all(isinstance(t, int) for ts in got.values() for t in ts)
+
+
+def test_pack_rejects_bad_block_size(spark):
+    with pytest.raises(ValueError):
+        pack_sequences(_df(spark, DOCS), 0)

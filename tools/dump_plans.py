@@ -119,6 +119,14 @@ SECTIONS = [
         "non-ns0 pages never reach Python.",
     ),
     (
+        "pack_sequences",
+        "Sequence packing: per-partition cumsum windows (partitioned "
+        "by spark_partition_id — NEVER a global ordered window), "
+        "broadcast base-offset join, 2-3-row block-span explode per "
+        "doc (not per token), one block-keyed exchange carrying each "
+        "token exactly once.",
+    ),
+    (
         "link_graph",
         "Link extraction: regexp href scan + explode + parse_url all "
         "inside one codegen'd projection; the only exchange is the "
