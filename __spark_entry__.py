@@ -1861,6 +1861,74 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL corpus exercising every SURT/filter rule:
+    mixed schemes (incl. uppercase), www/www2 labels, default vs
+    nonstandard ports, empty paths, unsorted query params, fragments,
+    and banned-term paths."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id")
+    scheme = F.element_at(
+        F.array(F.lit("http://"), F.lit("https://"), F.lit("HTTP://")),
+        (i % 3 + 1).cast("int"),
+    )
+    www = (
+        F.when(i % 2 == 0, "www.").when(i % 5 == 0, "www2.").otherwise("")
+    )
+    host = F.concat(F.lit("d"), (i % 37).cast("string"), F.lit(".Example.ORG"))
+    port = F.when(i % 5 == 0, ":80").when(i % 5 == 1, ":8080").otherwise("")
+    path = (
+        F.when(i % 11 == 0, "")
+        .when(i % 13 == 0, F.concat(F.lit("/casino/Dir"), (i % 4).cast("string")))
+        .when(i % 17 == 0, F.concat(F.lit("/xxx/p"), (i % 4).cast("string")))
+        .otherwise(
+            F.concat(F.lit("/Dir"), (i % 4).cast("string"), F.lit("/page"))
+        )
+    )
+    query = F.when(
+        i % 2 == 0,
+        F.concat(F.lit("?b="), (i % 3).cast("string"), F.lit("&a=1")),
+    ).otherwise(F.lit(""))
+    frag = F.when(i % 7 == 0, "#Sec").otherwise("")
+    url = F.concat(scheme, www, host, port, path, query, frag)
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        (F.lit(1700000000) + i).cast("long").alias("warc_ts"),
+        "text",
+    )
+
+
+def q_surt_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index: SURT canonical key (scheme/fragment dropped,
+    www stripped, default ports stripped, host reversed comma-joined,
+    query params sorted) + warc_ts + url + text digest — all one
+    codegen'd projection; DuckDB replays the identical canonicalization
+    step by step."""
+    from aml_entity_resolution_assignment_spark.operators.urls import cdx_index
+
+    return cdx_index(_url_pages(spark, sf_dir))
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL filtering: broadcast host-blocklist join +
+    banned-term score over the URL string; emits flags (blocked_host,
+    n_banned, keep), drops nothing."""
+    from aml_entity_resolution_assignment_spark.operators.urls import url_filter
+
+    bl = spark.createDataFrame(
+        [("d0.example.org",), ("d5.example.org",), ("d7.example.org",)],
+        "host string",
+    )
+    out = url_filter(
+        _url_pages(spark, sf_dir),
+        block_hosts=bl,
+        banned_terms=["casino", "xxx"],
+        max_banned=0,
+    )
+    return out.select("doc_id", "blocked_host", "n_banned", "keep")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pretraining sequence packing: whitespace tokens + per-doc
     EOS, concatenated in doc_id order and cut into 256-token training
@@ -2442,6 +2510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "link_hits": q_link_hits,
         "pack_sequences": q_pack_sequences,
+        "surt_cdx": q_surt_cdx,
+        "url_filter": q_url_filter,
         "lm_score": q_lm_score,
         "tfidf": q_tfidf,
         # dedup / ANN
@@ -3442,6 +3512,86 @@ def oracle_sql() -> dict[str, str]:
     select cast(nset as bigint) as n_registers_set,
            round(estimate, 6) as estimate
     from est
+    """
+
+    # shared deterministic URL corpus (mirrors _url_pages)
+    _urls = """
+    select doc_id, text, (1700000000 + doc_id)::bigint as warc_ts,
+      (case doc_id % 3 when 0 then 'http://' when 1 then 'https://'
+            else 'HTTP://' end)
+      || (case when doc_id % 2 = 0 then 'www.'
+               when doc_id % 5 = 0 then 'www2.' else '' end)
+      || 'd' || (doc_id % 37) || '.Example.ORG'
+      || (case when doc_id % 5 = 0 then ':80'
+               when doc_id % 5 = 1 then ':8080' else '' end)
+      || (case when doc_id % 11 = 0 then ''
+               when doc_id % 13 = 0 then '/casino/Dir' || (doc_id % 4)
+               when doc_id % 17 = 0 then '/xxx/p' || (doc_id % 4)
+               else '/Dir' || (doc_id % 4) || '/page' end)
+      || (case when doc_id % 2 = 0 then '?b=' || (doc_id % 3) || '&a=1'
+               else '' end)
+      || (case when doc_id % 7 = 0 then '#Sec' else '' end) as url
+    from documents
+    """
+    sql["surt_cdx"] = f"""
+    with pages as materialized ({_urls}),
+    s1 as (
+      select warc_ts, url, text,
+             regexp_replace(regexp_replace(lower(trim(url)), '#.*$', ''),
+                            '^[a-z][a-z0-9+.-]*://', '') as rest
+      from pages
+    ),
+    s2 as (
+      select warc_ts, url, text, rest,
+             regexp_extract(rest, '^([^/?]+)', 1) as hostport,
+             substr(rest, length(regexp_extract(rest, '^([^/?]+)', 1)) + 1)
+               as tail
+      from s1
+    ),
+    s3 as (
+      select warc_ts, url, text, tail,
+             regexp_extract(hostport, ':([0-9]+)$', 1) as port,
+             regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                            '^www[0-9]*\\.', '') as host
+      from s2
+    ),
+    s4 as (
+      select warc_ts, url, text,
+             array_to_string(list_reverse(string_split(host, '.')), ',')
+             || (case when port <> '' and port not in ('80', '443')
+                      then ':' || port else '' end)
+             || ')'
+             || (case when regexp_extract(tail, '^([^?]*)', 1) = '' then '/'
+                      else regexp_extract(tail, '^([^?]*)', 1) end)
+             || (case when regexp_extract(tail, '\\?(.*)$', 1) <> ''
+                      then '?' || array_to_string(list_sort(string_split(
+                             regexp_extract(tail, '\\?(.*)$', 1), '&')), '&')
+                      else '' end) as surt
+      from s3
+    )
+    select surt, warc_ts, url, md5(text) as digest from s4
+    """
+
+    sql["url_filter"] = f"""
+    with pages as materialized ({_urls}),
+    f as (
+      select doc_id, lower(url) as u,
+             regexp_replace(
+               regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+               '^(www\\d?|m|mobile)\\.', '') as h
+      from pages
+    )
+    select doc_id,
+           h in ('d0.example.org', 'd5.example.org', 'd7.example.org')
+             as blocked_host,
+           ((case when contains(u, 'casino') then 1 else 0 end)
+            + (case when contains(u, 'xxx') then 1 else 0 end))::int
+             as n_banned,
+           (not (h in ('d0.example.org', 'd5.example.org', 'd7.example.org')))
+             and ((case when contains(u, 'casino') then 1 else 0 end)
+                  + (case when contains(u, 'xxx') then 1 else 0 end)) <= 0
+             as keep
+    from f
     """
 
     sql["pack_sequences"] = """

@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "link_graph",
     "pagerank",  # 10 fused-job power iterations over the host graph
     "pack_sequences",  # distributed prefix sum + one-pass block shuffle
+    "surt_cdx",
+    "url_filter",
     "events_window",
     "events_sessionize",
     "tpch_pricing",

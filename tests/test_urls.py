@@ -1,0 +1,108 @@
+"""SURT canonicalization, CDX indexing, URL filtering."""
+import pytest
+
+from pyspark.sql import functions as F
+
+from aml_entity_resolution_assignment_spark.operators.urls import (
+    cdx_index,
+    surt_key,
+    url_filter,
+)
+
+
+def _surt(spark, url):
+    return (
+        spark.createDataFrame([(url,)], "url string")
+        .select(surt_key("url").alias("s"))
+        .collect()[0]["s"]
+    )
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        # canonical reference shape: host reversed, scheme dropped
+        ("http://example.com/path", "com,example)/path"),
+        # www + default port stripped, case folded
+        ("HTTP://WWW.Example.COM:80/A/B", "com,example)/a/b"),
+        ("https://www2.example.com:443/", "com,example)/"),
+        # nonstandard port kept, after the reversed host
+        ("http://sub.example.org:8080/x", "org,example,sub:8080)/x"),
+        # query params sorted, fragment dropped
+        ("http://e.com/p?b=2&a=1#frag", "com,e)/p?a=1&b=2"),
+        # empty path -> '/', query survives
+        ("http://e.com?z=1&a=2", "com,e)/?a=2&z=1"),
+        # deep host reversal
+        ("http://a.b.c.d.com/", "com,d,c,b,a)/"),
+        # www5 is still a www label; m. is NOT (SURT strips www only)
+        ("http://www5.e.com/x", "com,e)/x"),
+        ("http://m.e.com/x", "com,e,m)/x"),
+    ],
+)
+def test_surt_key_pinned_vectors(spark, url, expected):
+    assert _surt(spark, url) == expected
+
+
+def test_cdx_index_sorted_and_digested(spark):
+    rows = [
+        ("http://b.com/2", 20, "beta"),
+        ("http://a.com/1", 10, "alpha"),
+        ("http://a.com/1", 5, "alpha-earlier"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long, text string")
+    out = cdx_index(df, sort=True)
+    got = [(r["surt"], r["warc_ts"]) for r in out.collect()]
+    assert got == [("com,a)/1", 5), ("com,a)/1", 10), ("com,b)/2", 20)]
+    digs = {r["warc_ts"]: r["digest"] for r in out.collect()}
+    assert len(set(digs.values())) == 3  # distinct text -> distinct digest
+
+
+URLS = [
+    (1, "http://www.bad.com/fine"),
+    (2, "https://good.com/casino/page"),
+    (3, "http://good.com/clean?q=1"),
+    (4, "http://good.com/xxx-casino"),  # two banned terms
+]
+
+
+def _pages(spark):
+    return spark.createDataFrame(URLS, "doc_id long, url string")
+
+
+def test_url_filter_list_blocklist(spark):
+    out = {
+        r["doc_id"]: (r["blocked_host"], r["n_banned"], r["keep"])
+        for r in url_filter(
+            _pages(spark), ["bad.com"], ["casino", "xxx"]
+        ).collect()
+    }
+    assert out == {
+        1: (True, 0, False),
+        2: (False, 1, False),
+        3: (False, 0, True),
+        4: (False, 2, False),
+    }
+
+
+def test_url_filter_dataframe_blocklist_matches_list(spark):
+    bl = spark.createDataFrame([("bad.com",)], "host string")
+    a = url_filter(_pages(spark), ["bad.com"], ["casino"]).collect()
+    b = url_filter(_pages(spark), bl, ["casino"]).collect()
+    key = lambda rows: {  # noqa: E731
+        r["doc_id"]: (r["blocked_host"], r["n_banned"], r["keep"]) for r in rows
+    }
+    assert key(a) == key(b)
+
+
+def test_url_filter_max_banned_threshold(spark):
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in url_filter(
+            _pages(spark), None, ["casino", "xxx"], max_banned=1
+        ).collect()
+    }
+    assert out == {1: True, 2: True, 3: True, 4: False}
+
+
+def test_url_filter_drops_nothing(spark):
+    assert url_filter(_pages(spark), ["bad.com"], ["casino"]).count() == len(URLS)
