@@ -1861,6 +1861,19 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword ranking (Lucene non-negative idf) for a
+    3-term query: the term filter sits below every aggregation so only
+    query-term postings shuffle; corpus stats are two scalar
+    aggregates. Full closed-form SQL twin."""
+    from aml_entity_resolution_assignment_spark.operators.search import (
+        bm25_scores,
+    )
+
+    out = bm25_scores(_docs(spark, sf_dir), ["spark", "join", "window"])
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic URL corpus exercising every SURT/filter rule:
     mixed schemes (incl. uppercase), www/www2 labels, default vs
@@ -2512,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "surt_cdx": q_surt_cdx,
         "url_filter": q_url_filter,
+        "bm25": q_bm25,
         "lm_score": q_lm_score,
         "tfidf": q_tfidf,
         # dedup / ANN
@@ -3512,6 +3526,37 @@ def oracle_sql() -> dict[str, str]:
     select cast(nset as bigint) as n_registers_set,
            round(estimate, 6) as estimate
     from est
+    """
+
+    sql["bm25"] = """
+    with d as materialized (
+      select doc_id, regexp_split_to_array(lower(text), '\\s+') as toks
+      from documents
+    ),
+    dd as materialized (
+      select doc_id, toks,
+             len(list_filter(toks, x -> x <> ''))::double as dl
+      from d
+    ),
+    stats as materialized (
+      select count(*)::double as n, avg(dl) as avgdl from dd
+    ),
+    hits as materialized (
+      select doc_id, dl, term, count(*)::double as tf
+      from (select doc_id, dl, unnest(toks) as term from dd)
+      where term in ('spark', 'join', 'window')
+      group by 1, 2, 3
+    ),
+    dfreq as materialized (
+      select term, count(distinct doc_id)::double as df from hits group by term
+    )
+    select h.doc_id,
+           round(sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                     * h.tf * (1.2 + 1.0)
+                     / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl))),
+                 6) as score
+    from hits h join dfreq f using (term) cross join stats s
+    group by h.doc_id
     """
 
     # shared deterministic URL corpus (mirrors _url_pages)

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "pack_sequences",  # distributed prefix sum + one-pass block shuffle
     "surt_cdx",
     "url_filter",
+    "bm25",
     "events_window",
     "events_sessionize",
     "tpch_pricing",
