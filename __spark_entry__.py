@@ -2057,6 +2057,22 @@ def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration synchronous label propagation (community detection,
+    min-label tie break — fully deterministic) over the extracted host
+    link graph; two vertex-keyed shuffles per round, eager checkpoint
+    per round; the oracle replays every round as chained CTEs with a
+    row_number arg-max."""
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        extract_links,
+        label_propagation,
+    )
+
+    edges = extract_links(_link_pages(spark, sf_dir))
+    out = label_propagation(edges, iterations=5)
+    return out.select("host", "label")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (backward, inclusive): each click event joined to the
     user's most recent prior view — the union/carry-forward merge form
@@ -2522,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
         "link_hits": q_link_hits,
+        "label_prop": q_label_prop,
         "pack_sequences": q_pack_sequences,
         "surt_cdx": q_surt_cdx,
         "url_filter": q_url_filter,
@@ -3759,6 +3776,36 @@ def oracle_sql() -> dict[str, str]:
     sql["pagerank"] = (
         f"with {_lg_graph}, {', '.join(_pr)}\n"
         "select v as host, round(rank, 6) as rank from r10"
+    )
+
+    _lp = [
+        """sym as materialized (
+      select src as u, dst as v from edges where src <> dst
+      union
+      select dst as u, src as v from edges where src <> dst
+    ),
+    l0 as materialized (select v, v as label from verts)"""
+    ]
+    for k in range(1, 6):
+        _lp.append(f"""n{k} as materialized (
+      select s.u as w, l.label as label, count(*) as cnt
+      from l{k-1} l join sym s on s.v = l.v group by 1, 2
+    ),
+    b{k} as materialized (
+      select w, label as new_label from (
+        select w, label,
+               row_number() over (partition by w
+                                  order by cnt desc, label asc) as rn
+        from n{k}
+      ) where rn = 1
+    ),
+    l{k} as materialized (
+      select l.v, coalesce(b.new_label, l.label) as label
+      from l{k-1} l left join b{k} b on b.w = l.v
+    )""")
+    sql["label_prop"] = (
+        f"with {_lg_graph}, {', '.join(_lp)}\n"
+        "select v as host, label from l5"
     )
 
     _ht = ["h0 as materialized (select v.v, 1.0/nn.n as auth, 1.0/nn.n as hub "

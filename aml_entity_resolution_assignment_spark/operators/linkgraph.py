@@ -164,6 +164,83 @@ def pagerank(
     return out
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    iterations: int = 5,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) — community
+    detection, complementing connected_components (which finds REACHABLE
+    sets, not dense groups).
+
+    Labels start as the vertex id; each iteration every vertex adopts
+    the most frequent label among its neighbors (graph treated as
+    undirected), ties broken by MIN label — fully deterministic for a
+    fixed iteration count, no random vertex order. Isolated vertices
+    keep their own label. Returns (host, label).
+
+    Per iteration: one symmetrized join + one (vertex, label) count
+    aggregation + one per-vertex arg-min/max aggregate — two shuffles,
+    both on vertex keys; synchronized updates via eager localCheckpoint
+    so each round is one job, mirroring pagerank's shape. Synchronous
+    LPA can 2-cycle on bipartite structures; a fixed iteration budget
+    (the standard Spark/GraphX contract) makes that a documented
+    determinism, not an infinite loop.
+    """
+    # distinct column names per table: localCheckpoint keeps expression
+    # ids, so reusing "u" across labels and sym would make each round's
+    # self-join ambiguous
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).where(
+        F.col("s") != F.col("t")
+    ).distinct()
+    sym = (
+        e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+        .persist()
+    )
+    verts = (
+        edges.select(F.col(src).alias("u"))
+        .union(edges.select(F.col(dst).alias("u")))
+        .distinct()
+    )
+
+    labels = verts.select("u", F.col("u").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        neigh = (
+            labels.join(sym, labels["u"] == sym["t"])
+            .groupBy(F.col("s").alias("w"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # arg-max by (cnt desc, label asc) as ONE aggregate: min of the
+        # (negated count, label) struct — struct ordering is
+        # lexicographic, so this is exactly max-count-then-min-label
+        best = (
+            neigh.groupBy("w")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg"), F.col("label").alias("l")
+                    )
+                ).alias("b")
+            )
+            .select(F.col("w").alias("u"), F.col("b.l").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "u", "left")
+            .select(
+                "u",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = labels.select(F.col("u").alias("host"), "label")
+    sym.unpersist()
+    return out
+
+
 def hits(
     edges: DataFrame,
     src: str = "src_host",

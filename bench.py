@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "range_join",
     "link_graph",
     "pagerank",  # 10 fused-job power iterations over the host graph
+    "label_prop",  # 5-round community detection, two shuffles per round
     "pack_sequences",  # distributed prefix sum + one-pass block shuffle
     "surt_cdx",
     "url_filter",

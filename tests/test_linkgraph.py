@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from aml_entity_resolution_assignment_spark.operators.linkgraph import (
     extract_links,
     hits,
+    label_propagation,
     pagerank,
 )
 
@@ -149,6 +150,69 @@ def test_hits_sink_and_source_scores(spark):
     }
     assert got["f"][1] == 0.0  # no out-edges -> hub 0
     assert got["d"][0] == 0.0  # no in-edges -> auth 0
+
+
+def _py_lpa(edges, iters):
+    from collections import Counter
+
+    sym = {}
+    verts = set()
+    for s, t in edges:
+        verts.add(s)
+        verts.add(t)
+        if s != t:
+            sym.setdefault(s, set()).add(t)
+            sym.setdefault(t, set()).add(s)
+    labels = {v: v for v in verts}
+    for _ in range(iters):
+        nxt = {}
+        for v in verts:
+            nbrs = sym.get(v)
+            if not nbrs:
+                nxt[v] = labels[v]
+                continue
+            counts = Counter(labels[x] for x in nbrs)
+            top = max(counts.values())
+            nxt[v] = min(l for l, c in counts.items() if c == top)
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_python(spark):
+    # two dense triangles joined by one bridge edge + an isolate (self-loop)
+    g = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("c", "x"),
+        ("solo", "solo"),
+    ]
+    for iters in (1, 3, 5):
+        expected = _py_lpa(g, iters)
+        got = {
+            r["host"]: r["label"]
+            for r in label_propagation(
+                _edge_df(spark, g), iterations=iters
+            ).collect()
+        }
+        assert got == expected, iters
+    # communities: the two triangles converge to internal labels and
+    # the isolate keeps its own
+    final = _py_lpa(g, 5)
+    assert final["solo"] == "solo"
+    assert len({final["a"], final["b"], final["c"]}) == 1
+
+
+def test_label_propagation_partitioning_invariant(spark):
+    e = _edge_df(spark, GRAPH)
+    r1 = {
+        r["host"]: r["label"]
+        for r in label_propagation(e.repartition(1), iterations=4).collect()
+    }
+    r8 = {
+        r["host"]: r["label"]
+        for r in label_propagation(e.repartition(8), iterations=4).collect()
+    }
+    assert r1 == r8
 
 
 def test_pagerank_on_extracted_generator_links(spark):
