@@ -1861,6 +1861,46 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt compliance: parse per-host robots captures
+    (lag-window record grouping, consecutive User-agent lines share a
+    group, multi-group agents combine) then flag every page for agent
+    'trainbot' — exact-agent group overrides *, longest prefix wins,
+    Allow wins length ties. All string/window expressions, no UDF; the
+    DuckDB twin replays parse and match step by step."""
+    from aml_entity_resolution_assignment_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+    )
+
+    hosts = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 37).alias("hid")
+    ).distinct()
+    nl = "\n"
+    base = (
+        "# test" + nl + "User-agent: *" + nl + "Disallow: /casino" + nl
+        + "Allow: /casino/Dir2" + nl
+    )
+    g_even = (
+        "User-agent: trainbot" + nl + "User-agent: otherbot" + nl
+        + "Disallow: /Dir1" + nl + "Allow: /Dir1/page" + nl
+    )
+    g_three = "User-agent: trainbot" + nl + "Disallow: /xxx" + nl
+    robots = hosts.select(
+        F.concat(
+            F.lit("d"), F.col("hid").cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.concat(
+            F.lit(base),
+            F.when(F.col("hid") % 2 == 0, g_even).otherwise(""),
+            F.when(F.col("hid") % 3 == 0, g_three).otherwise(""),
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots(robots)
+    out = robots_filter(_url_pages(spark, sf_dir), rules, agent="trainbot")
+    return out.select("doc_id", "allowed")
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 keyword ranking (Lucene non-negative idf) for a
     3-term query: the term filter sits below every aggregation so only
@@ -2542,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "surt_cdx": q_surt_cdx,
         "url_filter": q_url_filter,
+        "robots": q_robots,
         "bm25": q_bm25,
         "lm_score": q_lm_score,
         "tfidf": q_tfidf,
@@ -3545,6 +3586,115 @@ def oracle_sql() -> dict[str, str]:
     from est
     """
 
+    # shared deterministic URL corpus (mirrors _url_pages)
+    _urls = """
+    select doc_id, text, (1700000000 + doc_id)::bigint as warc_ts,
+      (case doc_id % 3 when 0 then 'http://' when 1 then 'https://'
+            else 'HTTP://' end)
+      || (case when doc_id % 2 = 0 then 'www.'
+               when doc_id % 5 = 0 then 'www2.' else '' end)
+      || 'd' || (doc_id % 37) || '.Example.ORG'
+      || (case when doc_id % 5 = 0 then ':80'
+               when doc_id % 5 = 1 then ':8080' else '' end)
+      || (case when doc_id % 11 = 0 then ''
+               when doc_id % 13 = 0 then '/casino/Dir' || (doc_id % 4)
+               when doc_id % 17 = 0 then '/xxx/p' || (doc_id % 4)
+               else '/Dir' || (doc_id % 4) || '/page' end)
+      || (case when doc_id % 2 = 0 then '?b=' || (doc_id % 3) || '&a=1'
+               else '' end)
+      || (case when doc_id % 7 = 0 then '#Sec' else '' end) as url
+    from documents
+    """
+    sql["robots"] = """
+    with pages as materialized ({urls}),
+    hosts as materialized (select distinct (doc_id % 37) as hid from documents),
+    robots as materialized (
+      select 'd' || hid || '.example.org' as host,
+             '# test' || chr(10) || 'User-agent: *' || chr(10)
+             || 'Disallow: /casino' || chr(10)
+             || 'Allow: /casino/Dir2' || chr(10)
+             || (case when hid % 2 = 0 then
+                   'User-agent: trainbot' || chr(10)
+                   || 'User-agent: otherbot' || chr(10)
+                   || 'Disallow: /Dir1' || chr(10)
+                   || 'Allow: /Dir1/page' || chr(10) else '' end)
+             || (case when hid % 3 = 0 then
+                   'User-agent: trainbot' || chr(10)
+                   || 'Disallow: /xxx' || chr(10) else '' end) as txt
+      from hosts
+    ),
+    lin as materialized (
+      select host, pos,
+             trim(regexp_replace(string_split(txt, chr(10))[pos], '#.*$', ''))
+               as clean
+      from robots,
+           unnest(generate_series(1, len(string_split(txt, chr(10)))))
+             as g(pos)
+    ),
+    kv as materialized (
+      select host, pos,
+             lower(trim(split_part(clean, ':', 1))) as key,
+             trim(substr(clean, length(split_part(clean, ':', 1)) + 2)) as val
+      from lin
+    ),
+    kv2 as materialized (
+      select *, key = 'user-agent' as is_ua,
+             coalesce(lag(key = 'user-agent')
+                      over (partition by host order by pos), false) as prev_ua
+      from kv
+    ),
+    kv3 as materialized (
+      select *, sum(case when is_ua and not prev_ua then 1 else 0 end)
+                over (partition by host order by pos
+                      rows unbounded preceding) as rec
+      from kv2
+    ),
+    agents as materialized (
+      select host, rec, lower(val) as agent from kv3
+      where is_ua and val <> ''
+    ),
+    rul as materialized (
+      select host, rec, key = 'allow' as allow, val as prefix
+      from kv3 where key in ('allow', 'disallow') and val <> ''
+    ),
+    rules as materialized (
+      select a.host, a.agent, r.allow, r.prefix
+      from agents a join rul r using (host, rec)
+    ),
+    exact as materialized (select * from rules where agent = 'trainbot'),
+    applicable as materialized (
+      select host, allow, prefix from exact
+      union all
+      select host, allow, prefix from rules
+      where agent = '*' and host not in (select host from exact)
+    ),
+    pg as materialized (
+      select doc_id,
+             regexp_replace(
+               regexp_extract(lower(url),
+                 '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+               '^(www\\d?|m|mobile)\\.', '') as host,
+             case when regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+                  then '/'
+                  else regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) end
+               as path
+      from pages
+    ),
+    cand as materialized (
+      select pg.doc_id, a.allow,
+             row_number() over (partition by pg.doc_id
+                                order by length(a.prefix) desc,
+                                         a.allow desc) as rn
+      from pg join applicable a
+        on a.host = pg.host and starts_with(pg.path, a.prefix)
+    )
+    select pg.doc_id, coalesce(c.allow, true) as allowed
+    from pg left join (select doc_id, allow from cand where rn = 1) c
+      using (doc_id)
+    """.format(urls=_urls)
+
     sql["bm25"] = """
     with d as materialized (
       select doc_id, regexp_split_to_array(lower(text), '\\s+') as toks
@@ -3576,25 +3726,6 @@ def oracle_sql() -> dict[str, str]:
     group by h.doc_id
     """
 
-    # shared deterministic URL corpus (mirrors _url_pages)
-    _urls = """
-    select doc_id, text, (1700000000 + doc_id)::bigint as warc_ts,
-      (case doc_id % 3 when 0 then 'http://' when 1 then 'https://'
-            else 'HTTP://' end)
-      || (case when doc_id % 2 = 0 then 'www.'
-               when doc_id % 5 = 0 then 'www2.' else '' end)
-      || 'd' || (doc_id % 37) || '.Example.ORG'
-      || (case when doc_id % 5 = 0 then ':80'
-               when doc_id % 5 = 1 then ':8080' else '' end)
-      || (case when doc_id % 11 = 0 then ''
-               when doc_id % 13 = 0 then '/casino/Dir' || (doc_id % 4)
-               when doc_id % 17 = 0 then '/xxx/p' || (doc_id % 4)
-               else '/Dir' || (doc_id % 4) || '/page' end)
-      || (case when doc_id % 2 = 0 then '?b=' || (doc_id % 3) || '&a=1'
-               else '' end)
-      || (case when doc_id % 7 = 0 then '#Sec' else '' end) as url
-    from documents
-    """
     sql["surt_cdx"] = f"""
     with pages as materialized ({_urls}),
     s1 as (

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "pack_sequences",  # distributed prefix sum + one-pass block shuffle
     "surt_cdx",
     "url_filter",
+    "robots",
     "bm25",
     "events_window",
     "events_sessionize",
