@@ -1861,6 +1861,22 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch (<=64 rows
+    regardless of input size, merge = union+sum) over doc lengths,
+    probed at p10/p50/p90/p99 with closed-form linear interpolation —
+    deterministic, unlike approx_percentile's engine-internal GK
+    sketch; the DuckDB twin recomputes the identical estimate."""
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    sk = histogram_sketch(_docs(spark, sf_dir), "n_chars", 0.0, 640.0, 64)
+    out = histogram_quantiles(sk, [0.1, 0.5, 0.9, 0.99], 0.0, 640.0, 64)
+    return out.select("q", F.round("value", 6).alias("value"))
+
+
 def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots.txt compliance: parse per-host robots captures
     (lag-window record grouping, consecutive User-agent lines share a
@@ -2575,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "hll_distinct": q_hll_distinct,
         "cm_token_counts": q_cm_token_counts,
+        "hist_quantiles": q_hist_quantiles,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
         "link_hits": q_link_hits,
@@ -3584,6 +3601,30 @@ def oracle_sql() -> dict[str, str]:
     select cast(nset as bigint) as n_registers_set,
            round(estimate, 6) as estimate
     from est
+    """
+
+    sql["hist_quantiles"] = """
+    with h as materialized (
+      select greatest(0, least(63,
+               floor((n_chars::double - 0.0) / 10.0)))::int as bucket,
+             count(*)::bigint as cnt
+      from documents where n_chars is not null
+      group by 1
+    ),
+    c as materialized (
+      select bucket, cnt,
+             sum(cnt) over (order by bucket rows unbounded preceding) as cum,
+             sum(cnt) over () as n
+      from h
+    ),
+    c2 as materialized (select *, cum - cnt as cum_before from c),
+    qs(q) as (values (0.1), (0.5), (0.9), (0.99))
+    select q,
+           round(0.0 + 10.0 * (bucket
+                 + (greatest(ceil(q * n), 1) - cum_before) / cnt), 6) as value
+    from qs join c2
+      on greatest(ceil(q * n), 1) > cum_before
+     and greatest(ceil(q * n), 1) <= cum
     """
 
     # shared deterministic URL corpus (mirrors _url_pages)

@@ -159,3 +159,75 @@ def cm_estimate(
     return joined.groupBy("item").agg(
         F.min(F.coalesce("cnt", F.lit(0))).alias("estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def histogram_sketch(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int = 256
+) -> DataFrame:
+    """(bucket int, cnt long) equi-width histogram over [lo, hi] —
+    the quantile primitive of segment-level stats rollups (doc length,
+    quality score, token count distributions). At most `bins` rows
+    regardless of input size; MERGE sketches from partitions/days/
+    tables with unionByName + groupBy(bucket).sum(cnt). Values outside
+    [lo, hi] clamp into the edge buckets (bucket 0 / bins-1), so the
+    sketch never drops rows. Deterministic — no sampling, unlike
+    approx_percentile whose GK sketch is engine-internal and
+    merge-order-dependent."""
+    if bins <= 0 or not hi > lo:
+        raise ValueError("need bins > 0 and hi > lo")
+    width = (hi - lo) / bins
+    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """(q double, value double) quantile estimates from a histogram
+    sketch: target rank = ceil(q * N) clamped to >= 1; the answer is a
+    linear interpolation inside the first bucket whose cumulative
+    count reaches the target — value = lo + width * (bucket +
+    (target - cum_before) / cnt). Exact same closed form as the SQL
+    twin; max error = one bucket width. The sketch is <= `bins` rows,
+    so the cumulative window and the per-q probe join are
+    driver-trivial yet stay DataFrame-shaped (mergeable upstream)."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / bins
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    )
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    probe = F.broadcast(qdf).join(
+        cum,
+        (F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1)) > F.col("cum_before"))
+        & (F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1)) <= F.col("cum")),
+    )
+    target = F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))
+    value = (
+        F.lit(lo)
+        + F.lit(width)
+        * (
+            F.col("bucket")
+            + (target - F.col("cum_before")) / F.col("cnt")
+        )
+    )
+    return probe.select("q", value.alias("value"))

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "url_filter",
     "robots",
     "bm25",
+    "hist_quantiles",
     "events_window",
     "events_sessionize",
     "tpch_pricing",

@@ -87,3 +87,62 @@ def test_cm_absent_item_estimates_bounded(spark):
     est = {r["item"]: r["estimate"] for r in cm_estimate(sk, ghosts, "v").collect()}
     # min over rows caps the collision overcount well below N
     assert all(v <= 1000 * 0.05 for v in est.values()), est
+
+
+def test_histogram_quantiles_vs_numpy(spark):
+    import numpy as np
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.gamma(4.0, 25.0, 5000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    sk = histogram_sketch(df, "x", 0.0, 400.0, bins=400)
+    got = {
+        r["q"]: r["value"]
+        for r in histogram_quantiles(sk, [0.1, 0.5, 0.9], 0.0, 400.0, 400).collect()
+    }
+    for q in (0.1, 0.5, 0.9):
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) <= 2.0, (q, got[q], exact)  # ~2 bucket widths
+
+
+def test_histogram_sketch_bounded_merge_and_clamp(spark):
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 500).select(F.col("id").cast("double").alias("x"))
+    b = spark.range(500, 1000).select(F.col("id").cast("double").alias("x"))
+    whole = histogram_sketch(a.union(b), "x", 0.0, 1000.0, bins=100)
+    merged = (
+        histogram_sketch(a, "x", 0.0, 1000.0, bins=100)
+        .unionByName(histogram_sketch(b, "x", 0.0, 1000.0, bins=100))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    key = lambda df: {r["bucket"]: r["cnt"] for r in df.collect()}  # noqa: E731
+    assert key(whole) == key(merged)
+    assert whole.count() <= 100
+    # out-of-range values clamp into edge buckets, never dropped
+    c = spark.createDataFrame([(-50.0,), (5000.0,)], "x double")
+    got = key(histogram_sketch(c, "x", 0.0, 1000.0, bins=100))
+    assert got == {0: 1, 99: 1}
+    # quantiles from the merged sketch match the whole-data sketch
+    qa = histogram_quantiles(whole, [0.25, 0.75], 0.0, 1000.0, 100).collect()
+    qb = histogram_quantiles(merged, [0.25, 0.75], 0.0, 1000.0, 100).collect()
+    assert {(r["q"], r["value"]) for r in qa} == {(r["q"], r["value"]) for r in qb}
+
+
+def test_histogram_rejects_bad_params(spark):
+    import pytest as _pytest
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        histogram_sketch,
+    )
+
+    with _pytest.raises(ValueError):
+        histogram_sketch(spark.range(3).selectExpr("cast(id as double) x"), "x", 5.0, 5.0)
