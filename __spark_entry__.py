@@ -1861,6 +1861,64 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata extraction: typed fields out of Common-Crawl WAT
+    JSON envelopes via JVM-side json-path (no UDF, no full-schema
+    from_json); non-HTML records (no Links/Title) yield NULL/0. The
+    DuckDB twin extracts the same paths from semantically identical
+    envelopes."""
+    from aml_entity_resolution_assignment_spark.sources.wat import parse_wat
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    links = F.when(
+        i % 4 == 0, F.lit("[]")
+    ).otherwise(
+        F.concat(
+            F.lit("["),
+            F.concat_ws(
+                ",",
+                F.array_repeat(F.lit('{"url":"/l"}'), (i % 4).cast("int")),
+            ),
+            F.lit("]"),
+        )
+    )
+    html_meta = F.when(
+        i % 10 == 0, F.lit("")  # non-HTML response: no HTML-Metadata
+    ).otherwise(
+        F.concat(
+            F.lit(',"HTML-Metadata":{"Head":{"Title":"Doc '),
+            i.cast("string"),
+            F.lit('"},"Links":'),
+            links,
+            F.lit("}"),
+        )
+    )
+    wat = F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":'
+              '"http://d'),
+        (i % 37).cast("string"),
+        F.lit(".example.org/doc/"),
+        i.cast("string"),
+        F.lit('","Content-Length":"'),
+        F.col("n_chars").cast("string"),
+        F.lit('"},"Payload-Metadata":{"HTTP-Response-Metadata":'
+              '{"Response-Message":{"Status":"'),
+        F.when(i % 10 == 0, "404").otherwise("200"),
+        F.lit('"}'),
+        html_meta,
+        F.lit("}}}}"),
+    )
+    out = parse_wat(d.select(wat.alias("wat")))
+    return out.select(
+        "uri",
+        "content_length",
+        "status",
+        "title",
+        F.col("n_links").cast("long"),
+    )
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equi-width histogram quantile sketch (<=64 rows
     regardless of input size, merge = union+sum) over doc lengths,
@@ -2582,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "bz2_lines": q_bz2_lines,
         "wiki_pages": q_wiki_pages,
+        "wat_extract": q_wat_extract,
         # analytics / joins / sketches
         "tpch_pricing": q_tpch_pricing,
         "tpch_join_agg": q_tpch_join_agg,
@@ -3601,6 +3660,45 @@ def oracle_sql() -> dict[str, str]:
     select cast(nset as bigint) as n_registers_set,
            round(estimate, 6) as estimate
     from est
+    """
+
+    sql["wat_extract"] = """
+    with w as materialized (
+      select
+        '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"http://d'
+        || (doc_id % 37) || '.example.org/doc/' || doc_id
+        || '","Content-Length":"' || n_chars
+        || '"},"Payload-Metadata":{"HTTP-Response-Metadata":'
+        || '{"Response-Message":{"Status":"'
+        || (case when doc_id % 10 = 0 then '404' else '200' end) || '"}'
+        || (case when doc_id % 10 = 0 then ''
+             else ',"HTML-Metadata":{"Head":{"Title":"Doc ' || doc_id
+                  || '"},"Links":'
+                  || (case when doc_id % 4 = 0 then '[]'
+                      else '[' || array_to_string(
+                             list_transform(range(doc_id % 4),
+                                            x -> '{"url":"/l"}'), ',')
+                           || ']' end)
+                  || '}' end)
+        || '}}}}' as wat
+      from documents
+    )
+    select
+      json_extract_string(wat,
+        '$.Envelope."WARC-Header-Metadata"."WARC-Target-URI"') as uri,
+      json_extract_string(wat,
+        '$.Envelope."WARC-Header-Metadata"."Content-Length"')::bigint
+        as content_length,
+      json_extract_string(wat,
+        '$.Envelope."Payload-Metadata"."HTTP-Response-Metadata"."Response-Message".Status')::int
+        as status,
+      json_extract_string(wat,
+        '$.Envelope."Payload-Metadata"."HTTP-Response-Metadata"."HTML-Metadata".Head.Title')
+        as title,
+      coalesce(json_array_length(wat,
+        '$.Envelope."Payload-Metadata"."HTTP-Response-Metadata"."HTML-Metadata".Links'),
+        0)::bigint as n_links
+    from w
     """
 
     sql["hist_quantiles"] = """

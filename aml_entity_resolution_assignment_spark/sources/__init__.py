@@ -1,1 +1,1 @@
-from . import bz2_dump, generator, io, warc, wiki  # noqa: F401
+from . import bz2_dump, generator, io, warc, wat, wiki  # noqa: F401

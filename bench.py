@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "bz2_lines",  # splittable bzip2 dump ingestion
     "wiki_pages",  # MediaWiki dump -> plain training text
+    "wat_extract",  # WAT JSON metadata, JVM-side json-path
 ]
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "8000"))
 # scaling evidence needs a compute-dominated run: big enough that the
