@@ -119,6 +119,26 @@ SECTIONS = [
         "non-ns0 pages never reach Python.",
     ),
     (
+        "bm25",
+        "BM25 keyword ranking: the query-term isin() filter sits "
+        "BELOW the tf aggregation (only query-term postings shuffle); "
+        "dl/avgdl ride the row, idf is a literal map — one "
+        "HashAggregate pair per stage, no UDF.",
+    ),
+    (
+        "robots",
+        "robots.txt compliance: parse is string splits + two window "
+        "passes; the filter is one host-keyed join + one per-page "
+        "window over matching prefixes. Rules tables are hosts-sized; "
+        "no UDF anywhere.",
+    ),
+    (
+        "wat_extract",
+        "WAT metadata: get_json_object / json_array_length evaluate "
+        "inside WholeStageCodegen — a pure projection, no shuffle, no "
+        "UDF, payload bytes never read.",
+    ),
+    (
         "pack_sequences",
         "Sequence packing: per-partition cumsum windows (partitioned "
         "by spark_partition_id — NEVER a global ordered window), "
