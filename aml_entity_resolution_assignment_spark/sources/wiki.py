@@ -76,12 +76,22 @@ def _pages_for_split(
 
     def _need_more(b: bytes) -> bool:
         """More bytes required? — an owned opener lacks its closer, or
-        the owned region's tail could be a cut-off opener."""
+        the buffer is still too short to rule out an opener whose `<`
+        is owned but whose tail crosses owned_end."""
         pos = 0
         while True:
             o = b.find(_OPEN, pos)
             if o < 0 or o >= owned_end:
-                # no further owned opener; is the tail an opener prefix?
+                # No (further) owned opener found. A straddling opener
+                # (starts before owned_end, completes after) is found
+                # by find() itself once its bytes are present, so the
+                # tail-prefix probe only applies while the buffer is
+                # too short to disambiguate — otherwise a boundary that
+                # cuts ANY tag after its `<` (e.g. `<title>` split as
+                # `...<` | `title>...`) would look like an opener
+                # prefix forever and carry blocks until the limit.
+                if len(b) >= owned_end + len(_OPEN) - 1:
+                    return False
                 tail = b[max(0, owned_end - (len(_OPEN) - 1)) : owned_end]
                 for k in range(1, min(len(_OPEN), len(tail) + 1)):
                     if tail[-k:] == _OPEN[:k]:

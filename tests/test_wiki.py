@@ -124,6 +124,82 @@ def test_pages_exactly_once_sweep(tmp_path):
         assert got[5][6] == pages[5][2]
 
 
+def test_boundary_cut_tag_bounded_carry(tmp_path):
+    """A block boundary that cuts a NON-page tag right after its `<`
+    (here `<title>` split as `...<` | `title>...`) must not be mistaken
+    for a cut-off `<page>` opener: the pre-fix code re-probed the same
+    owned tail forever and carried blocks until _MAX_CARRY_BLOCKS blew
+    up (the round-5 bench failure at sf0.1). One extra block fully
+    disambiguates the prefix."""
+    import os
+
+    pages = _many_pages(300)
+    xml = (
+        _SITE
+        + "".join(_page_xml(*p[:2], p[2]) for p in pages)
+        + "</mediawiki>\n"
+    ).encode()
+    # first chunk ends with the bare `<` of a <title> tag deep enough
+    # that the cut is a real block boundary, then >64 tiny blocks follow
+    # (the old probe only raised when the limit was hit BEFORE EOF)
+    cut = xml.index(b"<title>", 4_000) + 1
+    chunks = [xml[:cut]] + [
+        xml[i : i + 300] for i in range(cut, len(xml), 300)
+    ]
+    assert len(chunks) > 70  # enough trailing blocks to trip the limit
+    streams = [bz2.compress(c, 1) for c in chunks]
+    blob = b"".join(streams)
+    path = tmp_path / "cutwiki.xml.bz2"
+    path.write_bytes(blob)
+    fsize = os.path.getsize(str(path))
+    # exact geometry: the task owning ONLY block 0 ends at the `...<`
+    # tail — bounded carry (last owned page's closer + 1 block), not a
+    # file-wide crawl / carry-limit ValueError
+    rows0 = W._pages_for_split(str(path), fsize, 0, len(streams[0]))
+    assert [r[1] for r in rows0] == sorted(r[1] for r in rows0)
+    # sweep splits: every page exactly once, no carry-limit ValueError
+    for split in [1 << 10, 1 << 12, fsize + 1]:
+        got = []
+        start = 0
+        while start < fsize:
+            end = min(start + split, fsize)
+            got.extend(W._pages_for_split(str(path), fsize, start, end))
+            start = end
+        got.sort(key=lambda r: r[1])
+        assert [r[1] for r in got] == [p[0] for p in pages], f"split={split}"
+
+
+def test_boundary_cut_page_opener_owned(tmp_path):
+    """A genuine `<page>` opener straddling a block boundary (cut as
+    `...<pa` | `ge>...`) belongs to the task owning the `<` byte and is
+    parsed exactly once."""
+    import os
+
+    pages = _many_pages(30)
+    xml = (
+        _SITE
+        + "".join(_page_xml(*p[:2], p[2]) for p in pages)
+        + "</mediawiki>\n"
+    ).encode()
+    cut = xml.index(b"<page>", 2_000) + 3  # mid-opener
+    chunks = [xml[:cut]] + [
+        xml[i : i + 900] for i in range(cut, len(xml), 900)
+    ]
+    blob = b"".join(bz2.compress(c, 1) for c in chunks)
+    path = tmp_path / "straddle.xml.bz2"
+    path.write_bytes(blob)
+    fsize = os.path.getsize(str(path))
+    for split in [1 << 10, 1 << 13, fsize + 1]:
+        got = []
+        start = 0
+        while start < fsize:
+            end = min(start + split, fsize)
+            got.extend(W._pages_for_split(str(path), fsize, start, end))
+            start = end
+        got.sort(key=lambda r: r[1])
+        assert [r[1] for r in got] == [p[0] for p in pages], f"split={split}"
+
+
 def test_dump_fields_and_redirect(tmp_path, spark):
     pages = [
         (1, "Alpha", "'''Alpha''' is first. {{stub}}"),
