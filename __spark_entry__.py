@@ -2618,6 +2618,133 @@ def q_wiki_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8x9 grayscale PGM per document from its first 72 ASCII bytes —
+    the dHash geometry (HASH_H x HASH_W+1), so resize is identity and
+    every gradient bit is a pure function of two text bytes."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _to_pgm(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:72]
+            out.append(b"P5\n9 8\n255\n" + raw)
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    pgm = F.pandas_udf(_to_pgm, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 72)
+    return d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        pgm(F.col("text")).alias("payload"),
+        F.lit("image/x-pgm").alias("mime"),
+        F.lit(9).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash END-TO-END with a hard oracle: real netpbm
+    decode + gradient hash (operators/imagehash.py) over 8x9 PGMs built
+    from each document's first 72 ASCII bytes; the SQL twin recomputes
+    all 64 gradient bits with ord(substr(...)) and folds the row-major
+    MSB-first packing (bit 63 lands via two's complement)."""
+    from aml_entity_resolution_assignment_spark.operators.imagehash import (
+        dhash_images,
+    )
+
+    return dhash_images(_doc_media(spark, sf_dir)).select(
+        F.col("media_id").cast("long").alias("doc_id"), "dhash"
+    )
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming image near-dup END-TO-END: dHash + 8x8-bit band
+    equi-join + bit_count verify at max_hamming=6 — EXACT by pigeonhole
+    (<= bands-1), so the oracle is the brute-force Hamming filter over
+    the same SQL-recomputed hashes."""
+    from aml_entity_resolution_assignment_spark.operators.imagehash import (
+        image_neardup,
+    )
+
+    pairs = image_neardup(_doc_media(spark, sf_dir), max_hamming=6, bands=8)
+    a = F.col("media_a").cast("long")
+    b = F.col("media_b").cast("long")
+    return pairs.select(
+        F.least(a, b).alias("doc_a"),
+        F.greatest(a, b).alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF build -> splice -> parse END-TO-END with a hard oracle: a
+    real baseline JPEG (one constant-gray 16x16 frame, encoded once and
+    reused) gets an APP1/Exif segment (functions/exif.py) whose fields
+    are deterministic functions of the document row; exif_metadata
+    (operators/multimodal.py) parses them back through the full marker
+    scan + IFD walk, and the SQL twin recomputes every field directly
+    from the documents table."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.exif import (
+        build_exif_app1,
+        insert_app1,
+    )
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        exif_metadata,
+    )
+
+    def _to_jpeg(doc_ids, sources):
+        import numpy as np
+
+        from aml_entity_resolution_assignment_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+
+        base = encode_jpeg_gray(np.full((16, 16), 128, np.uint8))
+        out = []
+        for did, src in zip(doc_ids, sources):
+            did = int(did)
+            app1 = build_exif_app1(
+                make=f"cam-{src}",
+                model=f"M{did % 5}",
+                orientation=did % 8 + 1,
+                datetime_str=f"2024:06:{did % 28 + 1:02d} 00:00:00",
+                exposure=(1, 50 + did % 20),
+                iso=100 * (1 + did % 4),
+                pixel_x=16,
+                pixel_y=16,
+            )
+            out.append(insert_app1(base, app1))
+        return pd.Series(out, index=doc_ids.index, dtype="object")
+
+    jpeg_udf = F.pandas_udf(_to_jpeg, BinaryType())
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        jpeg_udf(F.col("doc_id"), F.col("source")).alias("payload"),
+        F.lit("image/jpeg").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return exif_metadata(media).select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "make",
+        "model",
+        F.col("orientation").cast("long").alias("orientation"),
+        "exif_datetime",
+        F.col("exposure_den").cast("long").alias("exposure_den"),
+        F.col("iso").cast("long").alias("iso"),
+        F.col("pixel_x").cast("long").alias("pixel_x"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 entries, ordered CHEAP-FIRST (the driver snapshots in dict
     # order under a per-round budget — round 4 cut off at 50 with the
@@ -2667,6 +2794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "line_dedup": q_line_dedup,
         "dedup_ngram": q_dedup_ngram,
+        "image_dhash": q_image_dhash,
+        "image_neardup": q_image_neardup,
         "topk_ranking": q_topk_ranking,
         "ann_rank": q_ann_rank,
         "ann_lsh": q_ann_lsh,
@@ -2691,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "resolve_best_match": q_resolve,
         # multimodal (heaviest per-row work — last)
+        "exif_extract": q_exif_extract,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_image": q_multimodal_image,
         "multimodal_av": q_multimodal_av,
@@ -4616,6 +4746,57 @@ def oracle_sql() -> dict[str, str]:
            || text || ' is about ' || lang || '.' || chr(10)
            || 'See also' || chr(10)
            || '* ext' || doc_id as plain_text
+    from documents
+    """
+
+    # dHash: image row r = text bytes [r*9, r*9+8], bit (r,c) set iff
+    # px[r,c] > px[r,c+1], packed row-major MSB-first ((0,0) = bit 63,
+    # which lands in a signed BIGINT as two's complement)
+    _dhash_cte = """
+    pos as (
+      select r, c, (r * 9 + c + 1) as p, (63 - (r * 8 + c)) as bitpos
+      from (select unnest(generate_series(0, 7)) as r),
+           (select unnest(generate_series(0, 7)) as c)
+    ),
+    bits as (
+      select d.doc_id, pos.bitpos,
+        case when ord(substr(d.text, pos.p, 1))
+                  > ord(substr(d.text, pos.p + 1, 1))
+             then 1 else 0 end as bit
+      from documents d, pos
+      where d.n_chars >= 72
+    ),
+    dh as (
+      select doc_id,
+        sum(case when bit = 0 then 0
+                 when bitpos = 63 then -9223372036854775808
+                 else (1::BIGINT << bitpos) end)::BIGINT as dhash
+      from bits group by doc_id
+    )
+    """
+    sql["image_dhash"] = f"""
+    with {_dhash_cte}
+    select doc_id, dhash from dh
+    """
+
+    sql["image_neardup"] = f"""
+    with {_dhash_cte}
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           bit_count(xor(a.dhash, b.dhash))::BIGINT as hamming
+    from dh a join dh b on a.doc_id < b.doc_id
+    where bit_count(xor(a.dhash, b.dhash)) <= 6
+    """
+
+    sql["exif_extract"] = """
+    select doc_id,
+           'cam-' || source as make,
+           'M' || (doc_id % 5)::VARCHAR as model,
+           (doc_id % 8 + 1)::BIGINT as orientation,
+           '2024:06:' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+             || ' 00:00:00' as exif_datetime,
+           (50 + doc_id % 20)::BIGINT as exposure_den,
+           (100 * (1 + doc_id % 4))::BIGINT as iso,
+           16::BIGINT as pixel_x
     from documents
     """
 

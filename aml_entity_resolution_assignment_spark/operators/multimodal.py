@@ -362,3 +362,48 @@ def attach_media_stats(media: DataFrame) -> DataFrame:
             F.length("payload") / (F.col("width") * F.col("height")),
         ).alias("bytes_per_pixel"),
     )
+
+
+_EXIF_SCHEMA = (
+    "media_id string, make string, model string, orientation int, "
+    "exif_datetime string, exposure_num long, exposure_den long, "
+    "iso int, pixel_x long, pixel_y long"
+)
+
+
+def exif_metadata(media: DataFrame) -> DataFrame:
+    """Extract EXIF provenance fields from JPEG payloads (APP1/Exif,
+    functions/exif.py) -> one typed row per media row. Rows without
+    EXIF come back all-NULL rather than being dropped, so the result
+    left-aligns with the media table for downstream filters
+    (orientation normalization, camera-make provenance, capture-time
+    range cuts — the standard crawl-image cleaning predicates). One
+    Arrow pass; payloads never re-emitted."""
+    from ..functions.exif import parse_exif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "make", "model", "orientation", "datetime",
+            "exposure_num", "exposure_den", "iso", "pixel_x", "pixel_y",
+        ]
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                meta = None
+                if payload is not None and len(payload) >= 4:
+                    meta = parse_exif(bytes(payload))
+                rows.append(
+                    [None] * len(cols)
+                    if meta is None
+                    else [meta[k] for k in cols]
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out = out.rename(columns={"datetime": "exif_datetime"})
+            for c in ("orientation", "iso"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("exposure_num", "exposure_den", "pixel_x", "pixel_y"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return media.mapInPandas(run, schema=_EXIF_SCHEMA)

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "bz2_lines",  # splittable bzip2 dump ingestion
     "wiki_pages",  # MediaWiki dump -> plain training text
     "wat_extract",  # WAT JSON metadata, JVM-side json-path
+    "image_neardup",  # dHash + banded Hamming self-join (decode included)
+    "exif_extract",  # JPEG APP1/Exif build -> splice -> parse
 ]
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "8000"))
 # scaling evidence needs a compute-dominated run: big enough that the
