@@ -2679,6 +2679,78 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership END-TO-END with a hard oracle: build a
+    512-bit / k=3 filter (operators/sketches.py bloom_build) over the
+    text of every 7th document, probe ALL documents, and emit
+    (doc_id, maybe_member). m is deliberately small so real false
+    positives appear; the md5 probe hashes are byte-identical in SQL,
+    so the oracle reproduces membership INCLUDING every false
+    positive bit-for-bit."""
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    m, k = 512, 3
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    bloom = bloom_build(d.where(F.col("doc_id") % 7 == 0), "text", m=m, k=k)
+    member = bloom_contains(d, "text", bloom, m=m, k=k)
+    return d.join(member, d["text"] == member["value"]).select(
+        "doc_id", "maybe_member"
+    )
+
+
+def q_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-removing HTML extraction END-TO-END with a hard
+    oracle: each document is rendered into a full page (doctype, head
+    with style/script, nav/footer link bars, a short heading, the doc
+    text as the one prose paragraph), then functions/html.py strips
+    the boilerplate by the fixed length>=25 + link-density<=0.4 rule.
+    Every synthetic boilerplate block is pure-link or short by
+    construction, so the expected main text is exactly the
+    whitespace-normalized document text (or '' when shorter than 25
+    chars) — recomputed directly in SQL."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.html import (
+        extract_main_text_col,
+    )
+
+    def _render(doc_ids, texts):
+        from xml.sax.saxutils import escape
+
+        out = []
+        for did, t in zip(doc_ids, texts):
+            out.append(
+                (
+                    "<!DOCTYPE html><html><head>"
+                    f"<title>Doc {did}</title>"
+                    "<style>p{margin:0}</style>"
+                    '<script>var nav = "<p>decoy</p>";</script>'
+                    "</head><body>"
+                    '<nav><a href="/">Home</a> <a href="/a">Archive</a>'
+                    ' <a href="/c">Contact page</a></nav>'
+                    f"<h1>Doc {did}</h1>"
+                    f"<p>{escape(str(t))}</p>"
+                    '<footer><a href="/tos">Terms of service</a>'
+                    ' <a href="/p">Privacy policy</a></footer>'
+                    "</body></html>"
+                ).encode()
+            )
+        return pd.Series(out, index=doc_ids.index, dtype="object")
+
+    render = F.pandas_udf(_render, BinaryType())
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        extract_main_text_col(
+            render(F.col("doc_id"), F.col("text"))
+        ).alias("main_text"),
+    )
+
+
 def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF build -> splice -> parse END-TO-END with a hard oracle: a
     real baseline JPEG (one constant-gray 16x16 frame, encoded once and
@@ -2765,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "pii_redact": q_pii_redact,
+        "html_main_text": q_html_main_text,
         "bz2_lines": q_bz2_lines,
         "wiki_pages": q_wiki_pages,
         "wat_extract": q_wat_extract,
@@ -2778,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cm_token_counts": q_cm_token_counts,
         "hist_quantiles": q_hist_quantiles,
+        "bloom_filter": q_bloom_filter,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
         "link_hits": q_link_hits,
@@ -4747,6 +4821,55 @@ def oracle_sql() -> dict[str, str]:
            || 'See also' || chr(10)
            || '* ext' || doc_id as plain_text
     from documents
+    """
+
+    # bloom: word = h >> 6, bit = h & 63, word value = 1 << bit (bit 63
+    # via two's complement); membership = all k probed bits set
+    sql["bloom_filter"] = """
+    with ins as (
+      select distinct text as v from documents
+      where doc_id % 7 = 0 and text is not null
+    ),
+    ih as (
+      select (('0x' || substr(md5(j::VARCHAR || ':' || v), 1, 15))::UBIGINT
+              % 512)::BIGINT as h
+      from ins, (select unnest(generate_series(0, 2)) as j)
+    ),
+    words as (
+      select (h // 64)::INT as word_idx,
+             bit_or(case when (h % 64) = 63 then -9223372036854775808
+                         else 1::BIGINT << ((h % 64)::INT) end)::BIGINT
+               as bits
+      from ih group by 1
+    ),
+    probes as (
+      select d.doc_id,
+             (('0x' || substr(md5(j::VARCHAR || ':' || d.text), 1, 15))
+              ::UBIGINT % 512)::BIGINT as h
+      from documents d, (select unnest(generate_series(0, 2)) as j)
+      where d.text is not null
+    ),
+    hits as (
+      select p.doc_id,
+             case when w.bits is null then 0
+                  else ((w.bits >> ((p.h % 64)::INT)) & 1)::INT end as hit
+      from probes p left join words w on (p.h // 64)::INT = w.word_idx
+    )
+    select doc_id, (min(hit) = 1) as maybe_member
+    from hits group by doc_id
+    """
+
+    # boilerplate removal: the generated page's nav/footer/heading
+    # blocks are pure-link or short by construction, so main text ==
+    # the whitespace-normalized doc text iff it reaches 25 chars
+    sql["html_main_text"] = """
+    with norm as (
+      select doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) as t
+      from documents
+    )
+    select doc_id,
+           case when length(t) >= 25 then t else '' end as main_text
+    from norm
     """
 
     # dHash: image row r = text bytes [r*9, r*9+8], bit (r,c) set iff

@@ -231,3 +231,107 @@ def histogram_quantiles(
         )
     )
     return probe.select("q", value.alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the membership companion to HLL (distinct) and
+# count-min (frequency). Same register-table contract — the filter is
+# a plain (word_idx, bits) DataFrame of m/64 rows, mergeable with
+# union + groupBy(word_idx).bit_or(bits), and the seeded md5 probe
+# hashes are byte-identical in DuckDB SQL, so membership (INCLUDING
+# each false positive) is exactly reproducible by the oracle twin.
+#
+# The 100 TB shape this serves: broadcast-decontamination and
+# seen-before gates where the blocklist is too big to broadcast as
+# values (10^9 test-set n-grams ~ 50 GB of strings) but its bloom at
+# 10 bits/key is ~1 GB — the filter rides the executor heap, the
+# corpus never shuffles, and false positives only ever over-drop
+# (never leak contamination), the safe direction.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 14  # bits; 256 long words
+BLOOM_K = 4
+
+
+def _bloom_probes(col: str, m: int, k: int):
+    """k (word_idx, bit) probe pairs as an array-of-structs column:
+    h_j = first-15-hex-chars(md5("j:" || value)) mod m — the same
+    seeded-row idiom as the count-min hashes."""
+    probes = []
+    for j in range(k):
+        h = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col(col).cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(m),
+        )
+        probes.append(
+            F.struct(
+                F.shiftright(h, 6).cast("int").alias("word_idx"),
+                h.bitwiseAND(F.lit(63)).cast("int").alias("bit"),
+            )
+        )
+    return F.array(*probes)
+
+
+def bloom_build(
+    df: DataFrame, col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """(word_idx int, bits long) filter rows over the non-null values
+    of `col` — at most m/64 rows regardless of input size (unset words
+    are simply absent). shiftleft(1L, 63) wraps to the sign bit, which
+    is exactly the two's-complement encoding the probe side reads
+    back, so all 64 bits of each word are usable."""
+    if m % 64 != 0:
+        raise ValueError("m must be a multiple of 64")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(_bloom_probes(col, m, k)).alias("p"))
+        .select("p.word_idx", "p.bit")
+        .distinct()
+        .select(
+            "word_idx",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("_w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_w").alias("bits"))
+    )
+
+
+def bloom_contains(
+    df: DataFrame, col: str, bloom: DataFrame,
+    m: int = BLOOM_M, k: int = BLOOM_K,
+) -> DataFrame:
+    """Distinct probe values -> (value, maybe_member boolean). The
+    filter is broadcast (<= m/64 rows); a value is maybe-member iff
+    all k probed bits are set — no false negatives, false positives at
+    the standard (1 - e^{-kn/m})^k rate and deterministic (the oracle
+    reproduces them bit-for-bit). Probing is explode + broadcast join
+    + groupBy(value).min(hit): the corpus-side table never shuffles
+    by anything but its own distinct values."""
+    vals = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("value"))
+        .distinct()
+    )
+    probes = vals.select(
+        "value", F.explode(_bloom_probes("value", m, k)).alias("p")
+    ).select("value", "p.word_idx", "p.bit")
+    joined = probes.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (
+        F.when(F.col("bits").isNull(), F.lit(0))
+        .otherwise(
+            F.expr("shiftrightunsigned(bits, bit)")
+            .bitwiseAND(F.lit(1))
+            .cast("int")
+        )
+    )
+    return (
+        joined.select("value", hit.alias("_hit"))
+        .groupBy("value")
+        .agg((F.min("_hit") == 1).alias("maybe_member"))
+    )

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "robots",
     "bm25",
     "hist_quantiles",
+    "bloom_filter",  # mergeable bloom build + broadcast membership probe
     "events_window",
     "events_sessionize",
     "tpch_pricing",
@@ -72,6 +73,7 @@ BENCH_QUERIES = [
     "bz2_lines",  # splittable bzip2 dump ingestion
     "wiki_pages",  # MediaWiki dump -> plain training text
     "wat_extract",  # WAT JSON metadata, JVM-side json-path
+    "html_main_text",  # boilerplate-removing HTML -> main text
     "image_neardup",  # dHash + banded Hamming self-join (decode included)
     "exif_extract",  # JPEG APP1/Exif build -> splice -> parse
 ]

@@ -146,3 +146,83 @@ def test_histogram_rejects_bad_params(spark):
 
     with _pytest.raises(ValueError):
         histogram_sketch(spark.range(3).selectExpr("cast(id as double) x"), "x", 5.0, 5.0)
+
+
+# ------------------------------------------------------------------ bloom
+
+
+def _bloom_ref_probes(v: str, m: int, k: int):
+    import hashlib
+
+    out = []
+    for j in range(k):
+        h = int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:15], 16) % m
+        out.append((h >> 6, h & 63))
+    return out
+
+
+def test_bloom_no_false_negatives_and_deterministic_fps(spark):
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    m, k = 512, 3
+    inserted = [f"key-{i}" for i in range(60)]
+    others = [f"other-{i}" for i in range(200)]
+    ins_df = spark.createDataFrame([(v,) for v in inserted], "v string")
+    bloom = bloom_build(ins_df, "v", m=m, k=k)
+    probe_df = spark.createDataFrame(
+        [(v,) for v in inserted + others], "v string"
+    )
+    got = {
+        r["value"]: r["maybe_member"]
+        for r in bloom_contains(probe_df, "v", bloom, m=m, k=k).collect()
+    }
+    # no false negatives
+    assert all(got[v] for v in inserted)
+    # false positives match the pure-python recomputation exactly
+    words = {}
+    for v in inserted:
+        for w, b in _bloom_ref_probes(v, m, k):
+            words[w] = words.get(w, 0) | (1 << b)
+    for v in others:
+        want = all(
+            (words.get(w, 0) >> b) & 1 for w, b in _bloom_ref_probes(v, m, k)
+        )
+        assert got[v] == want, v
+    # with m=512 over 260 probes some false positives should exist —
+    # otherwise the FP branch above tested nothing
+    assert any(got[v] for v in others)
+    # filter is bounded
+    assert bloom.count() <= m // 64
+
+
+def test_bloom_mergeable(spark):
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        bloom_build,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(40)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(40)], "v string")
+    whole = bloom_build(a.unionByName(b), "v", m=512, k=3)
+    merged = (
+        bloom_build(a, "v", m=512, k=3)
+        .unionByName(bloom_build(b, "v", m=512, k=3))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    key = lambda df: {  # noqa: E731
+        (r["word_idx"], r["bits"]) for r in df.collect()
+    }
+    assert key(whole) == key(merged)
+
+
+def test_bloom_rejects_bad_m(spark):
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        bloom_build,
+    )
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(spark.range(1).selectExpr("cast(id as string) v"),
+                    "v", m=100)
