@@ -2679,6 +2679,24 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM quality score (operators/quality.py
+    trigram_backoff_score) with a hard oracle: the LM counts come from
+    the 2/3 of documents with doc_id % 3 != 0 and ALL documents are
+    scored, so every backoff branch (trigram hit, bigram backoff,
+    smoothed unigram floor) fires on real rows; the SQL twin replays
+    the identical counts, joins, and log arithmetic."""
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        trigram_backoff_score,
+    )
+
+    d = _docs(spark, sf_dir)
+    lm = d.where(F.col("doc_id") % 3 != 0)
+    return trigram_backoff_score(d, lm_docs=lm).select(
+        "doc_id", "n_scored", F.round("lm_score", 6).alias("lm_score")
+    )
+
+
 def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership END-TO-END with a hard oracle: build a
     512-bit / k=3 filter (operators/sketches.py bloom_build) over the
@@ -2862,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots": q_robots,
         "bm25": q_bm25,
         "lm_score": q_lm_score,
+        "trigram_lm": q_trigram_lm,
         "tfidf": q_tfidf,
         # dedup / ANN
         "dedup_exact": q_dedup_exact,
@@ -4821,6 +4840,62 @@ def oracle_sql() -> dict[str, str]:
            || 'See also' || chr(10)
            || '* ext' || doc_id as plain_text
     from documents
+    """
+
+    # stupid backoff: tri MLE -> 0.4 * bigram MLE -> 0.16 * add-1 uni
+    sql["trigram_lm"] = """
+    with lmtok as (
+      select regexp_split_to_array(lower(trim(text)), '\\s+') as a
+      from documents where doc_id % 3 <> 0 and trim(text) <> ''
+    ),
+    uc as (
+      select g, count(*) as c1
+      from (select unnest(a) as g from lmtok) group by g
+    ),
+    bc as (
+      select g, count(*) as c2
+      from (select a[i] || ' ' || a[i+1] as g
+            from lmtok, unnest(generate_series(1, len(a) - 1)) as u(i))
+      group by g
+    ),
+    tc as (
+      select g, count(*) as c3
+      from (select a[i] || ' ' || a[i+1] || ' ' || a[i+2] as g
+            from lmtok, unnest(generate_series(1, len(a) - 2)) as u(i))
+      group by g
+    ),
+    tot as (select sum(c1) as n, count(*) as v from uc),
+    sdoc as (
+      select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as a
+      from documents where trim(text) <> ''
+    ),
+    pos as (
+      select doc_id,
+        a[i] || ' ' || a[i+1] || ' ' || a[i+2] as tri,
+        a[i] || ' ' || a[i+1] as bigp,
+        a[i+1] || ' ' || a[i+2] as big,
+        a[i+1] as unip,
+        a[i+2] as w
+      from sdoc, unnest(generate_series(1, len(a) - 2)) as u(i)
+      where len(a) >= 3
+    ),
+    sc as (
+      select p.doc_id,
+        ln(case when tc.c3 is not null then tc.c3::DOUBLE / bp.c2
+                when bg.c2 is not null then 0.4 * bg.c2 / up.c1
+                else 0.16 * (coalesce(uw.c1, 0) + 1)::DOUBLE
+                       / (tot.n + tot.v) end) as ls
+      from pos p
+      left join tc on tc.g = p.tri
+      left join bc bp on bp.g = p.bigp
+      left join bc bg on bg.g = p.big
+      left join uc up on up.g = p.unip
+      left join uc uw on uw.g = p.w
+      cross join tot
+    )
+    select doc_id, count(*)::BIGINT as n_scored,
+           round(avg(ls), 6) as lm_score
+    from sc group by doc_id
     """
 
     # bloom: word = h >> 6, bit = h & 63, word value = 1 << bit (bit 63

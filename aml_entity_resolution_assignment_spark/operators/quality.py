@@ -249,3 +249,113 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", F.col("rank").cast("long"), "tfidf")
     )
+
+
+def trigram_backoff_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    lm_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Stupid-backoff trigram LM score (Brants et al. 2007, the
+    web-scale LM used for exactly this corpus-filtering job) — the
+    n-gram upgrade of unigram_logprob_score: per document, the mean
+    log-score of every token position i >= 2 under
+
+        S(w | u v) = c(uvw) / c(uv)                  if c(uvw) > 0
+                   = alpha * c(vw) / c(v)            elif c(vw) > 0
+                   = alpha^2 * (c(w) + 1) / (N + V)  otherwise
+
+    (add-1 smoothing on the unigram floor keeps S total when the LM
+    counts come from an external reference corpus that misses vocab).
+    Counts are estimated from `lm_docs` (default: the scored corpus
+    itself — in which case every scored trigram was observed and the
+    backoff never fires); at a deployment lm_docs is the reference
+    corpus (Wikipedia in CCNet) fitted once, and the backoff chain is
+    what scores out-of-reference text.
+
+    Distributed shape: context tuples come from ONE array transform
+    per document (sequence + slice inside whole-stage codegen — no
+    window functions, no per-doc shuffle); uni/bi/tri count tables are
+    key-grouped aggregations over the same exploded grams; scoring is
+    five left equi-joins on gram keys (tri, bigram prefix, bigram,
+    unigram prefix, unigram) — all shuffle-partitioned by key, the
+    standard MapReduce n-gram-LM plan, skew-free because gram keys
+    fan out. No UDF anywhere.
+
+    Returns (id_col, n_scored, lm_score) — docs with < 3 tokens have
+    no scorable position and are absent."""
+    toks = word_tokens(F.col(text_col))
+    ctx = F.transform(
+        F.sequence(F.lit(3), F.size(toks)),
+        lambda i: F.struct(
+            F.array_join(F.slice(toks, i - 2, 3), " ").alias("tri"),
+            F.array_join(F.slice(toks, i - 2, 2), " ").alias("bigp"),
+            F.array_join(F.slice(toks, i - 1, 2), " ").alias("big"),
+            F.element_at(toks, i - 1).alias("unip"),
+            F.element_at(toks, i).alias("w"),
+        ),
+    )
+    pos = (
+        docs.where(F.size(toks) >= 3)
+        .select(F.col(id_col), F.explode(ctx).alias("c"))
+        .select(id_col, "c.tri", "c.bigp", "c.big", "c.unip", "c.w")
+    )
+    lm = lm_docs if lm_docs is not None else docs
+    uni = (
+        lm.select(F.explode(word_tokens(F.col(text_col))).alias("g"))
+        .where(F.col("g") != "")
+        .groupBy("g")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = (
+        lm.select(F.explode(word_ngrams(F.col(text_col), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c2"))
+    )
+    tri = (
+        lm.select(F.explode(word_ngrams(F.col(text_col), 3)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c3"))
+    )
+    totals = uni.agg(
+        F.sum("c1").alias("_n"), F.count("*").alias("_v")
+    )
+    j = (
+        pos.join(tri.withColumnRenamed("g", "tri"), "tri", "left")
+        .join(
+            big.select(F.col("g").alias("bigp"), F.col("c2").alias("c2p")),
+            "bigp", "left",
+        )
+        .join(big.withColumnRenamed("g", "big"), "big", "left")
+        .join(
+            uni.select(F.col("g").alias("unip"), F.col("c1").alias("c1p")),
+            "unip", "left",
+        )
+        .join(uni.withColumnRenamed("g", "w"), "w", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3") / F.col("c2p"),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.lit(alpha) * F.col("c2") / F.col("c1p"),
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1))
+            / (F.col("_n") + F.col("_v"))
+        )
+    )
+    return (
+        j.select(id_col, F.log(s).alias("_ls"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.avg("_ls").alias("lm_score"),
+        )
+    )

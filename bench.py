@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "cc_incremental",
     "dedup_keep_best",
     "lm_score",
+    "trigram_lm",  # stupid-backoff trigram LM (5 gram-keyed joins)
     "tfidf",
     "bcubed",
     "asof_join",

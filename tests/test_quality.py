@@ -224,3 +224,92 @@ def test_unigram_logprob_external_lm_counts(spark):
     lp = lambda c: math.log((c + 1.0) / (total + vocab))  # noqa: E731
     assert abs(got[1]["logprob"] - (lp(9) + lp(1)) / 2) < 1e-12
     assert abs(got[2]["logprob"] - lp(0)) < 1e-12  # OOV floor
+
+
+# ---------------------------------------------------------- trigram LM
+
+
+def _ref_backoff(texts_lm, text, alpha=0.4):
+    """Pure-python stupid backoff twin (whitespace lower tokens)."""
+    import math
+    from collections import Counter
+
+    uni, big, tri = Counter(), Counter(), Counter()
+    for t in texts_lm:
+        w = t.strip().lower().split()
+        uni.update(w)
+        big.update(" ".join(w[i : i + 2]) for i in range(len(w) - 1))
+        tri.update(" ".join(w[i : i + 3]) for i in range(len(w) - 2))
+    n, v = sum(uni.values()), len(uni)
+    w = text.strip().lower().split()
+    out = []
+    for i in range(2, len(w)):
+        t3 = " ".join(w[i - 2 : i + 1])
+        b2 = " ".join(w[i - 1 : i + 1])
+        if tri[t3]:
+            s = tri[t3] / big[" ".join(w[i - 2 : i])]
+        elif big[b2]:
+            s = alpha * big[b2] / uni[w[i - 1]]
+        else:
+            s = alpha * alpha * (uni[w[i]] + 1) / (n + v)
+        out.append(math.log(s))
+    return len(out), sum(out) / len(out) if out else None
+
+
+def test_trigram_backoff_matches_reference(spark):
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        trigram_backoff_score,
+    )
+
+    lm_texts = [
+        "the cat sat on the mat",
+        "the cat ran over the hill",
+        "a dog sat on a log",
+        "the dog and the cat",
+    ]
+    score_texts = {
+        1: "the cat sat on the mat",          # all trigrams in LM
+        2: "the cat sat on a log",            # mixes: backoff to bigrams
+        3: "a zebra jumped over the moon",    # OOV: unigram floor fires
+        4: "cat dog",                         # < 3 tokens: absent
+        5: "  the   cat\tsat on the mat  ",   # whitespace-normalized
+    }
+    lm = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(lm_texts)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        list(score_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_scored"], r["lm_score"])
+        for r in trigram_backoff_score(docs, lm_docs=lm).collect()
+    }
+    assert 4 not in got
+    for did, text in score_texts.items():
+        if did == 4:
+            continue
+        n, want = _ref_backoff(lm_texts, text)
+        assert got[did][0] == n
+        assert abs(got[did][1] - want) < 1e-9, did
+    # ordering sanity: in-LM prose scores higher than OOV gibberish
+    assert got[1][1] > got[3][1]
+
+
+def test_trigram_backoff_self_trained_no_backoff(spark):
+    """Self-trained: every scored trigram was observed, so scores are
+    pure trigram MLE — and deterministic across partitioning."""
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        trigram_backoff_score,
+    )
+
+    texts = [(i, f"alpha beta gamma delta epsilon token{i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    a = {
+        (r["doc_id"], r["n_scored"], round(r["lm_score"], 9))
+        for r in trigram_backoff_score(docs.repartition(1)).collect()
+    }
+    b = {
+        (r["doc_id"], r["n_scored"], round(r["lm_score"], 9))
+        for r in trigram_backoff_score(docs.repartition(8)).collect()
+    }
+    assert a == b and len(a) == 12
