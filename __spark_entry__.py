@@ -2679,6 +2679,24 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key END-TO-END with a hard oracle:
+    the 16-bit-per-dimension z-value over (user_id, value) that
+    zorder_sort range-partitions by (operators/zorder.py) — closed-form
+    integer shift/mask arithmetic, recomputed term-for-term in SQL."""
+    from aml_entity_resolution_assignment_spark.operators.zorder import (
+        zorder_value,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        zorder_value(
+            [(F.col("user_id"), 0.0, 150.0), (F.col("value"), 0.0, 500.0)]
+        ).alias("zvalue"),
+    )
+
+
 def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff trigram LM quality score (operators/quality.py
     trigram_backoff_score) with a hard oracle: the LM counts come from
@@ -2870,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_token_counts": q_cm_token_counts,
         "hist_quantiles": q_hist_quantiles,
         "bloom_filter": q_bloom_filter,
+        "zorder_events": q_zorder_events,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
         "link_hits": q_link_hits,
@@ -4840,6 +4859,28 @@ def oracle_sql() -> dict[str, str]:
            || 'See also' || chr(10)
            || '* ext' || doc_id as plain_text
     from documents
+    """
+
+    # Morton z-value: rank = clamp(floor((v-lo)/(hi-lo)*2^16)), output
+    # bit (2b) = bit b of rank_x, bit (2b+1) = bit b of rank_y
+    sql["zorder_events"] = """
+    with r as (
+      select event_id,
+        case when user_id is null then 0
+             else greatest(0, least(65535,
+                    floor((user_id::DOUBLE - 0.0) / 150.0 * 65536.0)))::BIGINT
+        end as rx,
+        case when value is null then 0
+             else greatest(0, least(65535,
+                    floor((value - 0.0) / 500.0 * 65536.0)))::BIGINT
+        end as ry
+      from events
+    )
+    select event_id,
+      sum( (((rx >> b) & 1) << (2 * b))
+         + (((ry >> b) & 1) << (2 * b + 1)) )::BIGINT as zvalue
+    from r, unnest(generate_series(0, 15)) as u(b)
+    group by event_id
     """
 
     # stupid backoff: tri MLE -> 0.4 * bigram MLE -> 0.16 * add-1 uni

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "bm25",
     "hist_quantiles",
     "bloom_filter",  # mergeable bloom build + broadcast membership probe
+    "zorder_events",  # Morton clustering key (codegen'd shift/mask)
     "events_window",
     "events_sessionize",
     "tpch_pricing",
