@@ -2679,6 +2679,57 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation END-TO-END: pages rendered
+    with two deterministic anchors per document (plus a relative link
+    and an empty anchor that must be filtered), scanned by the paired
+    regexp extraction in operators/linkgraph.anchor_texts, normalized,
+    counted, top-2 per target. The SQL twin rebuilds the same
+    (target, anchor) pairs straight from the documents columns."""
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        anchor_texts,
+    )
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    a1 = F.concat(
+        F.lit('<a href="http://t'), (i % 20).cast("string"),
+        F.lit('.example.com/">'), F.col("source"), F.lit(" "),
+        F.col("lang"), F.lit("</a>"),
+    )
+    a2 = F.concat(
+        F.lit('<a href="http://t'), (i % 5).cast("string"),
+        F.lit('.example.com/" rel="x">Visit   Doc '),
+        (i % 4).cast("string"), F.lit("</a>"),
+    )
+    html = F.concat(
+        F.lit("<html><body>"), a1, a2,
+        F.lit('<a href="/rel">skip</a>'
+              '<a href="http://t3.example.com/"></a></body></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://src"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    out = anchor_texts(pages, k=2)
+    return out.select(
+        "target_url", "anchor", F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI bigram collocations over the documents corpus
+    (operators/quality.pmi_collocations) — counts, joins, log
+    arithmetic, and the deterministic (round(pmi,6) desc, bigram)
+    ordering replayed exactly in SQL."""
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5, k=20)
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key END-TO-END with a hard oracle:
     the 16-bit-per-dimension z-value over (user_id, value) that
@@ -2890,6 +2941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter": q_bloom_filter,
         "zorder_events": q_zorder_events,
         "link_graph": q_link_graph,
+        "anchor_texts": q_anchor_texts,
+        "pmi_collocations": q_pmi_collocations,
         "pagerank": q_pagerank,
         "link_hits": q_link_hits,
         "label_prop": q_label_prop,
@@ -4859,6 +4912,61 @@ def oracle_sql() -> dict[str, str]:
            || 'See also' || chr(10)
            || '* ext' || doc_id as plain_text
     from documents
+    """
+
+    # anchor text: two deterministic anchors per doc, lower + ws-collapse
+    sql["anchor_texts"] = """
+    with pairs as (
+      select 'http://t' || (doc_id % 20)::VARCHAR || '.example.com/'
+               as target_url,
+             lower(source || ' ' || lang) as anchor
+      from documents
+      union all
+      select 'http://t' || (doc_id % 5)::VARCHAR || '.example.com/',
+             trim(regexp_replace(
+               lower('Visit   Doc ' || (doc_id % 4)::VARCHAR),
+               '\\s+', ' ', 'g'))
+      from documents
+    ),
+    counts as (
+      select target_url, anchor, count(*) as n from pairs group by 1, 2
+    ),
+    ranked as (
+      select *, row_number() over (
+        partition by target_url order by n desc, anchor) as rank
+      from counts
+    )
+    select target_url, anchor, n::BIGINT as n, rank::BIGINT as rank
+    from ranked where rank <= 2
+    """
+
+    # PMI collocations: ln(N * c(ab) / (c(a) c(b))), c(ab) >= 5, top 20
+    sql["pmi_collocations"] = """
+    with tok as (
+      select regexp_split_to_array(lower(trim(text)), '\\s+') as a
+      from documents where trim(text) <> ''
+    ),
+    uni as (
+      select g, count(*) as c1
+      from (select unnest(a) as g from tok) group by g
+    ),
+    big as (
+      select w1, w2, count(*) as c2
+      from (select a[i] as w1, a[i+1] as w2
+            from tok, unnest(generate_series(1, len(a) - 1)) as u(i))
+      group by w1, w2
+      having count(*) >= 5
+    ),
+    tot as (select sum(c1) as n from uni)
+    select big.w1 || ' ' || big.w2 as bigram,
+           big.c2::BIGINT as n,
+           round(ln(tot.n::DOUBLE * big.c2 / (ua.c1 * ub.c1)), 6) as pmi
+    from big
+    join uni ua on ua.g = big.w1
+    join uni ub on ub.g = big.w2
+    cross join tot
+    order by pmi desc, bigram
+    limit 20
     """
 
     # Morton z-value: rank = clamp(floor((v-lo)/(hi-lo)*2^16)), output

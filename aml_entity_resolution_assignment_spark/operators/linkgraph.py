@@ -311,3 +311,56 @@ def hits(
     verts.unpersist()
     e.unpersist()
     return out
+
+
+def anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    k: int = 3,
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-corpus
+    side product (anchor text is the query-independent description of
+    a page; search engines and label-generation pipelines aggregate it
+    per target). Scans `<a href="...">text</a>` pairs (two
+    regexp_extract_all passes over the SAME pattern — per the regex
+    engine's left-to-right scan both passes yield matches in the same
+    order, so arrays_zip aligns href with its own anchor), keeps
+    absolute http(s) targets with non-empty anchors, normalizes the
+    anchor (lowercase, whitespace-collapsed), and emits the top-k
+    anchors per target by frequency (ties lexicographic).
+
+    Returns (target_url, anchor, n, rank). Scale shape: one explode,
+    one (target, anchor) key-grouped count, one window partitioned by
+    target — bounded by the distinct-anchor fanout per target, never
+    corpus-wide. All JVM expressions."""
+    from pyspark.sql.window import Window
+
+    pat = r'<a href="([^"]+)"[^>]*>([^<]*)</a>'
+    html = F.col(html_col).cast("string")
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(pat), F.lit(1)).alias("href"),
+        F.regexp_extract_all(html, F.lit(pat), F.lit(2)).alias("anchor"),
+    )
+    pairs = (
+        pages.select(F.explode(zipped).alias("z"))
+        .select(
+            F.col("z.href").alias("target_url"),
+            F.trim(
+                F.regexp_replace(F.lower(F.col("z.anchor")), r"\s+", " ")
+            ).alias("anchor"),
+        )
+        .where(F.col("target_url").rlike("^https?://"))
+        .where(F.col("anchor") != "")
+    )
+    counts = pairs.groupBy("target_url", "anchor").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("target_url").orderBy(
+        F.col("n").desc(), F.col("anchor")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("target_url", "anchor", "n", "rank")
+    )

@@ -359,3 +359,61 @@ def trigram_backoff_score(
             F.avg("_ls").alias("lm_score"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    word2phrase-style phrase miner (Mikolov et al. 2013) used to build
+    phrase vocabularies for tokenizers and to surface multi-word
+    entities:  pmi(a b) = ln( N * c(ab) / (c(a) * c(b)) )  over corpus
+    bigrams with c(ab) >= min_count, N = total token count.
+
+    Distributed shape: two key-grouped gram counts, two equi-joins of
+    the bigram table to its component unigram counts, then a global
+    top-k that Spark executes as TakeOrdered (per-partition heads
+    merged on the driver — no single-reducer sort). Ordering is
+    (round(pmi, 6) desc, bigram asc) so ties are deterministic and the
+    SQL twin reproduces the exact row set.
+
+    Returns (bigram, n, pmi) — pmi rounded to 6 decimals."""
+    uni = (
+        docs.select(F.explode(word_tokens(F.col(text_col))).alias("g"))
+        .where(F.col("g") != "")
+        .groupBy("g")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = (
+        docs.select(F.explode(word_ngrams(F.col(text_col), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c2"))
+        .where(F.col("c2") >= min_count)
+    )
+    total = uni.agg(F.sum("c1").alias("_n"))
+    parts = F.split(F.col("g"), " ", 2)
+    j = (
+        big.select("g", "c2", parts.getItem(0).alias("_a"),
+                   parts.getItem(1).alias("_b"))
+        .join(uni.select(F.col("g").alias("_a"), F.col("c1").alias("ca")),
+              "_a")
+        .join(uni.select(F.col("g").alias("_b"), F.col("c1").alias("cb")),
+              "_b")
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("_n").cast("double") * F.col("c2")
+            / (F.col("ca") * F.col("cb"))
+        ),
+        6,
+    )
+    return (
+        j.select(F.col("g").alias("bigram"), F.col("c2").alias("n"),
+                 pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("bigram"))
+        .limit(k)
+    )

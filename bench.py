@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join",
     "link_graph",
+    "anchor_texts",  # paired regexp scan + per-target top-k window
+    "pmi_collocations",  # phrase mining: gram counts + TakeOrdered top-k
     "pagerank",  # 10 fused-job power iterations over the host graph
     "label_prop",  # 5-round community detection, two shuffles per round
     "pack_sequences",  # distributed prefix sum + one-pass block shuffle

@@ -233,3 +233,55 @@ def test_pagerank_on_extracted_generator_links(spark):
     hosts = {r["host"] for r in rows_out}
     assert {f"h{i}.example.com" for i in range(6)} >= hosts
     assert any(h.startswith("h4") or h.startswith("h5") for h in hosts)
+
+
+# ---------------------------------------------------------- anchor text
+
+
+def test_anchor_texts_aggregation(spark):
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        anchor_texts,
+    )
+
+    t = "http://t.example.com/page"
+    pages = spark.createDataFrame(
+        [
+            ("u1", f'<a href="{t}">Great  Site</a>'
+                   f'<a href="{t}" class="x">great site</a>'
+                   '<a href="/rel">relative</a>'
+                   '<a href="mailto:a@b.c">mail</a>'
+                   f'<a href="{t}"></a>'),
+            ("u2", f'<a href="{t}">great site</a>'
+                   f'<a href="{t}">other words</a>'
+                   '<a href="http://z.example.com/">zzz</a>'),
+        ],
+        "url string, html string",
+    )
+    rows = anchor_texts(pages, k=2).collect()
+    by_target = {}
+    for r in rows:
+        by_target.setdefault(r["target_url"], []).append(
+            (r["rank"], r["anchor"], r["n"])
+        )
+    got = sorted(by_target[t])
+    # case + whitespace normalized, counted across pages; empty anchor
+    # and relative/mailto targets dropped
+    assert got == [(1, "great site", 3), (2, "other words", 1)]
+    assert by_target["http://z.example.com/"] == [(1, "zzz", 1)]
+
+
+def test_anchor_texts_topk_ties_lexicographic(spark):
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        anchor_texts,
+    )
+
+    t = "https://x.example.com/"
+    pages = spark.createDataFrame(
+        [("u", f'<a href="{t}">bbb</a><a href="{t}">aaa</a>'
+               f'<a href="{t}">ccc</a>')],
+        "url string, html string",
+    )
+    rows = sorted(
+        (r["rank"], r["anchor"]) for r in anchor_texts(pages, k=2).collect()
+    )
+    assert rows == [(1, "aaa"), (2, "bbb")]

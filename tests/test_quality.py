@@ -313,3 +313,45 @@ def test_trigram_backoff_self_trained_no_backoff(spark):
         for r in trigram_backoff_score(docs.repartition(8)).collect()
     }
     assert a == b and len(a) == 12
+
+
+# -------------------------------------------------------- collocations
+
+
+def test_pmi_collocations_reference(spark):
+    import math
+    from collections import Counter
+
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        pmi_collocations,
+    )
+
+    texts = (
+        ["new york is a big city"] * 6
+        + ["the new deal and the big apple"] * 4
+        + ["york new haven line"] * 3
+        + ["a a a a"] * 2
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["bigram"], r["n"], r["pmi"])
+        for r in pmi_collocations(docs, min_count=3, k=5).collect()
+    ]
+    uni, big = Counter(), Counter()
+    for t in texts:
+        w = t.split()
+        uni.update(w)
+        big.update(" ".join(w[i : i + 2]) for i in range(len(w) - 1))
+    n = sum(uni.values())
+    want = []
+    for g, c in big.items():
+        if c >= 3:
+            a, b = g.split(" ", 1)
+            want.append((g, c, round(math.log(n * c / (uni[a] * uni[b])), 6)))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    assert got == want[:5]
+    # the top collocation is a phrase whose words are exclusive to it
+    # (maximal PMI), not a generic function-word pair
+    assert got[0][0] in ("haven line", "york new")
