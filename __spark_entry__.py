@@ -2679,6 +2679,49 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing + transcoding END-TO-END with a hard oracle:
+    each document's text (prefixed with non-ASCII so encodings
+    actually differ on the wire) is encoded per doc_id % 3 as plain
+    UTF-8, a cp1252 page carrying a `<meta charset>` declaration, or
+    BOM'd UTF-16LE; functions/charset.py must pick the right branch
+    (strict-utf8 sniff / meta scan / BOM) and decode back to the exact
+    unicode string, which the SQL twin rebuilds by concat from the
+    documents table."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.charset import (
+        decode_html_col,
+    )
+
+    def _enc(doc_ids, texts):
+        import codecs
+
+        out = []
+        for did, t in zip(doc_ids, texts):
+            full = "café résumé — " + str(t)
+            r = int(did) % 3
+            if r == 0:
+                out.append(full.encode("utf-8"))
+            elif r == 1:
+                out.append(
+                    f'<meta charset="windows-1252"><body>{full}</body>'
+                    .encode("cp1252", "replace")
+                )
+            else:
+                out.append(codecs.BOM_UTF16_LE + full.encode("utf-16-le"))
+        return pd.Series(out, index=doc_ids.index, dtype="object")
+
+    enc = F.pandas_udf(_enc, BinaryType())
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        decode_html_col(enc(F.col("doc_id"), F.col("text"))).alias("r"),
+    ).select("doc_id", F.col("r.charset").alias("charset"),
+             F.col("r.text").alias("text"))
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-target anchor-text aggregation END-TO-END: pages rendered
     with two deterministic anchors per document (plus a relative link
@@ -2925,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pii_redact": q_pii_redact,
         "html_main_text": q_html_main_text,
+        "charset_decode": q_charset_decode,
         "bz2_lines": q_bz2_lines,
         "wiki_pages": q_wiki_pages,
         "wat_extract": q_wat_extract,
@@ -4911,6 +4955,21 @@ def oracle_sql() -> dict[str, str]:
            || text || ' is about ' || lang || '.' || chr(10)
            || 'See also' || chr(10)
            || '* ext' || doc_id as plain_text
+    from documents
+    """
+
+    # charset: expected text is a pure concat; the cp1252 branch (the
+    # meta-scan path) keeps its html wrapper, the others are bare text
+    sql["charset_decode"] = """
+    select doc_id,
+      case doc_id % 3 when 0 then 'utf-8'
+                      when 1 then 'cp1252'
+                      else 'utf-16-le' end as charset,
+      case doc_id % 3
+        when 1 then '<meta charset="windows-1252"><body>café '
+                    || 'résumé — ' || text || '</body>'
+        else 'café résumé — ' || text
+      end as text
     from documents
     """
 

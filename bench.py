@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "wiki_pages",  # MediaWiki dump -> plain training text
     "wat_extract",  # WAT JSON metadata, JVM-side json-path
     "html_main_text",  # boilerplate-removing HTML -> main text
+    "charset_decode",  # WHATWG charset sniff (BOM/meta/utf8) + transcode
     "image_neardup",  # dHash + banded Hamming self-join (decode included)
     "exif_extract",  # JPEG APP1/Exif build -> splice -> parse
 ]
