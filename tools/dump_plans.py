@@ -157,6 +157,51 @@ SECTIONS = [
         "rather than dumped here.)",
     ),
     (
+        "image_neardup",
+        "dHash image near-dup: ONE MapInPandas decode+hash pass emits "
+        "8 bytes per image (payloads never re-shuffle); band keys are "
+        "literal shift/mask expressions in codegen; candidates come "
+        "from ONE shuffled equi-join on (band_idx, band_val) + "
+        "distinct; the verify is a codegen'd bit_count(xor) filter — "
+        "no cartesian stage, no second decode.",
+    ),
+    (
+        "bloom_filter",
+        "Bloom membership: the build is explode -> distinct -> bit_or "
+        "HashAggregate (<= m/64 rows); the probe side equi-joins a "
+        "BROADCAST of the filter words and reduces with a per-value "
+        "min — the corpus never shuffles by anything but its own "
+        "distinct probe values.",
+    ),
+    (
+        "zorder_events",
+        "Morton clustering key: all 32 interleave terms are literal "
+        "shift/mask ORs inside ONE WholeStageCodegen projection over "
+        "the scan — no UDF, no window, no exchange (zorder_sort adds "
+        "exactly one sampled-bounds RangePartitioning exchange).",
+    ),
+    (
+        "trigram_lm",
+        "Stupid-backoff trigram LM: context tuples from one array "
+        "transform + explode (no window); three gram-keyed "
+        "HashAggregates with map-side partial combine; five equi-joins "
+        "on gram keys (skew-free fanout) + a broadcast totals row; "
+        "log arithmetic codegen'd.",
+    ),
+    (
+        "anchor_texts",
+        "Anchor-text corpus: paired regexp_extract_all + arrays_zip + "
+        "explode inside one codegen'd projection; one (target, anchor) "
+        "HashAggregate; the top-k window partitions by target_url — "
+        "bounded by per-target anchor fanout, never corpus-wide.",
+    ),
+    (
+        "charset_decode",
+        "Charset sniff + transcode: a single ArrowEvalPython "
+        "projection (bytes in, text+charset struct out) — no shuffle; "
+        "the html_main_text extractor plans identically.",
+    ),
+    (
         "resolve_best_match",
         "A1-A4 serving path (round-4 plan): both sides melt to one tall "
         "(id, key_hash) table so ONE BroadcastHashJoin covers every "
@@ -194,7 +239,10 @@ def main() -> None:
         plan = df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
         # keep the operator tree + the interesting node details
         out.append(f"\n## {name}\n\n{blurb}\n\n```\n{plan.strip()}\n```\n")
-        if name != "ann_rank":  # ivf's tiny centroid probe is a cross join
+        # exemptions: ann_rank's tiny centroid probe is a cross join;
+        # trigram_lm joins a BROADCAST 1-row totals scalar (N, V) —
+        # a BroadcastNestedLoopJoin over one row, not a plan smell
+        if name not in ("ann_rank", "trigram_lm"):
             bad = [
                 m for m in ("BroadcastNestedLoopJoin", "CartesianProduct")
                 if m in plan
