@@ -2679,6 +2679,24 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch Lloyd's k-means (operators/ann.kmeans_lloyd) with
+    fully replayable semantics: first-k-by-id init, squared-L2
+    assignment with (distance, cell) tie break, per-dim mean update,
+    empty cells keep their centroid. The oracle replays all three
+    iterations as chained MATERIALIZED CTEs over the embeddings table
+    — the auditability spark.ml KMeans cannot offer."""
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        kmeans_lloyd,
+    )
+
+    emb = _emb(spark, sf_dir)
+    assignments, _ = kmeans_lloyd(emb, k=8, iterations=3)
+    return assignments.select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
+
+
 def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniffing + transcoding END-TO-END with a hard oracle:
     each document's text (prefixed with non-ASCII so encodings
@@ -3008,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_ranking": q_topk_ranking,
         "ann_rank": q_ann_rank,
         "ann_lsh": q_ann_lsh,
+        "kmeans_cells": q_kmeans_cells,
         # ER core
         "candidate_pairs": q_candidate_pairs,
         "pair_features": q_pair_features,
@@ -4956,6 +4975,46 @@ def oracle_sql() -> dict[str, str]:
            || 'See also' || chr(10)
            || '* ext' || doc_id as plain_text
     from documents
+    """
+
+    # k-means: 3 unrolled Lloyd iterations as chained MATERIALIZED
+    # CTEs; assignment argmin via min() over a (distance, cell) struct
+    # (lexicographic -> exact tie semantics); update via per-dim avg +
+    # ordered list rebuild; empty cells coalesce to the previous round
+    _km_assign = """
+    select e.vec_id, e.v,
+           (min({{'d': list_sum(list_transform(generate_series(1, 64),
+                    d -> (e.v[d] - c.ctr[d]) * (e.v[d] - c.ctr[d]))),
+                 'cell': c.cell}})).cell as cell
+    from emb e, {cents} c
+    group by e.vec_id, e.v
+    """
+    _km_update = """
+    select p.cell, coalesce(m.ctr, p.ctr) as ctr
+    from {prev} p left join (
+      select cell, list(mv order by d) as ctr from (
+        select a.cell, u.d, avg(a.v[u.d]) as mv
+        from {assigned} a, unnest(generate_series(1, 64)) as u(d)
+        group by a.cell, u.d
+      ) group by cell
+    ) m using (cell)
+    """
+    sql["kmeans_cells"] = f"""
+    with emb as materialized (
+      select vec_id, embedding::DOUBLE[] as v from embeddings
+    ),
+    c0 as materialized (
+      select row_number() over (order by vec_id) - 1 as cell, v as ctr
+      from emb order by vec_id limit 8
+    ),
+    a1 as materialized ({_km_assign.format(cents="c0")}),
+    c1 as materialized ({_km_update.format(prev="c0", assigned="a1")}),
+    a2 as materialized ({_km_assign.format(cents="c1")}),
+    c2 as materialized ({_km_update.format(prev="c1", assigned="a2")}),
+    a3 as materialized ({_km_assign.format(cents="c2")}),
+    c3 as materialized ({_km_update.format(prev="c2", assigned="a3")}),
+    fin as ({_km_assign.format(cents="c3")})
+    select vec_id, cell::BIGINT as cell from fin
     """
 
     # charset: expected text is a pure concat; the cp1252 branch (the

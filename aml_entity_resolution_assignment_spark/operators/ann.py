@@ -722,3 +722,83 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k_neighbors)
         .select(query_id_col, "neighbor_id", "rank")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """From-scratch Lloyd's k-means with fully replayable semantics —
+    the auditability companion to spark.ml KMeans (whose k-means||
+    init and ordering are engine-internal): first-k-by-id init,
+    squared-L2 assignment with (distance, cell-index) tie break,
+    per-dimension mean update, empty cells keep their previous
+    centroid. Every step is plain column arithmetic, so a SQL twin
+    replays all iterations exactly (the kmeans_cells oracle row).
+
+    Distributed shape per iteration (the pagerank pattern — one fused
+    job per round): centroids are k*dim doubles, collected to the
+    driver and re-emitted as LITERAL arrays, so assignment is one
+    codegen'd projection over the corpus (k inline distance
+    expressions, NO crossJoin/window) and the update is one
+    map-side-combined groupBy(cell) with `dim` column aggregates —
+    exactly one shuffle of k*dim partial sums per iteration. The
+    corpus is scanned, never re-keyed.
+
+    Returns (assignments (id, cell) under the FINAL centroids,
+    centroids (cell, centroid array<double>))."""
+    first = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    )
+    if len(first) < k:
+        raise ValueError(f"need >= k={k} rows to initialize")
+    dim = len(first[0]["_v"])
+    centroids = [list(map(float, r["_v"])) for r in first]
+    data = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    def _assign_col(cents: list[list[float]]):
+        dists = []
+        for ci, ctr in enumerate(cents):
+            lit_ctr = F.array(*[F.lit(float(x)) for x in ctr])
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("_v"), lit_ctr, lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
+        return F.array_min(F.array(*dists))["cell"]
+
+    for _ in range(iterations):
+        assigned = data.select("_id", "_v", _assign_col(centroids).alias("_cell"))
+        aggs = [
+            F.avg(F.element_at(F.col("_v"), d + 1)).alias(f"_m{d}")
+            for d in range(dim)
+        ]
+        rows = assigned.groupBy("_cell").agg(*aggs).collect()
+        new = {r["_cell"]: [r[f"_m{d}"] for d in range(dim)] for r in rows}
+        centroids = [
+            [float(x) for x in new[ci]] if ci in new else centroids[ci]
+            for ci in range(k)
+        ]
+
+    assignments = data.select(
+        F.col("_id").alias(id_col), _assign_col(centroids).alias("cell")
+    )
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(ci, centroids[ci]) for ci in range(k)],
+        f"cell int, centroid array<double>",
+    )
+    return assignments, cent_df

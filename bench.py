@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_keep_min",
     "resolve_best_match",
     "ann_rank",  # merged entry: brute-force baseline + full-probe IVF
+    "kmeans_cells",  # from-scratch Lloyd: literal-centroid fused rounds
     "text_metrics",  # merged entry: quality features + score + token counts
     "lang_id",
     "rep_signals",

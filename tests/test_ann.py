@@ -395,3 +395,102 @@ def test_ivf_pq_training_deterministic(spark):
     c1, b1 = train_ivf_pq(emb, n_lists=4, m=4, k=8, sample=200)
     c2, b2 = train_ivf_pq(emb.repartition(7), n_lists=4, m=4, k=8, sample=200)
     assert np.array_equal(c1, c2) and np.array_equal(b1, b2)
+
+
+# -------------------------------------------------------------- kmeans
+
+
+def _kmeans_ref(vecs, k, iters):
+    """Pure-python replay of the documented semantics."""
+    ids = sorted(vecs)
+    cents = [list(vecs[i]) for i in ids[:k]]
+
+    def assign(v):
+        best = None
+        for ci, c in enumerate(cents):
+            d = sum((x - y) * (x - y) for x, y in zip(v, c))
+            if best is None or d < best[0] or (d == best[0] and ci < best[1]):
+                best = (d, ci)
+        return best[1]
+
+    for _ in range(iters):
+        cells = {i: assign(vecs[i]) for i in ids}
+        for ci in range(k):
+            members = [vecs[i] for i in ids if cells[i] == ci]
+            if members:
+                cents[ci] = [
+                    sum(m[d] for m in members) / len(members)
+                    for d in range(len(cents[ci]))
+                ]
+    return {i: assign(vecs[i]) for i in ids}, cents
+
+
+def test_kmeans_lloyd_matches_reference(spark):
+    import random
+
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        kmeans_lloyd,
+    )
+
+    rng = random.Random(3)
+    # three well-separated blobs + one outlier
+    vecs = {}
+    for i in range(60):
+        base = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)][i % 3]
+        vecs[i] = [base[0] + rng.random(), base[1] + rng.random()]
+    vecs[60] = [100.0, 100.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got_a, got_c = kmeans_lloyd(df, k=4, iterations=4)
+    want_cells, want_cents = _kmeans_ref(vecs, k=4, iters=4)
+    assert {
+        r["vec_id"]: r["cell"] for r in got_a.collect()
+    } == want_cells
+    cents = {r["cell"]: r["centroid"] for r in got_c.collect()}
+    for ci in range(4):
+        for a, b in zip(cents[ci], want_cents[ci]):
+            assert abs(a - b) < 1e-9
+    # blobs 1 and 2 each end up pure (first-k init seeds two centroids
+    # inside blob 0, which therefore splits — documented determinism,
+    # not a quality claim)
+    for blob in (1, 2):
+        cells = {want_cells[i] for i in vecs if i < 60 and i % 3 == blob}
+        assert len(cells) == 1
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        kmeans_lloyd,
+    )
+
+    # k=3 but only two real groups: the centroid initialized on id 2
+    # loses all members after iteration 1 and must keep its position
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.2, 0.0]),
+            (3, [9.0, 9.0]), (4, [9.1, 9.0]), (5, [9.2, 9.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    a, c = kmeans_lloyd(df, k=3, iterations=3)
+    cents = {r["cell"]: r["centroid"] for r in c.collect()}
+    assert len(cents) == 3  # no cell dropped
+    with_members = {r["cell"] for r in a.collect()}
+    assert len(with_members) <= 3
+
+
+def test_kmeans_partitioning_invariant(spark):
+    import random
+
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        kmeans_lloyd,
+    )
+
+    rng = random.Random(9)
+    rows = [(i, [rng.random() * 4, rng.random() * 4]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a1, _ = kmeans_lloyd(df.repartition(1), k=5, iterations=3)
+    a8, _ = kmeans_lloyd(df.repartition(8), k=5, iterations=3)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a8.collect()))
