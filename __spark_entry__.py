@@ -2679,6 +2679,47 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res,
+    operators/sampling.weighted_sample): 100 documents drawn with
+    probability ~ n_chars via key = ln(u)/w over the content-hash
+    uniform — the oracle recomputes every key with md5_number_lower
+    and replays the exact (key desc, id) cut."""
+    from aml_entity_resolution_assignment_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample(d, 100, "n_chars").select("doc_id", "skey")
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink END-TO-END: documents written as JSON-Lines
+    (the training-data interchange format) and read back through the
+    explicit-schema reader (sources/io.py) — newlines and quotes in
+    text must survive the JSON escaping; the oracle is the documents
+    table itself."""
+    import hashlib
+    import os
+    import tempfile
+
+    from aml_entity_resolution_assignment_spark.sources.io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_jsonl_{key}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_jsonl(_docs(spark, sf_dir), path)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return read_jsonl(spark, path, schema).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch Lloyd's k-means (operators/ann.kmeans_lloyd) with
     fully replayable semantics: first-k-by-id init, squared-L2
@@ -2984,6 +3025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
+        "weighted_sample": q_weighted_sample,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "pii_redact": q_pii_redact,
         "html_main_text": q_html_main_text,
         "charset_decode": q_charset_decode,
@@ -4975,6 +5018,26 @@ def oracle_sql() -> dict[str, str]:
            || 'See also' || chr(10)
            || '* ext' || doc_id as plain_text
     from documents
+    """
+
+    # A-Res weighted sampling: key = ln((h+0.5)/2^64) / w, top-100
+    sql["weighted_sample"] = """
+    with h as (
+      select doc_id, n_chars,
+        (md5_number_lower(cast(doc_id as varchar) || '|17')
+           ::HUGEINT::DOUBLE + 0.5) / 18446744073709551616.0 as u
+      from documents
+      where n_chars is not null and n_chars > 0
+    )
+    select doc_id, round(ln(u) / n_chars::DOUBLE, 6) as skey
+    from h
+    order by ln(u) / n_chars::DOUBLE desc, doc_id
+    limit 100
+    """
+
+    # jsonl roundtrip: escaping must be lossless -> identity on documents
+    sql["jsonl_roundtrip"] = """
+    select doc_id, text, lang, source, n_chars from documents
     """
 
     # k-means: 3 unrolled Lloyd iterations as chained MATERIALIZED

@@ -124,3 +124,66 @@ def mixture_repeat(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
         .drop("_n")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int | str = 17,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (A-Res,
+    Efraimidis & Spirakis 2006): every row draws key = ln(u) / w with
+    u the row's content-hash uniform, and the n largest keys win —
+    P(row in sample) is exactly the weighted without-replacement
+    probability, yet re-runs/retries/cluster resizes reproduce the
+    same sample because u is content-derived, not RNG state. The
+    quality-weighted corpus-selection primitive (w = quality score,
+    length, dedup-cluster size, ...).
+
+    Plan shape: one codegen'd projection + TakeOrdered(n) — per-
+    partition heads merged on the driver, no global sort, no shuffle
+    of the corpus. Rows with NULL/non-positive weight never qualify.
+    Appends `skey` (rounded, for audit) to the sampled rows."""
+    u = (
+        hash_u64(F.col(id_col), seed).cast("double") + F.lit(0.5)
+    ) / F.lit(float(_FULL))
+    skey = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("skey", skey)
+        .orderBy(F.col("skey").desc(), F.col(id_col))
+        .limit(n)
+        .withColumn("skey", F.round("skey", 6))
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float,
+    source_col: str = "source",
+    target_fraction: float = 1.0,
+) -> dict[str, float]:
+    """Temperature-scaled mixture rates (the multilingual/multi-source
+    re-balancing rule, e.g. mT5's alpha=0.3): source s with n_s rows
+    gets sampling mass proportional to n_s^alpha, normalized so the
+    expected TOTAL kept fraction is `target_fraction`. Returns a
+    {source: keep_rate} dict for mixture_sample / mixture_repeat
+    (rates may exceed 1.0 — that is up-sampling: use mixture_repeat).
+    Driver-side by design: mixture configs are dozens of sources; the
+    counts come from one map-side-combined groupBy."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    mass = {s: c ** alpha for s, c in counts.items()}
+    z = sum(mass.values())
+    return {
+        s: (mass[s] / z) * target_fraction * total / counts[s]
+        for s in counts
+    }

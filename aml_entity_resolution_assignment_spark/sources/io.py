@@ -154,3 +154,23 @@ def export_review_cases(classified: DataFrame, base: str) -> str:
     """E6/matching.py:708-712: manual-review export."""
     review = classified.where(F.col("match_type") == "review")
     return export_csv(review, os.path.join(base, "manual_review_cases"))
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read JSON-Lines (the training-data interchange format: one JSON
+    object per line, newline-delimited). `schema` is REQUIRED — at
+    10^5-file scale schema inference is a full extra pass over the
+    data and silently unions drifting shapes; an explicit schema makes
+    malformed rows surface in `_corrupt_record`-free strict mode
+    instead. Splittable: uncompressed/bzip2 JSONL parallelizes by
+    byte range like any text source."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> str:
+    """Write JSON-Lines. `single_file=True` coalesces to one part —
+    for exports/fixtures only (a single writer is a bottleneck at
+    scale); the default keeps one part per partition."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+    return path

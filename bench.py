@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "line_dedup",
     "pii_redact",
     "mixture_sample",
+    "weighted_sample",  # A-Res quality-weighted sampling (TakeOrdered)
+    "jsonl_roundtrip",  # JSONL interchange write + explicit-schema read
     "bz2_lines",  # splittable bzip2 dump ingestion
     "wiki_pages",  # MediaWiki dump -> plain training text
     "wat_extract",  # WAT JSON metadata, JVM-side json-path

@@ -126,3 +126,89 @@ def test_filter_is_codegen_no_udf_no_shuffle(spark):
         assert bad not in plan, bad
     # '*' prefix in formatted mode = inside a WholeStageCodegen span
     assert "* Filter" in plan
+
+
+# ------------------------------------------------------- weighted / temp
+
+
+def _u64_ref(v, seed=17):
+    import hashlib
+
+    hx = hashlib.md5(f"{v}|{seed}".encode()).hexdigest()
+    return int("".join(hx[2 * i : 2 * i + 2] for i in range(15, 7, -1)), 16)
+
+
+def test_weighted_sample_matches_reference(spark):
+    import math
+
+    from aml_entity_resolution_assignment_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, float(1 + i % 7)) for i in range(200)]
+    rows += [(900, 0.0), (901, -2.0), (902, None)]  # never eligible
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        (r["doc_id"], r["skey"])
+        for r in weighted_sample(df, 25, "w").collect()
+    ]
+    want = []
+    for i, w in rows:
+        if w is None or w <= 0:
+            continue
+        u = (_u64_ref(i) + 0.5) / 2.0**64
+        want.append((i, math.log(u) / w))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    want = [(i, round(k, 6)) for i, k in want[:25]]
+    assert got == want
+    # determinism across partitioning
+    got8 = [
+        (r["doc_id"], r["skey"])
+        for r in weighted_sample(df.repartition(8), 25, "w").collect()
+    ]
+    assert got8 == got
+    # heavier rows are sampled more often: empirical frequency ordering
+    heavy = sum(1 for i, _ in got if i % 7 == 6)  # w = 7
+    light = sum(1 for i, _ in got if i % 7 == 0)  # w = 1
+    assert heavy > light
+
+
+def test_temperature_rates(spark):
+    from aml_entity_resolution_assignment_spark.operators.sampling import (
+        temperature_rates,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    r1 = temperature_rates(df, alpha=1.0)  # no re-balancing
+    assert abs(r1["big"] - 1.0) < 1e-12 and abs(r1["small"] - 1.0) < 1e-12
+    r0 = temperature_rates(df, alpha=0.0, target_fraction=0.5)
+    # alpha=0: equal mass per source -> small source up-weighted 9x
+    assert abs(r0["small"] / r0["big"] - 9.0) < 1e-9
+    # expected kept fraction == target
+    total = 900 * r0["big"] + 100 * r0["small"]
+    assert abs(total / 1000 - 0.5) < 1e-12
+    r3 = temperature_rates(df, alpha=0.3)
+    assert r3["small"] > r3["big"]  # partial re-balancing
+    assert temperature_rates(df.limit(0), alpha=0.3) == {}
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from aml_entity_resolution_assignment_spark.sources.io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\nb", 1.5, None), (2, 'quote"inside', None, "x")],
+        "id long, t string, v double, s string",
+    )
+    p = str(tmp_path / "out.jsonl")
+    write_jsonl(df, p)
+    back = read_jsonl(spark, p, "id long, t string, v double, s string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # schema is explicit: extra fields in the file are simply pruned
+    back2 = read_jsonl(spark, p, "id long, t string")
+    assert back2.columns == ["id", "t"]
