@@ -2679,6 +2679,30 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (functions/text.sentence_split): the
+    lookaround-free boundary rule runs as pure JVM regexp_replace +
+    split; the oracle replays the IDENTICAL pattern under RE2 and
+    re-indexes after the same trim+filter. The corpus text carries no
+    punctuation, so a deterministic pre-transform (a period after
+    every 4th word — applied identically in SQL) makes the split
+    actually fire (~N/4 sentences per doc)."""
+    from aml_entity_resolution_assignment_spark.functions.text import (
+        sentences_table,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"(\w+ \w+ \w+ \w+) ", "$1. "
+        ).alias("text"),
+    )
+    return sentences_table(d).select(
+        "doc_id", F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence", "n_chars",
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (A-Res,
     operators/sampling.weighted_sample): 100 documents drawn with
@@ -3025,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
+        "sentences": q_sentences,
         "weighted_sample": q_weighted_sample,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "pii_redact": q_pii_redact,
@@ -5018,6 +5043,32 @@ def oracle_sql() -> dict[str, str]:
            || 'See also' || chr(10)
            || '* ext' || doc_id as plain_text
     from documents
+    """
+
+    # sentences: same boundary pattern under RE2; trim+filter THEN index
+    sql["sentences"] = """
+    with punct as (
+      select doc_id,
+        regexp_replace(text, '(\\w+ \\w+ \\w+ \\w+) ', '\\1. ', 'g')
+          as text
+      from documents
+    ),
+    marked as (
+      select doc_id,
+        regexp_replace(text,
+          '([.!?]+["'')\\]]*)[ \\t\\r\\n]+', '\\1' || chr(30), 'g') as m
+      from punct
+    ),
+    arr as (
+      select doc_id,
+        list_filter(list_transform(string_split(m, chr(30)),
+                                   s -> trim(s)),
+                    s -> s <> '') as a
+      from marked
+    )
+    select doc_id, (u.i - 1)::BIGINT as sent_idx,
+           a[u.i] as sentence, length(a[u.i])::BIGINT as n_chars
+    from arr, unnest(generate_series(1, len(a))) as u(i)
     """
 
     # A-Res weighted sampling: key = ln((h+0.5)/2^64) / w, top-100

@@ -175,3 +175,46 @@ def fingerprint_udf(token_hash: str = "fast") -> Column:
         return batch_fingerprint(s, token_hash=token_hash)
 
     return F.pandas_udf(_f, LongType())
+
+
+# sentence boundary: terminal punctuation run, optional closing
+# quotes/brackets, then whitespace. Deliberately lookaround-free so
+# the SAME pattern runs under Java regex (Spark) and RE2 (DuckDB) --
+# abbreviation protection needs lookbehind and is out of contract.
+SENT_BOUNDARY = r"""([.!?]+["')\]]*)[ \t\r\n]+"""
+_RS = "\u001e"  # record separator inserted at each boundary
+
+
+def sentence_split(c: Column) -> Column:
+    """Array of sentences from a text column -- pure JVM expressions:
+    one regexp_replace inserts a record separator (U+001E) at every
+    boundary, one split cuts on it, transform trims. The fixed rule is
+    deterministic and engine-portable (the sentences oracle row
+    replays it in SQL); empty segments (e.g. after trailing
+    punctuation) are filtered."""
+    from pyspark.sql import functions as F
+
+    marked = F.regexp_replace(c, SENT_BOUNDARY, "$1" + _RS)
+    return F.filter(
+        F.transform(F.split(marked, _RS), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def sentences_table(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(id, sent_idx, sentence, n_chars) -- the sentence-granularity
+    view used for sentence-level dedup and packing. posexplode keeps
+    the in-document order as an explicit column so downstream
+    re-assembly never depends on row order."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(sentence_split(F.col(text_col))).alias(
+            "sent_idx", "sentence"
+        ),
+    ).select(
+        id_col, "sent_idx", "sentence", F.length("sentence").alias("n_chars")
+    )

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "pii_redact",
     "mixture_sample",
+    "sentences",  # regexp sentence segmentation, JVM-only
     "weighted_sample",  # A-Res quality-weighted sampling (TakeOrdered)
     "jsonl_roundtrip",  # JSONL interchange write + explicit-schema read
     "bz2_lines",  # splittable bzip2 dump ingestion

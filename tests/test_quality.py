@@ -355,3 +355,48 @@ def test_pmi_collocations_reference(spark):
     # the top collocation is a phrase whose words are exclusive to it
     # (maximal PMI), not a generic function-word pair
     assert got[0][0] in ("haven line", "york new")
+
+
+# ------------------------------------------------------------ sentences
+
+
+def test_sentence_split(spark):
+    from pyspark.sql import functions as F
+
+    from aml_entity_resolution_assignment_spark.functions.text import (
+        sentence_split,
+        sentences_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world. This is fine! Is it? Yes."),
+            (2, 'He said "Stop!" Then left. (Really.) End'),
+            (3, "No terminal punctuation here"),
+            (4, "Trailing. "),
+            (5, ""),
+            (6, "Multi...   dots?! Mixed.Attached stays together."),
+        ],
+        "doc_id long, t string",
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", sentence_split(F.col("t")).alias("s")
+        ).collect()
+    }
+    assert got[1] == ["Hello world.", "This is fine!", "Is it?", "Yes."]
+    assert got[2] == ['He said "Stop!"', "Then left.", "(Really.)", "End"]
+    assert got[3] == ["No terminal punctuation here"]
+    assert got[4] == ["Trailing."]
+    assert got[5] == []
+    # punctuation runs split once; no-whitespace boundary does NOT split
+    assert got[6] == ["Multi...", "dots?!", "Mixed.Attached stays together."]
+    t = sentences_table(df, text_col="t")
+    rows = [tuple(r) for r in t.where("doc_id = 1").collect()]
+    assert rows == [
+        (1, 0, "Hello world.", 12),
+        (1, 1, "This is fine!", 13),
+        (1, 2, "Is it?", 6),
+        (1, 3, "Yes.", 4),
+    ]
