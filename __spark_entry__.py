@@ -2856,6 +2856,23 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(_docs(spark, sf_dir), min_count=5, k=20)
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting over the extracted host link
+    graph (operators/linkgraph.triangle_counts) — wedges only between
+    out-neighbors under the (degree, name) total order, one closure
+    join, each triangle found once at its least corner. The oracle
+    replays orientation, wedge, and closure as SQL CTEs."""
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        extract_links,
+        triangle_counts,
+    )
+
+    edges = extract_links(_link_pages(spark, sf_dir))
+    return triangle_counts(edges).select(
+        "host", F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key END-TO-END with a hard oracle:
     the 16-bit-per-dimension z-value over (user_id, value) that
@@ -3076,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "link_hits": q_link_hits,
         "label_prop": q_label_prop,
+        "triangles": q_triangles,
         "pack_sequences": q_pack_sequences,
         "surt_cdx": q_surt_cdx,
         "url_filter": q_url_filter,
@@ -4430,6 +4448,59 @@ def oracle_sql() -> dict[str, str]:
     select src_host, dst_host, count(*)::bigint as n_links
     from f where src_host <> '' and dst_host <> ''
     group by 1, 2
+    """
+
+    # triangles: same edge derivation, then degree orientation + wedge
+    # + closure — each triangle closes once at its least-(deg, name)
+    # corner, then explodes to its three corners
+    sql["triangles"] = f"""
+    with pages as ({_lg_pages}),
+    exploded as (
+      select {_lg_norm('url')} as src_host,
+             unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) as href
+      from pages
+    ),
+    f as (
+      select src_host, {_lg_norm('href')} as dst_host
+      from exploded where regexp_matches(href, '^https?://')
+    ),
+    und as (
+      select distinct least(src_host, dst_host) as x,
+                      greatest(src_host, dst_host) as y
+      from f
+      where src_host <> '' and dst_host <> '' and src_host <> dst_host
+    ),
+    deg as (
+      select n, count(*) as d from (
+        select x as n from und union all select y as n from und
+      ) group by n
+    ),
+    oriented as (
+      select case when dx.d < dy.d or (dx.d = dy.d and x < y)
+                  then x else y end as u,
+             case when dx.d < dy.d or (dx.d = dy.d and x < y)
+                  then y else x end as w,
+             case when dx.d < dy.d or (dx.d = dy.d and x < y)
+                  then dy.d else dx.d end as dw
+      from und
+      join deg dx on dx.n = und.x
+      join deg dy on dy.n = und.y
+    ),
+    wedges as (
+      select o1.u, o1.w as v, o2.w
+      from oriented o1 join oriented o2 using (u)
+      where o1.dw < o2.dw or (o1.dw = o2.dw and o1.w < o2.w)
+    ),
+    tri as (
+      select wedges.u, wedges.v, wedges.w
+      from wedges join oriented c on c.u = wedges.v and c.w = wedges.w
+    )
+    select host, count(*)::BIGINT as n_triangles
+    from (
+      select u as host from tri
+      union all select v from tri
+      union all select w from tri
+    ) group by host
     """
 
     _lg_links = " union all ".join(

@@ -364,3 +364,72 @@ def anchor_texts(
         .where(F.col("rank") <= k)
         .select("target_url", "anchor", "n", "rank")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph of
+    `edges` — the classic cohesion analytic (spam farms and mirror
+    rings are triangle-dense; organic link neighborhoods are sparse).
+
+    Scale shape: the DEGREE-ORIENTED node-iterator. Each undirected
+    edge is oriented from its lower-(degree, name) endpoint to the
+    higher one; wedges are generated only between a node's
+    OUT-neighbors, so a node contributes C(out_deg, 2) wedge pairs
+    with out-degree bounded by O(sqrt(m)) — the hub that would
+    generate deg^2 wedges under naive iteration generates almost
+    none. Closure is one equi-join back to the oriented edge set
+    (the ordering guarantees the closing edge, if present, is
+    oriented v->w). Every triangle is found exactly once, at its
+    least-(degree, name) corner. Three shuffles total: degree agg,
+    wedge self-join, closure join.
+
+    Returns (host, n_triangles) for nodes in >= 1 triangle."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("x").alias("n"))
+        .unionByName(und.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        und.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")),
+                 "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")),
+              "y")
+    )
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = e.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("w"),
+        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("dw"),
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("w").alias("v"), F.col("dw").alias("dv")
+    )
+    o2 = oriented.select("u", "w", "dw")
+    wedges = o1.join(o2, "u").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_triangles"))
+    )

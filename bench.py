@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "pmi_collocations",  # phrase mining: gram counts + TakeOrdered top-k
     "pagerank",  # 10 fused-job power iterations over the host graph
     "label_prop",  # 5-round community detection, two shuffles per round
+    "triangles",  # degree-oriented triangle counting (3 shuffles)
     "pack_sequences",  # distributed prefix sum + one-pass block shuffle
     "surt_cdx",
     "url_filter",

@@ -285,3 +285,65 @@ def test_anchor_texts_topk_ties_lexicographic(spark):
         (r["rank"], r["anchor"]) for r in anchor_texts(pages, k=2).collect()
     )
     assert rows == [(1, "aaa"), (2, "bbb")]
+
+
+# ------------------------------------------------------------ triangles
+
+
+def _tri_ref(edge_list):
+    """Brute-force per-node triangle counts."""
+    import itertools
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    counts = defaultdict(int)
+    nodes = sorted(adj)
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return dict(counts)
+
+
+def test_triangle_counts_vs_bruteforce(spark):
+    import random
+
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        triangle_counts,
+    )
+
+    rng = random.Random(11)
+    nodes = [f"h{i}" for i in range(18)]
+    edge_list = {(a, b) for a in nodes for b in nodes
+                 if a < b and rng.random() < 0.25}
+    # a hub connected to everything (exercises the degree orientation)
+    edge_list |= {("hub", n) for n in nodes}
+    # parallel + self + reversed edges must not change counts
+    rows = [(a, b) for a, b in edge_list]
+    rows += [(b, a) for a, b in list(edge_list)[:10]]
+    rows += [("h0", "h0"), ("hub", "hub")]
+    df = spark.createDataFrame(rows, "src_host string, dst_host string")
+    got = {
+        r["host"]: r["n_triangles"]
+        for r in triangle_counts(df).collect()
+    }
+    assert got == _tri_ref(edge_list)
+    assert "hub" in got  # the hub closes many triangles
+
+
+def test_triangle_counts_empty_and_acyclic(spark):
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        triangle_counts,
+    )
+
+    # a path graph has no triangles -> empty result
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "src_host string, dst_host string",
+    )
+    assert triangle_counts(df).count() == 0
