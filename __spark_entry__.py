@@ -2873,6 +2873,22 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the host link graph
+    (operators/linkgraph.random_walks): 4 hops, next hop =
+    content-hash uniform over the sorted out-neighbors — the oracle
+    replays every hop with md5_number_lower through chained CTEs."""
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        extract_links,
+        random_walks,
+    )
+
+    edges = extract_links(_link_pages(spark, sf_dir))
+    return random_walks(edges, length=4, seed=17).select(
+        "walk_id", F.col("step").cast("long").alias("step"), "node"
+    )
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key END-TO-END with a hard oracle:
     the 16-bit-per-dimension z-value over (user_id, value) that
@@ -3094,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "label_prop": q_label_prop,
         "triangles": q_triangles,
+        "random_walks": q_random_walks,
         "pack_sequences": q_pack_sequences,
         "surt_cdx": q_surt_cdx,
         "url_filter": q_url_filter,
@@ -4448,6 +4465,55 @@ def oracle_sql() -> dict[str, str]:
     select src_host, dst_host, count(*)::bigint as n_links
     from f where src_host <> '' and dst_host <> ''
     group by 1, 2
+    """
+
+    # random walks: hop t follows out-neighbor
+    # md5(walk_id#t|17) % outdeg in (partition by u order by v) rank
+    _rw_step = """
+    select s.walk_id, {t} as step, a.v as node
+    from {prev} s
+    join rwdeg d on d.u = s.node
+    join rwadj a on a.u = s.node
+     and a.nbr = (md5_number_lower(s.walk_id || '#{t}' || '|17')
+                    ::HUGEINT % d.outd)::INT
+    """
+    sql["random_walks"] = f"""
+    with pages as ({_lg_pages}),
+    exploded as (
+      select {_lg_norm('url')} as src_host,
+             unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) as href
+      from pages
+    ),
+    f as (
+      select src_host, {_lg_norm('href')} as dst_host
+      from exploded where regexp_matches(href, '^https?://')
+    ),
+    de as (
+      select distinct src_host as u, dst_host as v from f
+      where src_host <> '' and dst_host <> '' and src_host <> dst_host
+    ),
+    rwadj as (
+      select u, v,
+             (row_number() over (partition by u order by v) - 1)::INT
+               as nbr
+      from de
+    ),
+    rwdeg as (select u, count(*) as outd from rwadj group by u),
+    nodes as (
+      select distinct u from (
+        select u from rwadj union all select v as u from rwadj
+      )
+    ),
+    s0 as (select u as walk_id, 0 as step, u as node from nodes),
+    s1 as ({_rw_step.format(prev="s0", t=1)}),
+    s2 as ({_rw_step.format(prev="s1", t=2)}),
+    s3 as ({_rw_step.format(prev="s2", t=3)}),
+    s4 as ({_rw_step.format(prev="s3", t=4)})
+    select walk_id, step::BIGINT as step, node from (
+      select * from s0 union all select * from s1
+      union all select * from s2 union all select * from s3
+      union all select * from s4
+    )
     """
 
     # triangles: same edge derivation, then degree orientation + wedge

@@ -433,3 +433,71 @@ def triangle_counts(
         .groupBy("host")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    length: int = 4,
+    seed: int | str = 17,
+) -> DataFrame:
+    """Deterministic uniform random walks — the DeepWalk/node2vec
+    corpus generator (walks become the "sentences" a graph-embedding
+    model trains on). One walk starts at every node; at step t the
+    next hop is out-neighbor number
+        hash_u64(walk_id # t) mod out_degree(cur)
+    (content-hash uniform, operators/sampling.hash_u64), so the walk
+    set is identical across re-runs, partitionings, and engines — the
+    SQL twin replays every hop. Walks stop early at sinks.
+
+    Scale shape: neighbor indexing is one per-src window (bounded by
+    out-degree); each of the `length` steps is two equi-joins (degree,
+    indexed adjacency) chained lazily into one plan — the pagerank-
+    style fixed-iteration shape, no driver round-trips.
+
+    Returns (walk_id, step, node)."""
+    from pyspark.sql.window import Window
+
+    from .sampling import hash_u64
+
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy("v")
+    adj = adj.withColumn("nbr", F.row_number().over(w) - 1)
+    deg = adj.groupBy("u").agg(F.count("*").alias("outd"))
+    nodes = (
+        adj.select("u")
+        .unionByName(adj.select(F.col("v").alias("u")))
+        .distinct()
+    )
+    state = nodes.select(
+        F.col("u").alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("u").alias("node"),
+    )
+    out = state
+    for t in range(1, length + 1):
+        hop = F.pmod(
+            hash_u64(
+                F.concat_ws("#", F.col("walk_id"), F.lit(str(t))), seed
+            ),
+            F.col("outd").cast("decimal(20,0)"),
+        ).cast("int")
+        nxt = (
+            state.join(deg, state["node"] == deg["u"])
+            .select("walk_id", F.col("node").alias("_cur"), hop.alias("_i"))
+            .join(
+                adj,
+                (F.col("_cur") == adj["u"]) & (F.col("_i") == adj["nbr"]),
+            )
+            .select(
+                "walk_id", F.lit(t).alias("step"), F.col("v").alias("node")
+            )
+        )
+        out = out.unionByName(nxt)
+        state = nxt
+    return out

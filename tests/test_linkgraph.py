@@ -347,3 +347,53 @@ def test_triangle_counts_empty_and_acyclic(spark):
         "src_host string, dst_host string",
     )
     assert triangle_counts(df).count() == 0
+
+
+# ---------------------------------------------------------- random walks
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    import hashlib
+
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        random_walks,
+    )
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+        ("d", "a"), ("b", "a"), ("x", "a"),  # x: source-only node
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    rows = random_walks(df, length=3, seed=17).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+
+    def ref_hop(walk_id, t, cur):
+        nbrs = sorted(adj[cur])
+        hx = hashlib.md5(f"{walk_id}#{t}|17".encode()).hexdigest()
+        h = int("".join(hx[2 * i : 2 * i + 2] for i in range(15, 7, -1)), 16)
+        return nbrs[h % len(nbrs)]
+
+    # every node starts one walk; each hop matches the hash rule;
+    # walks follow real edges and stop at sinks
+    assert set(walks) == {"a", "b", "c", "d", "x"}
+    for wid, path in walks.items():
+        assert path[0] == wid
+        t = 1
+        cur = wid
+        while t in path:
+            assert path[t] in adj[cur]
+            assert path[t] == ref_hop(wid, t, cur)
+            cur = path[t]
+            t += 1
+        # stopped only at a sink or full length
+        assert t == 4 or cur not in adj
+
+    # partitioning invariance
+    rows8 = random_walks(df.repartition(8), length=3, seed=17).collect()
+    assert sorted(map(tuple, rows8)) == sorted(map(tuple, rows))
