@@ -2744,6 +2744,35 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-refresh change detection (operators/snapshots.py): the new
+    snapshot deterministically deletes every 11th doc, uppercases every
+    7th's text, and inserts shifted copies of every 13th; one
+    full-outer join + null-safe content hash classifies each changed
+    key. The oracle rebuilds both snapshots and replays the diff with
+    IS DISTINCT FROM."""
+    from aml_entity_resolution_assignment_spark.operators.snapshots import (
+        snapshot_diff,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    i = F.col("doc_id")
+    new = d.where(i % 11 != 0).select(
+        "doc_id",
+        F.when(i % 7 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    ).unionByName(
+        d.where(i % 13 == 0).select(
+            (i + 1000000).alias("doc_id"),
+            F.reverse(F.col("text")).alias("text"),
+            "lang",
+        )
+    )
+    return snapshot_diff(d, new, ["doc_id"], ["text", "lang"])
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch Lloyd's k-means (operators/ann.kmeans_lloyd) with
     fully replayable semantics: first-k-by-id init, squared-L2
@@ -3085,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentences": q_sentences,
         "weighted_sample": q_weighted_sample,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "snapshot_diff": q_snapshot_diff,
         "pii_redact": q_pii_redact,
         "html_main_text": q_html_main_text,
         "charset_decode": q_charset_decode,
@@ -5226,6 +5256,34 @@ def oracle_sql() -> dict[str, str]:
     # jsonl roundtrip: escaping must be lossless -> identity on documents
     sql["jsonl_roundtrip"] = """
     select doc_id, text, lang, source, n_chars from documents
+    """
+
+    # snapshot diff: IS DISTINCT FROM == the operator's null-safe hash
+    sql["snapshot_diff"] = """
+    with oldt as (select doc_id, text, lang from documents),
+    newt as (
+      select doc_id,
+             case when doc_id % 7 = 0 then upper(text) else text end
+               as text,
+             lang
+      from documents where doc_id % 11 <> 0
+      union all
+      select doc_id + 1000000, reverse(text), lang
+      from documents where doc_id % 13 = 0
+    ),
+    j as (
+      select coalesce(o.doc_id, n.doc_id) as doc_id,
+             case when n.doc_id is null then o.text else n.text end as text,
+             case when n.doc_id is null then o.lang else n.lang end as lang,
+             case when o.doc_id is null then 'insert'
+                  when n.doc_id is null then 'delete'
+                  when (o.text is distinct from n.text)
+                    or (o.lang is distinct from n.lang) then 'update'
+             end as change_type
+      from oldt o full outer join newt n on o.doc_id = n.doc_id
+    )
+    select doc_id, text, lang, change_type
+    from j where change_type is not null
     """
 
     # k-means: 3 unrolled Lloyd iterations as chained MATERIALIZED

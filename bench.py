@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "sentences",  # regexp sentence segmentation, JVM-only
     "weighted_sample",  # A-Res quality-weighted sampling (TakeOrdered)
     "jsonl_roundtrip",  # JSONL interchange write + explicit-schema read
+    "snapshot_diff",  # crawl-refresh change set: one full-outer join
     "bz2_lines",  # splittable bzip2 dump ingestion
     "wiki_pages",  # MediaWiki dump -> plain training text
     "wat_extract",  # WAT JSON metadata, JVM-side json-path
