@@ -2744,6 +2744,20 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/sketches.profile_columns) over
+    three documents columns — counts, nulls, string-cast min/max, and
+    the deterministic-HLL distinct estimate, all reproduced exactly
+    (estimate included) by the SQL twin."""
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        profile_columns,
+    )
+
+    return profile_columns(
+        _docs(spark, sf_dir), ["lang", "source", "n_chars"]
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-refresh change detection (operators/snapshots.py): the new
     snapshot deterministically deletes every 11th doc, uppercases every
@@ -3129,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "hll_distinct": q_hll_distinct,
+        "profile_columns": q_profile_columns,
         "cm_token_counts": q_cm_token_counts,
         "hist_quantiles": q_hist_quantiles,
         "bloom_filter": q_bloom_filter,
@@ -5257,6 +5272,39 @@ def oracle_sql() -> dict[str, str]:
     sql["jsonl_roundtrip"] = """
     select doc_id, text, lang, source, n_chars from documents
     """
+
+    # column profile: exact basics + the deterministic HLL estimate,
+    # one generated block per column
+    def _prof_block(c: str) -> str:
+        return f"""
+    select '{c}' as column,
+      (select count(*) from documents) as n_rows,
+      (select count(*) from documents where {c} is null) as n_nulls,
+      (select round(
+         case when (0.7213/(1+1.079/512))*512*512/(s + (512 - nset))
+                   <= 2.5*512 and (512 - nset) > 0
+              then 512.0 * ln(512.0 / (512 - nset))
+              else (0.7213/(1+1.079/512))*512*512/(s + (512 - nset)) end,
+         6)
+       from (
+         select count(*) as nset, sum(power(2.0, -mr)) as s from (
+           select (hv % 512) as register,
+                  max(case when (hv >> 9) > 0
+                           then 52 - length(bin(hv >> 9)) else 52 end) as mr
+           from (
+             select ('0x' || substr(md5(cast({c} as varchar)), 1, 15))
+                      ::UBIGINT as hv
+             from documents where {c} is not null
+           ) group by 1
+         )
+       )) as n_distinct_est,
+      (select min({c})::VARCHAR from documents) as min_str,
+      (select max({c})::VARCHAR from documents) as max_str
+    """
+
+    sql["profile_columns"] = " union all ".join(
+        _prof_block(c) for c in ("lang", "source", "n_chars")
+    )
 
     # snapshot diff: IS DISTINCT FROM == the operator's null-safe hash
     sql["snapshot_diff"] = """

@@ -335,3 +335,35 @@ def bloom_contains(
         .groupBy("value")
         .agg((F.min("_hit") == 1).alias("maybe_member"))
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str], p: int = HLL_P) -> DataFrame:
+    """One-stop column profiling — the data-quality report every
+    ingestion run files per partition: (column, n_rows, n_nulls,
+    n_distinct_est, min_str, max_str). Distinct counts come from the
+    deterministic HLL above, so the profile of a 10^12-row table costs
+    one scan + k tiny aggregations and the numbers are reproducible in
+    SQL (including the estimate). min/max are string-cast so one
+    schema fits every column type."""
+    spark = df.sparkSession
+    out = None
+    for c in cols:
+        base = df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.min(F.col(c)).cast("string").alias("min_str"),
+            F.max(F.col(c)).cast("string").alias("max_str"),
+        )
+        est = hll_distinct(df, c, p).select(
+            F.round("estimate", 6).alias("n_distinct_est")
+        )
+        row = (
+            base.crossJoin(F.broadcast(est))
+            .select(
+                F.lit(c).alias("column"),
+                "n_rows", "n_nulls", "n_distinct_est",
+                "min_str", "max_str",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

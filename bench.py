@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "robots",
     "bm25",
     "hist_quantiles",
+    "profile_columns",  # per-column quality report incl. HLL estimate
     "bloom_filter",  # mergeable bloom build + broadcast membership probe
     "zorder_events",  # Morton clustering key (codegen'd shift/mask)
     "events_window",

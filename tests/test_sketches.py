@@ -226,3 +226,29 @@ def test_bloom_rejects_bad_m(spark):
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_build(spark.range(1).selectExpr("cast(id as string) v"),
                     "v", m=100)
+
+
+# ---------------------------------------------------------------- profile
+
+
+def test_profile_columns(spark):
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "a", 7.5), (4, None, 5.0)],
+        "id long, s string, v double",
+    )
+    got = {r["column"]: r for r in profile_columns(df, ["id", "s", "v"]).collect()}
+    assert set(got) == {"id", "s", "v"}
+    for c in got:
+        assert got[c]["n_rows"] == 4
+    assert got["s"]["n_nulls"] == 1 and got["v"]["n_nulls"] == 1
+    assert got["id"]["n_nulls"] == 0
+    assert got["id"]["min_str"] == "1" and got["id"]["max_str"] == "4"
+    assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
+    assert got["v"]["min_str"] == "5.0" and got["v"]["max_str"] == "7.5"
+    # HLL on tiny cardinalities is the linear-counting branch: exact-ish
+    assert abs(got["s"]["n_distinct_est"] - 2) < 0.1
+    assert abs(got["id"]["n_distinct_est"] - 4) < 0.2
