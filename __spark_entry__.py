@@ -2744,6 +2744,41 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (operators/events.py):
+    stage i counts only strictly after stage i-1 — the oracle replays
+    the chained min-after-previous aggregations; stage times compare
+    exactly as epoch microseconds."""
+    from aml_entity_resolution_assignment_spark.operators.events import (
+        funnel,
+    )
+
+    out = funnel(_events(spark, sf_dir), ["view", "click", "purchase"])
+    return out.select(
+        F.col("user").alias("user_id"),
+        F.col("stages_reached").cast("long").alias("stages_reached"),
+        F.unix_micros(F.col("t_1").cast("timestamp")).alias("t1_us"),
+        F.unix_micros(F.col("t_2").cast("timestamp")).alias("t2_us"),
+        F.unix_micros(F.col("t_3").cast("timestamp")).alias("t3_us"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/events.py): cohort = first-
+    activity week (Monday-aligned date_trunc in both engines), distinct
+    users per (cohort, offset)."""
+    from aml_entity_resolution_assignment_spark.operators.events import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_events(spark, sf_dir)).select(
+        F.col("cohort_week").cast("date").cast("string")
+        .alias("cohort_week"),
+        "week_offset",
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators/sketches.profile_columns) over
     three documents columns — counts, nulls, string-cast min/max, and
@@ -3140,6 +3175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_join_agg": q_tpch_join_agg,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "hll_distinct": q_hll_distinct,
@@ -5271,6 +5308,47 @@ def oracle_sql() -> dict[str, str]:
     # jsonl roundtrip: escaping must be lossless -> identity on documents
     sql["jsonl_roundtrip"] = """
     select doc_id, text, lang, source, n_chars from documents
+    """
+
+    # funnel: chained min-after-previous; times as epoch micros
+    sql["funnel"] = """
+    with s1 as (
+      select user_id as u, min(ts) as t1 from events
+      where event_type = 'view' group by 1
+    ),
+    s2 as (
+      select e.user_id as u, min(e.ts) as t2
+      from events e join s1 on s1.u = e.user_id
+      where e.event_type = 'click' and e.ts > s1.t1 group by 1
+    ),
+    s3 as (
+      select e.user_id as u, min(e.ts) as t3
+      from events e join s2 on s2.u = e.user_id
+      where e.event_type = 'purchase' and e.ts > s2.t2 group by 1
+    )
+    select s1.u as user_id,
+           (1 + (t2 is not null)::INT + (t3 is not null)::INT)::BIGINT
+             as stages_reached,
+           epoch_us(t1) as t1_us, epoch_us(t2) as t2_us,
+           epoch_us(t3) as t3_us
+    from s1 left join s2 on s1.u = s2.u left join s3 on s1.u = s3.u
+    """
+
+    # cohort retention: Monday-aligned weeks in both engines
+    sql["cohort_retention"] = """
+    with first as (
+      select user_id as u, min(date_trunc('week', ts)) as cohort_week
+      from events group by 1
+    ),
+    act as (
+      select distinct user_id as u, date_trunc('week', ts) as wk
+      from events
+    )
+    select cast(cohort_week as varchar) as cohort_week,
+           (date_diff('day', cohort_week, wk) // 7)::BIGINT as week_offset,
+           count(distinct u)::BIGINT as n_users
+    from act join first using (u)
+    group by 1, 2
     """
 
     # column profile: exact basics + the deterministic HLL estimate,

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "zorder_events",  # Morton clustering key (codegen'd shift/mask)
     "events_window",
     "events_sessionize",
+    "funnel",  # ordered min-after-previous funnel (k-1 keyed rounds)
+    "cohort_retention",  # weekly cohorts, two keyed aggs + one join
     "tpch_pricing",
     "tpch_join_agg",
     # round-5 operators
