@@ -196,6 +196,28 @@ SECTIONS = [
         "bounded by per-target anchor fanout, never corpus-wide.",
     ),
     (
+        "snapshot_diff",
+        "Crawl-refresh change set: ONE full-outer SortMergeJoin on the "
+        "key; the null-safe md5 content hash is computed in each "
+        "side's scan projection, so change classification is a "
+        "codegen'd filter — O(changes) rows out, no column-by-column "
+        "comparator joins.",
+    ),
+    (
+        "funnel",
+        "Ordered funnel: k-1 chained (join + min-aggregation) rounds, "
+        "each keyed by user — per-user SCALARS shuffle between rounds, "
+        "never per-user event sorts; the step filters sit below every "
+        "join.",
+    ),
+    (
+        "random_walks",
+        "Deterministic random walks: per-hop plan is two equi-joins "
+        "(degree, indexed adjacency) chained lazily — the fixed-"
+        "iteration pagerank shape; the md5 hop hash is a codegen'd "
+        "expression.",
+    ),
+    (
         "charset_decode",
         "Charset sniff + transcode: a single ArrowEvalPython "
         "projection (bytes in, text+charset struct out) — no shuffle; "
