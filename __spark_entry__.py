@@ -5581,23 +5581,29 @@ def oracle_sql() -> dict[str, str]:
       from sdoc, unnest(generate_series(1, len(a) - 2)) as u(i)
       where len(a) >= 3
     ),
+    pd as (
+      select doc_id, tri, count(*) as k from pos group by 1, 2
+    ),
+    g as (
+      select distinct tri, bigp, big, unip, w from pos
+    ),
     sc as (
-      select p.doc_id,
+      select g.tri,
         ln(case when tc.c3 is not null then tc.c3::DOUBLE / bp.c2
                 when bg.c2 is not null then 0.4 * bg.c2 / up.c1
                 else 0.16 * (coalesce(uw.c1, 0) + 1)::DOUBLE
                        / (tot.n + tot.v) end) as ls
-      from pos p
-      left join tc on tc.g = p.tri
-      left join bc bp on bp.g = p.bigp
-      left join bc bg on bg.g = p.big
-      left join uc up on up.g = p.unip
-      left join uc uw on uw.g = p.w
+      from g
+      left join tc on tc.g = g.tri
+      left join bc bp on bp.g = g.bigp
+      left join bc bg on bg.g = g.big
+      left join uc up on up.g = g.unip
+      left join uc uw on uw.g = g.w
       cross join tot
     )
-    select doc_id, count(*)::BIGINT as n_scored,
-           round(avg(ls), 6) as lm_score
-    from sc group by doc_id
+    select doc_id, sum(k)::BIGINT as n_scored,
+           round(sum(k * ls) / sum(k), 6) as lm_score
+    from pd join sc using (tri) group by doc_id
     """
 
     # bloom: word = h >> 6, bit = h & 63, word value = 1 << bit (bit 63

@@ -275,32 +275,35 @@ def trigram_backoff_score(
     corpus (Wikipedia in CCNet) fitted once, and the backoff chain is
     what scores out-of-reference text.
 
-    Distributed shape: context tuples come from ONE array transform
-    per document (sequence + slice inside whole-stage codegen — no
-    window functions, no per-doc shuffle); uni/bi/tri count tables are
-    key-grouped aggregations over the same exploded grams; scoring is
-    five left equi-joins on gram keys (tri, bigram prefix, bigram,
-    unigram prefix, unigram) — all shuffle-partitioned by key, the
-    standard MapReduce n-gram-LM plan, skew-free because gram keys
-    fan out. No UDF anywhere.
+    Distributed shape: every backoff key (trigram, bigram prefix,
+    bigram, unigram prefix, target word) is a pure function of the
+    trigram string, so the position-scale data shuffles exactly ONCE —
+    a (doc, trigram) count aggregation — and the five left equi-joins
+    against the count tables run over the far smaller DISTINCT-trigram
+    table (Zipf: distinct grams ≪ positions at corpus scale). Per-doc
+    scores come back through one equi-join on the trigram key plus a
+    weighted mean — the standard MapReduce n-gram-LM plan, skew-free
+    because gram keys fan out. No UDF anywhere.
 
     Returns (id_col, n_scored, lm_score) — docs with < 3 tokens have
     no scorable position and are absent."""
     toks = word_tokens(F.col(text_col))
-    ctx = F.transform(
-        F.sequence(F.lit(3), F.size(toks)),
-        lambda i: F.struct(
-            F.array_join(F.slice(toks, i - 2, 3), " ").alias("tri"),
-            F.array_join(F.slice(toks, i - 2, 2), " ").alias("bigp"),
-            F.array_join(F.slice(toks, i - 1, 2), " ").alias("big"),
-            F.element_at(toks, i - 1).alias("unip"),
-            F.element_at(toks, i).alias("w"),
-        ),
-    )
-    pos = (
+    per_doc = (
         docs.where(F.size(toks) >= 3)
-        .select(F.col(id_col), F.explode(ctx).alias("c"))
-        .select(id_col, "c.tri", "c.bigp", "c.big", "c.unip", "c.w")
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), 3)).alias("tri"),
+        )
+        .groupBy(id_col, "tri")
+        .agg(F.count("*").alias("_k"))
+    )
+    parts = F.split(F.col("tri"), " ")
+    pos = per_doc.select("tri").distinct().select(
+        "tri",
+        F.array_join(F.slice(parts, 1, 2), " ").alias("bigp"),
+        F.array_join(F.slice(parts, 2, 2), " ").alias("big"),
+        parts.getItem(1).alias("unip"),
+        parts.getItem(2).alias("w"),
     )
     lm = lm_docs if lm_docs is not None else docs
     uni = (
@@ -351,12 +354,15 @@ def trigram_backoff_score(
             / (F.col("_n") + F.col("_v"))
         )
     )
+    scored = j.select("tri", F.log(s).alias("_ls"))
     return (
-        j.select(id_col, F.log(s).alias("_ls"))
+        per_doc.join(scored, "tri")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_scored"),
-            F.avg("_ls").alias("lm_score"),
+            F.sum("_k").alias("n_scored"),
+            (F.sum(F.col("_k") * F.col("_ls")) / F.sum("_k")).alias(
+                "lm_score"
+            ),
         )
     )
 
