@@ -2056,6 +2056,56 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "blocked_host", "n_banned", "keep")
 
 
+def q_etld1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """publicsuffix.org eTLD+1 extraction (operators/urls.py
+    registrable_domain — the "group pages by site" key for crawl
+    quotas and per-site rollups) with a hard oracle: a deterministic
+    host mix exercises every rule kind — normal (com), multi-label
+    (co.uk, ne.jp), wildcard (*.ck), exception (!www.ck), the default
+    rule '*' for unknown TLDs, and hosts that ARE a public suffix
+    (NULL domain). DuckDB replays the full algorithm: candidate-suffix
+    explode, rule-kind normalization, one key+slot join, and the
+    exception-beats-longest-match selection."""
+    from aml_entity_resolution_assignment_spark.operators.urls import (
+        registrable_domain,
+    )
+
+    i = F.col("doc_id")
+    host = (
+        F.when(i % 7 == 0, F.lit("www.ck"))
+        .when(
+            i % 7 == 1,
+            F.concat(
+                F.lit("p"), (i % 13).cast("string"),
+                F.lit(".a"), (i % 5).cast("string"),
+                F.lit(".example.co.uk"),
+            ),
+        )
+        .when(
+            i % 7 == 2,
+            F.concat(
+                F.lit("a"), (i % 11).cast("string"),
+                F.lit(".w"), (i % 4).cast("string"), F.lit(".ck"),
+            ),
+        )
+        .when(
+            i % 7 == 3,
+            F.concat(
+                F.lit("d"), (i % 17).cast("string"), F.lit(".example.com")
+            ),
+        )
+        .when(i % 7 == 4, F.lit("solo.unregistered"))
+        .when(i % 7 == 5, F.lit("co.uk"))
+        .otherwise(
+            F.concat(F.lit("s"), (i % 9).cast("string"), F.lit(".b.ne.jp"))
+        )
+    )
+    pages = _docs(spark, sf_dir).select("doc_id").withColumn("host", host)
+    return registrable_domain(pages, host_col="host").select(
+        "doc_id", "host", "public_suffix", "domain"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pretraining sequence packing: whitespace tokens + per-doc
     EOS, concatenated in doc_id order and cut into 256-token training
@@ -3196,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "surt_cdx": q_surt_cdx,
         "url_filter": q_url_filter,
+        "etld1": q_etld1,
         "robots": q_robots,
         "bm25": q_bm25,
         "lm_score": q_lm_score,
@@ -4467,6 +4518,86 @@ def oracle_sql() -> dict[str, str]:
                   + (case when contains(u, 'xxx') then 1 else 0 end)) <= 0
              as keep
     from f
+    """
+
+    # etld1: the publicsuffix.org algorithm replayed rule-for-rule —
+    # rule normalization (exception/wildcard/normal -> key+slot+ps),
+    # candidate-suffix explode over distinct hosts, one key+slot join,
+    # exception-beats-longest selection, default rule '*' fallback
+    sql["etld1"] = """
+    with rules(rule) as (values
+      ('com'),('org'),('net'),('io'),('gov'),('edu'),('info'),
+      ('uk'),('co.uk'),('gov.uk'),('ac.uk'),
+      ('jp'),('co.jp'),('ne.jp'),
+      ('au'),('com.au'),
+      ('ck'),('*.ck'),('!www.ck'),
+      ('jm'),('*.jm')),
+    rk as (
+      select case when rule like '!%' then substr(rule, 2)
+                  when rule like '*.%' then substr(rule, 3)
+                  else rule end as key,
+             case when rule like '*.%' then 'parent' else 'self' end as slot,
+             case when rule like '!%'
+                    then len(string_split(substr(rule, 2), '.')) - 1
+                  when rule like '*.%'
+                    then len(string_split(substr(rule, 3), '.')) + 1
+                  else len(string_split(rule, '.')) end as ps,
+             (case when rule like '!%' then 1 else 0 end) as exc
+      from rules
+    ),
+    hosts as materialized (
+      select doc_id,
+        case when doc_id % 7 = 0 then 'www.ck'
+             when doc_id % 7 = 1 then 'p' || (doc_id % 13) || '.a'
+                                      || (doc_id % 5) || '.example.co.uk'
+             when doc_id % 7 = 2 then 'a' || (doc_id % 11) || '.w'
+                                      || (doc_id % 4) || '.ck'
+             when doc_id % 7 = 3 then 'd' || (doc_id % 17) || '.example.com'
+             when doc_id % 7 = 4 then 'solo.unregistered'
+             when doc_id % 7 = 5 then 'co.uk'
+             else 's' || (doc_id % 9) || '.b.ne.jp' end as host
+      from documents
+    ),
+    dh as (
+      select host, string_split(host, '.') as labels
+      from (select distinct host from hosts)
+    ),
+    cand as (
+      select host, len(labels) as n,
+             array_to_string(labels[len(labels) - k + 1 :], '.') as key
+      from dh, unnest(generate_series(1, len(labels))) as u(k)
+    ),
+    tall as (
+      select host, n, key, 'self' as slot from cand
+      union all
+      select host, n, key, 'parent' as slot from cand
+    ),
+    hits as (
+      select t.host, r.ps, r.exc
+      from tall t join rk r on r.key = t.key and r.slot = t.slot
+      where r.ps <= t.n
+    ),
+    best as (
+      select host,
+             max(exc) as has_exc,
+             max(case when exc = 1 then ps end) as exc_ps,
+             max(case when exc = 0 then ps end) as norm_ps
+      from hits group by host
+    ),
+    res as (
+      select h.doc_id, h.host,
+             string_split(h.host, '.') as labels,
+             coalesce(case when b.has_exc = 1 then b.exc_ps end,
+                      b.norm_ps, 1) as psn
+      from hosts h left join best b on b.host = h.host
+    )
+    select doc_id, host,
+           array_to_string(labels[len(labels) - psn + 1 :], '.')
+             as public_suffix,
+           case when len(labels) > psn
+                then array_to_string(labels[len(labels) - psn :], '.') end
+             as domain
+    from res
     """
 
     sql["pack_sequences"] = """

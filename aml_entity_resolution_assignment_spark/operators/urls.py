@@ -137,3 +137,164 @@ def url_filter(
         )
         .drop("_h", "_blocked")
     )
+
+
+# A small in-repo snapshot of representative publicsuffix.org rules,
+# covering every rule KIND the algorithm distinguishes (normal,
+# multi-label, wildcard, exception). Production loads the full list:
+#   rules = spark.read.text("public_suffix_list.dat")
+#             .where(~F.col("value").startswith("//"))
+#             .where(F.trim("value") != "")
+# and passes it to registrable_domain — the algorithm is rule-driven,
+# nothing below is hard-coded to this snapshot.
+DEFAULT_PSL_RULES = [
+    "com", "org", "net", "io", "gov", "edu", "info",
+    "uk", "co.uk", "gov.uk", "ac.uk",
+    "jp", "co.jp", "ne.jp",
+    "au", "com.au",
+    "ck", "*.ck", "!www.ck",
+    "jm", "*.jm",
+]
+
+
+def registrable_domain(
+    pages: DataFrame,
+    rules: DataFrame | Iterable[str] | None = None,
+    url_col: str = "url",
+    host_col: str | None = None,
+) -> DataFrame:
+    """Add ``public_suffix`` and ``domain`` (eTLD+1) columns by the
+    publicsuffix.org algorithm — the standard "group pages by site"
+    key for crawl dedup quotas, per-site quality rollups, and robots
+    scoping (tldextract semantics, re-expressed as a broadcast rule
+    join).
+
+    Algorithm (https://publicsuffix.org/list/ §Algorithm): among all
+    matching rules take the exception rule if any (its suffix is the
+    rule minus its leftmost label), else the longest match, where a
+    wildcard ``*.B`` matches one label deeper than ``B``; no match
+    means the default rule ``*`` (the bare TLD). The registrable
+    domain is the public suffix plus one preceding label; hosts that
+    ARE a public suffix get ``domain = NULL``.
+
+    Distributed shape: DISTINCT hosts explode into their
+    O(label-count) suffix candidates; ONE equi-join against the
+    broadcast rule table (both exact-base and wildcard-parent keys
+    live in the same tall key table, so one hash join covers all
+    three rule kinds); a per-host max-aggregation picks the
+    prevailing rule; pages rejoin the host->suffix map with a plain
+    shuffle equi-join on the host key (host cardinality ≪ page
+    cardinality, but still corpus-derived — never broadcast). No UDF,
+    no window; the rule table is a few thousand rows broadcast once.
+    """
+    if rules is None:
+        rules = DEFAULT_PSL_RULES
+    spark = pages.sparkSession
+    if not isinstance(rules, DataFrame):
+        rules = spark.createDataFrame(
+            [(r,) for r in rules], "rule string"
+        )
+    r = F.lower(F.trim(F.col(rules.columns[0])))
+    kind = (
+        F.when(r.startswith("!"), F.lit("exc"))
+        .when(r.startswith("*."), F.lit("wild"))
+        .otherwise(F.lit("norm"))
+    )
+    base = (
+        F.when(r.startswith("!"), F.expr(f"substring({rules.columns[0]}, 2)"))
+        .when(r.startswith("*."), F.expr(f"substring({rules.columns[0]}, 3)"))
+        .otherwise(r)
+    )
+    base = F.lower(F.trim(base))
+    nb = F.size(F.split(base, r"\."))
+    # tall key table: (match key, key slot, public-suffix label count,
+    # exception flag). norm/exc match a candidate ON ITS OWN suffix
+    # string (slot "self"); wild matches a candidate whose PARENT (the
+    # candidate minus its leftmost label) equals the base (slot
+    # "parent"). ps label count: norm = nb, wild = nb + 1, exc = nb - 1.
+    rule_keys = rules.select(
+        base.alias("_key"),
+        F.when(kind == "wild", F.lit("parent"))
+        .otherwise(F.lit("self"))
+        .alias("_slot"),
+        F.when(kind == "wild", nb + 1)
+        .when(kind == "exc", nb - 1)
+        .otherwise(nb)
+        .alias("_ps"),
+        (kind == "exc").cast("int").alias("_exc"),
+    ).distinct()
+
+    host = (
+        F.col(host_col)
+        if host_col is not None
+        else norm_hostname(url_host(F.col(url_col)))
+    )
+    with_host = pages.withColumn("_host", F.lower(host))
+    labels = F.split(F.col("_host"), r"\.")
+    n = F.size(labels)
+    # every suffix of the host, with the key it occupies in each slot:
+    # the k-label suffix is its own "self" key and the (k+1)-label
+    # candidate's "parent" key.
+    cand = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda k: F.struct(
+                F.array_join(F.slice(labels, -k, k), ".").alias("_key"),
+                k.alias("_k"),
+            ),
+        )
+    )
+    tall = (
+        with_host.select("_host").distinct().select("_host", cand.alias("_c"))
+        .select("_host", "_c._key", "_c._k")
+        .select(
+            "_host",
+            "_key",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("self").alias("_slot"),
+                        F.col("_k").alias("_k"),
+                    ),
+                    F.struct(
+                        F.lit("parent").alias("_slot"),
+                        (F.col("_k") + 1).alias("_k"),
+                    ),
+                )
+            ).alias("_s"),
+        )
+        .select("_host", "_key", "_s._slot", F.col("_s._k").alias("_k"))
+    )
+    hits = tall.join(F.broadcast(rule_keys), ["_key", "_slot"]).where(
+        # a wildcard rule only matches when the one-deeper label exists
+        F.col("_ps") <= F.size(F.split(F.col("_host"), r"\."))
+    )
+    best = hits.groupBy("_host").agg(
+        F.max(F.col("_exc")).alias("_has_exc"),
+        F.max(F.when(F.col("_exc") == 1, F.col("_ps"))).alias("_exc_ps"),
+        F.max(F.when(F.col("_exc") == 0, F.col("_ps"))).alias("_norm_ps"),
+    )
+    # best is host-scale (corpus-derived, unbounded) — a plain shuffle
+    # equi-join on the host key, never a broadcast
+    resolved = with_host.join(best, "_host", "left").withColumn(
+        "_psn",
+        F.coalesce(
+            F.when(F.col("_has_exc") == 1, F.col("_exc_ps")),
+            F.col("_norm_ps"),
+            F.lit(1),  # default rule "*": the bare TLD
+        ),
+    )
+    hl = F.split(F.col("_host"), r"\.")
+    hn = F.size(hl)
+    ps = F.array_join(F.slice(hl, -F.col("_psn"), F.col("_psn")), ".")
+    dom = F.when(
+        hn > F.col("_psn"),
+        F.array_join(
+            F.slice(hl, -(F.col("_psn") + 1), F.col("_psn") + 1), "."
+        ),
+    )
+    return (
+        resolved.withColumn("public_suffix", ps)
+        .withColumn("domain", dom)
+        .drop("_host", "_has_exc", "_exc_ps", "_norm_ps", "_psn")
+    )

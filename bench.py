@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "pack_sequences",  # distributed prefix sum + one-pass block shuffle
     "surt_cdx",
     "url_filter",
+    "etld1",  # publicsuffix.org algorithm: suffix explode + broadcast rule join
     "robots",
     "bm25",
     "hist_quantiles",

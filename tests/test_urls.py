@@ -106,3 +106,77 @@ def test_url_filter_max_banned_threshold(spark):
 
 def test_url_filter_drops_nothing(spark):
     assert url_filter(_pages(spark), ["bad.com"], ["casino"]).count() == len(URLS)
+
+
+# ------------------------------------------------- registrable domain
+
+
+def test_registrable_domain_psl_vectors(spark):
+    """Pinned publicsuffix.org algorithm vectors: normal, multi-label,
+    wildcard, exception-overrides-wildcard, default rule, and
+    host-is-a-suffix NULLs."""
+    from aml_entity_resolution_assignment_spark.operators.urls import (
+        registrable_domain,
+    )
+
+    cases = [
+        ("a.example.com", "com", "example.com"),
+        ("example.com", "com", "example.com"),
+        ("com", "com", None),
+        ("b.shop.co.uk", "co.uk", "shop.co.uk"),
+        ("co.uk", "co.uk", None),
+        ("deep.sub.gov.uk", "gov.uk", "sub.gov.uk"),
+        ("x.foo.ck", "foo.ck", "x.foo.ck"),   # wildcard *.ck
+        ("foo.ck", "foo.ck", None),           # the wildcard suffix itself
+        ("www.ck", "ck", "www.ck"),           # exception !www.ck
+        ("a.www.ck", "ck", "www.ck"),         # exception beats wildcard
+        ("host.unknowntld", "unknowntld", "host.unknowntld"),  # rule "*"
+        ("unknowntld", "unknowntld", None),
+        ("a.b.ne.jp", "ne.jp", "b.ne.jp"),
+        ("UP.Example.COM", "com", "example.com"),  # case folding
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in cases], "h string")
+    got = {
+        r["h"]: (r["public_suffix"], r["domain"])
+        for r in registrable_domain(df, host_col="h").collect()
+    }
+    for h, ps, dom in cases:
+        assert got[h] == (ps, dom), h
+
+
+def test_registrable_domain_from_url_and_custom_rules(spark):
+    from aml_entity_resolution_assignment_spark.operators.urls import (
+        registrable_domain,
+    )
+
+    df = spark.createDataFrame(
+        [("https://www.a.b.mytld:8080/p?q=1",), ("http://only.mytld/",)],
+        "url string",
+    )
+    out = {
+        r["url"]: (r["public_suffix"], r["domain"])
+        for r in registrable_domain(df, rules=["mytld", "b.mytld"]).collect()
+    }
+    # www. is NOT stripped by the host normalizer here; it's a label
+    assert out["https://www.a.b.mytld:8080/p?q=1"] == ("b.mytld", "a.b.mytld")
+    assert out["http://only.mytld/"] == ("mytld", "only.mytld")
+
+
+def test_registrable_domain_partitioning_invariant(spark):
+    from aml_entity_resolution_assignment_spark.operators.urls import (
+        registrable_domain,
+    )
+
+    hosts = [(f"h{i}.d{i % 5}.example.com",) for i in range(40)] + [
+        (f"x{i}.w{i % 3}.ck",) for i in range(12)
+    ]
+    df = spark.createDataFrame(hosts, "h string")
+    a = {
+        (r["h"], r["public_suffix"], r["domain"])
+        for r in registrable_domain(df.repartition(1), host_col="h").collect()
+    }
+    b = {
+        (r["h"], r["public_suffix"], r["domain"])
+        for r in registrable_domain(df.repartition(8), host_col="h").collect()
+    }
+    assert a == b and len(a) == 52
