@@ -393,6 +393,33 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail buckets (operators/quality.py
+    score_buckets): per-LANGUAGE quantile thirds of the unigram-LM
+    quality score via the deterministic equi-width histogram closed
+    form (no approx_percentile), cut points broadcast back onto the
+    corpus. The DuckDB twin replays the LM score, the per-language
+    cumulative histogram, the max(ceil(q*n),1) target-rank
+    interpolation, and the strict-> bucket assignment."""
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        score_buckets,
+        unigram_logprob_score,
+    )
+
+    d = _docs(spark, sf_dir)
+    sc = unigram_logprob_score(d).select("doc_id", "logprob")
+    scored = d.select("doc_id", "lang").join(sc, "doc_id")
+    out = score_buckets(
+        scored, "logprob", "lang", lo=-16.0, hi=0.0, bins=64
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round("logprob", 6).alias("lm_score"),
+        "bucket",
+    )
+
+
 def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level B-cubed P/R/F1 of the chain-CC clustering against
     `source` as ground truth — three key-grouped aggregations, no
@@ -3250,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots": q_robots,
         "bm25": q_bm25,
         "lm_score": q_lm_score,
+        "ppl_buckets": q_ppl_buckets,
         "trigram_lm": q_trigram_lm,
         "tfidf": q_tfidf,
         # dedup / ANN
@@ -3805,6 +3833,60 @@ def oracle_sql() -> dict[str, str]:
     select doc_id, cast(count(*) as bigint) as n_tokens,
            round(avg(v), 6) as logprob
     from lp group by doc_id
+    """
+
+    # ppl_buckets: the lm_score twin feeding a per-language equi-width
+    # histogram (lo=-16, hi=0, 64 bins, width=0.25); cut points by the
+    # max(ceil(q*n),1) target-rank interpolation; strict-> assignment
+    sql["ppl_buckets"] = """
+    with tok as (
+      select doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as t
+      from documents where trim(text) <> ''
+    ),
+    lm as (select t, count(*) as cnt from tok group by t),
+    tot as (select sum(cnt) as total, count(*) as vocab from lm),
+    lp as (
+      select tok.doc_id,
+             ln((lm.cnt + 1.0) / (tot.total + 1.0 * tot.vocab)) as v
+      from tok join lm using (t), tot
+    ),
+    sc as (select doc_id, avg(v) as s from lp group by doc_id),
+    ds as materialized (
+      select d.doc_id, d.lang, sc.s
+      from documents d join sc using (doc_id)
+    ),
+    h as (
+      select lang,
+             least(greatest(floor((s + 16.0) / 0.25), 0), 63)::int as b,
+             count(*) as cnt
+      from ds group by 1, 2
+    ),
+    c as (
+      select lang, b, cnt,
+             sum(cnt) over (partition by lang order by b) as cum,
+             sum(cnt) over (partition by lang) as n
+      from h
+    ),
+    cuts as (
+      select lang, q.qi,
+             -16.0 + 0.25 * (b + (greatest(ceil(q.q * n), 1)
+                                  - (cum - cnt)) / cnt) as cut
+      from c, (values (0, 1.0/3.0), (1, 2.0/3.0)) q(qi, q)
+      where greatest(ceil(q.q * n), 1) > cum - cnt
+        and greatest(ceil(q.q * n), 1) <= cum
+    ),
+    p as (
+      select lang,
+             max(case when qi = 0 then cut end) as c0,
+             max(case when qi = 1 then cut end) as c1
+      from cuts group by lang
+    )
+    select ds.doc_id, ds.lang, round(ds.s, 6) as lm_score,
+           case when ds.s > p.c1 then 'head'
+                when ds.s > p.c0 then 'middle'
+                else 'tail' end as bucket
+    from ds join p using (lang)
     """
 
     sql["bcubed"] = """

@@ -423,3 +423,97 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), F.col("bigram"))
         .limit(k)
     )
+
+
+def score_buckets(
+    docs: DataFrame,
+    score_col: str,
+    group_col: str,
+    fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    lo: float = -16.0,
+    hi: float = 0.0,
+    bins: int = 256,
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+) -> DataFrame:
+    """CCNet-style per-group quality buckets (Wenzek et al. 2019):
+    split each group (language, in CCNet) into quantile buckets of a
+    quality score — the classic head/middle/tail partition that
+    downstream training mixes sample from at different rates. Higher
+    score = better = later label; a document whose score exceeds the
+    group's q-th cut point lands in the bucket above it (strict >, so
+    ties go down — fixed, and replayed identically by the SQL twin).
+
+    Cut points come from the same deterministic equi-width histogram
+    closed form as sketches.histogram_quantiles, computed PER GROUP:
+    target rank = max(ceil(q*n), 1); cut = lo + width * (bucket +
+    (target - cum_before)/cnt) inside the first bucket whose
+    cumulative count reaches the target. Deterministic and mergeable,
+    unlike approx_percentile. Scores outside [lo, hi] clamp into the
+    edge buckets, so no row is dropped; NULL scores get a NULL bucket.
+
+    Distributed shape: ONE groupBy(group, bucket) aggregation (<= bins
+    rows per group — the whole histogram table is tiny), per-group
+    cumulative windows over those <= bins rows, and a BROADCAST join
+    of the per-group cut points back onto the corpus — the group
+    column must be low-cardinality (languages, sources, shards; ~10^2
+    values), which is exactly the CCNet setting. The corpus itself
+    never shuffles."""
+    from pyspark.sql.window import Window
+
+    if sorted(fractions) != list(fractions) or len(labels) != len(
+        fractions
+    ) + 1:
+        raise ValueError("fractions must be sorted; need len(labels) == "
+                         "len(fractions) + 1")
+    if bins <= 0 or not hi > lo:
+        raise ValueError("need bins > 0 and hi > lo")
+    width = (hi - lo) / bins
+    s = F.col(score_col).cast("double")
+    b = F.floor((s - F.lit(lo)) / F.lit(width))
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
+    hist = (
+        docs.where(s.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"), b.alias("_b"))
+        .agg(F.count("*").alias("_cnt"))
+    )
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        hist.withColumn("_cum", F.sum("_cnt").over(wcum))
+        .withColumn("_n", F.sum("_cnt").over(Window.partitionBy("_g")))
+        .withColumn("_before", F.col("_cum") - F.col("_cnt"))
+    )
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, float(q)) for i, q in enumerate(fractions)], "_qi int, _q double"
+    )
+    target = F.greatest(F.ceil(F.col("_q") * F.col("_n")), F.lit(1))
+    cutv = F.lit(lo) + F.lit(width) * (
+        F.col("_b") + (target - F.col("_before")) / F.col("_cnt")
+    )
+    cuts = (
+        F.broadcast(qdf)
+        .join(cum, (target > F.col("_before")) & (target <= F.col("_cum")))
+        .groupBy("_g")
+        .agg(
+            *[
+                F.max(F.when(F.col("_qi") == i, cutv)).alias(f"_cut{i}")
+                for i in range(len(fractions))
+            ]
+        )
+    )
+    out = docs.join(
+        F.broadcast(cuts), docs[group_col] == cuts["_g"], "left"
+    ).drop("_g")
+    label = F.lit(labels[0])
+    for i in range(len(fractions)):
+        label = F.when(s > F.col(f"_cut{i}"), F.lit(labels[i + 1])).otherwise(
+            label
+        )
+    label = F.when(s.isNull(), F.lit(None).cast("string")).otherwise(label)
+    return out.withColumn("bucket", label).drop(
+        *[f"_cut{i}" for i in range(len(fractions))]
+    )

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "cc_incremental",
     "dedup_keep_best",
     "lm_score",
+    "ppl_buckets",  # CCNet head/middle/tail: per-lang histogram cuts, broadcast back
     "trigram_lm",  # stupid-backoff trigram LM (5 gram-keyed joins)
     "tfidf",
     "bcubed",

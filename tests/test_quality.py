@@ -400,3 +400,79 @@ def test_sentence_split(spark):
         (1, 2, "Is it?", 6),
         (1, 3, "Yes.", 4),
     ]
+
+
+# ------------------------------------------------------- score buckets
+
+
+def _ref_cuts(vals, fracs, lo, hi, bins):
+    """Replay the closed-form histogram cut points in plain Python."""
+    import math
+
+    width = (hi - lo) / bins
+    hist = {}
+    for v in vals:
+        b = min(bins - 1, max(0, int(math.floor((v - lo) / width))))
+        hist[b] = hist.get(b, 0) + 1
+    n = len(vals)
+    cuts = []
+    for q in fracs:
+        target = max(math.ceil(q * n), 1)
+        cum = 0
+        for b in sorted(hist):
+            if cum < target <= cum + hist[b]:
+                cuts.append(lo + width * (b + (target - cum) / hist[b]))
+                break
+            cum += hist[b]
+    return cuts
+
+
+def test_score_buckets_matches_closed_form(spark):
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        score_buckets,
+    )
+
+    rows = []
+    for g, base in (("en", -9.0), ("de", -5.0)):
+        rows += [(g, i, base + (i * 7 % 30) / 10.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "lang string, i long, s double")
+    out = score_buckets(
+        df, "s", "lang", lo=-16.0, hi=0.0, bins=64
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["lang"], []).append(r)
+    for g, base in (("en", -9.0), ("de", -5.0)):
+        vals = [base + (i * 7 % 30) / 10.0 for i in range(30)]
+        c1, c2 = _ref_cuts(vals, [1 / 3, 2 / 3], -16.0, 0.0, 64)
+        for r in by_g[g]:
+            want = "head" if r["s"] > c2 else ("middle" if r["s"] > c1 else "tail")
+            assert r["bucket"] == want, (g, r["s"], c1, c2)
+    # roughly-equal thirds per group
+    from collections import Counter
+
+    for g in ("en", "de"):
+        counts = Counter(r["bucket"] for r in by_g[g])
+        assert set(counts) == {"head", "middle", "tail"}
+        assert max(counts.values()) - min(counts.values()) <= 4
+
+
+def test_score_buckets_null_and_invariance(spark):
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        score_buckets,
+    )
+
+    rows = [("en", i, float(-i % 11) - 1.0) for i in range(40)] + [
+        ("en", 99, None)
+    ]
+    df = spark.createDataFrame(rows, "lang string, i long, s double")
+    a = {
+        (r["i"], r["bucket"])
+        for r in score_buckets(df.repartition(1), "s", "lang").collect()
+    }
+    b = {
+        (r["i"], r["bucket"])
+        for r in score_buckets(df.repartition(8), "s", "lang").collect()
+    }
+    assert a == b
+    assert (99, None) in a
