@@ -420,6 +420,27 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.py dsir_weights,
+    Xie et al. 2023): every document scored by the log-likelihood
+    ratio of its hashed uni+bigram bag under a target subset (every
+    5th doc) vs the raw corpus, 4096 md5 buckets, add-1 smoothing.
+    The DuckDB twin replays the md5_number_lower bucket hash, both
+    count tables, and the per-gram log arithmetic exactly."""
+    from aml_entity_resolution_assignment_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    d = _docs(spark, sf_dir)
+    target = d.where(F.col("doc_id") % 5 == 0)
+    out = dsir_weights(d, target, buckets=4096)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long"),
+        F.round("log_weight", 6).alias("log_weight"),
+    )
+
+
 def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level B-cubed P/R/F1 of the chain-CC clustering against
     `source` as ground truth — three key-grouped aggregations, no
@@ -3278,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "lm_score": q_lm_score,
         "ppl_buckets": q_ppl_buckets,
+        "dsir": q_dsir,
         "trigram_lm": q_trigram_lm,
         "tfidf": q_tfidf,
         # dedup / ANN
@@ -3887,6 +3909,42 @@ def oracle_sql() -> dict[str, str]:
                 when ds.s > p.c0 then 'middle'
                 else 'tail' end as bucket
     from ds join p using (lang)
+    """
+
+    # dsir: hashed uni+bigram bag, md5_number_lower % 4096 buckets,
+    # add-1 smoothed target/raw count tables, per-gram log-ratio sum
+    sql["dsir"] = """
+    with raw as materialized (
+      select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as a
+      from documents where trim(text) <> ''
+    ),
+    allg as materialized (
+      select doc_id, g from (
+        select doc_id, unnest(a) as g from raw
+        union all
+        select doc_id, a[i] || ' ' || a[i+1] as g
+        from raw, unnest(generate_series(1, len(a) - 1)) as u(i)
+      ) where g <> ''
+    ),
+    rg as materialized (
+      select doc_id,
+             (md5_number_lower(g || '|17') % 4096)::int as b
+      from allg
+    ),
+    p as (
+      select (md5_number_lower(g || '|17') % 4096)::int as b,
+             count(*) as cp
+      from allg where doc_id % 5 = 0 group by 1
+    ),
+    q as (select b, count(*) as cq from rg group by b),
+    np as (select sum(cp) as np from p),
+    nq as (select sum(cq) as nq from q)
+    select doc_id, count(*)::bigint as n_grams,
+           round(sum(ln(coalesce(p.cp, 0) + 1.0) - ln(np.np + 4096.0)
+                   - ln(coalesce(q.cq, 0) + 1.0) + ln(nq.nq + 4096.0)),
+                 6) as log_weight
+    from rg left join p using (b) left join q using (b), np, nq
+    group by doc_id
     """
 
     sql["bcubed"] = """

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "lm_score",
     "ppl_buckets",  # CCNet head/middle/tail: per-lang histogram cuts, broadcast back
+    "dsir",  # hashed-ngram importance weights: two bounded count tables, one shuffle
     "trigram_lm",  # stupid-backoff trigram LM (5 gram-keyed joins)
     "tfidf",
     "bcubed",

@@ -212,3 +212,93 @@ def test_jsonl_roundtrip(spark, tmp_path):
     # schema is explicit: extra fields in the file are simply pruned
     back2 = read_jsonl(spark, p, "id long, t string")
     assert back2.columns == ["id", "t"]
+
+
+# ------------------------------------------------------- DSIR weights
+
+
+def _dsir_ref(raw, target, B=64, a=1.0):
+    """Plain-Python replay of the hashed-n-gram importance weight."""
+    import hashlib
+    import math
+
+    def h64(g, seed="17"):
+        d = hashlib.md5((g + "|" + seed).encode()).digest()
+        return int.from_bytes(d[8:16], "little")
+
+    def grams(text):
+        toks = text.strip().lower().split()
+        return toks + [
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        ]
+
+    cp, cq = {}, {}
+    for _, t in target:
+        for g in grams(t):
+            cp[h64(g) % B] = cp.get(h64(g) % B, 0) + 1
+    for _, t in raw:
+        for g in grams(t):
+            cq[h64(g) % B] = cq.get(h64(g) % B, 0) + 1
+    np_, nq_ = sum(cp.values()), sum(cq.values())
+    out = {}
+    for did, t in raw:
+        gs = grams(t)
+        w = sum(
+            math.log(cp.get(h64(g) % B, 0) + a)
+            - math.log(np_ + a * B)
+            - math.log(cq.get(h64(g) % B, 0) + a)
+            + math.log(nq_ + a * B)
+            for g in gs
+        )
+        out[did] = (len(gs), w)
+    return out
+
+
+def test_dsir_weights_match_reference(spark):
+    from aml_entity_resolution_assignment_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    raw = [
+        (1, "the cat sat on the mat"),
+        (2, "zork blap vree qux nim"),
+        (3, "the dog ran to the park"),
+        (4, "cat mat the sat"),
+    ]
+    target = [(10, "the cat and the dog"), (11, "a cat sat near the mat")]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    want = _dsir_ref(raw, target)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_weights(rdf, tdf, buckets=64).collect()
+    }
+    assert set(got) == set(want)
+    for did, (n, w) in want.items():
+        assert got[did][0] == n
+        assert abs(got[did][1] - w) < 1e-9, did
+    # target-overlapping prose outscores gibberish
+    assert got[1][1] > got[2][1]
+
+
+def test_dsir_weights_partitioning_invariant_and_empty_absent(spark):
+    from aml_entity_resolution_assignment_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    raw = [(i, f"tok{i % 7} tok{i % 5} shared words here") for i in range(24)]
+    raw.append((99, "   "))  # no grams -> absent
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(
+        [(0, "shared words here often")], "doc_id long, text string"
+    )
+    a = {
+        (r["doc_id"], r["n_grams"], round(r["log_weight"], 9))
+        for r in dsir_weights(rdf.repartition(1), tdf, buckets=32).collect()
+    }
+    b = {
+        (r["doc_id"], r["n_grams"], round(r["log_weight"], 9))
+        for r in dsir_weights(rdf.repartition(8), tdf, buckets=32).collect()
+    }
+    assert a == b and len(a) == 24
+    assert 99 not in {t[0] for t in a}
