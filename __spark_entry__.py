@@ -441,6 +441,32 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/ann.py margin_mine,
+    Artetxe & Schwenk 2019): even vec_ids play source language, odd
+    vec_ids target; ratio margin over k=4 NN means, mutual-best pairs
+    kept. All-pairs baseline at oracle scale (the operator takes an
+    LSH/IVF candidate set for the 10^9-vector path); DuckDB replays
+    cosine (::DOUBLE[]), both k-NN mean windows, the margin, and the
+    mutual row_number checks."""
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        margin_mine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    xs = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 1000))
+    ys = emb.where(F.col("vec_id") % 2 == 1)
+    out = margin_mine(xs, ys, k=4)
+    return out.select(
+        "x_id",
+        "y_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("margin", 6).alias("margin"),
+    )
+
+
 def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level B-cubed P/R/F1 of the chain-CC clustering against
     `source` as ground truth — three key-grouped aggregations, no
@@ -3300,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "ppl_buckets": q_ppl_buckets,
         "dsir": q_dsir,
+        "bitext_mine": q_bitext_mine,
         "trigram_lm": q_trigram_lm,
         "tfidf": q_tfidf,
         # dedup / ANN
@@ -3945,6 +3972,51 @@ def oracle_sql() -> dict[str, str]:
                  6) as log_weight
     from rg left join p using (b) left join q using (b), np, nq
     group by doc_id
+    """
+
+    # bitext_mine: ratio margin + mutual-best, cosine on ::DOUBLE[]
+    sql["bitext_mine"] = """
+    with x as (
+      select vec_id as x_id, embedding::DOUBLE[] as e
+      from embeddings where vec_id % 2 = 0 and vec_id < 1000
+    ),
+    y as (
+      select vec_id as y_id, embedding::DOUBLE[] as e
+      from embeddings where vec_id % 2 = 1
+    ),
+    s as materialized (
+      select x.x_id, y.y_id, list_cosine_similarity(x.e, y.e) as c
+      from x, y
+    ),
+    mx as (
+      select x_id, avg(c) as mx from (
+        select x_id, c,
+               row_number() over (partition by x_id
+                                  order by c desc, y_id) as r
+        from s) where r <= 4 group by x_id
+    ),
+    my as (
+      select y_id, avg(c) as my from (
+        select y_id, c,
+               row_number() over (partition by y_id
+                                  order by c desc, x_id) as r
+        from s) where r <= 4 group by y_id
+    ),
+    m as materialized (
+      select s.x_id, s.y_id, s.c,
+             s.c / ((mx.mx + my.my) / 2) as mg
+      from s join mx using (x_id) join my using (y_id)
+    ),
+    b as (
+      select *,
+             row_number() over (partition by x_id
+                                order by mg desc, y_id) as fr,
+             row_number() over (partition by y_id
+                                order by mg desc, x_id) as br
+      from m
+    )
+    select x_id, y_id, round(c, 6) as cosine, round(mg, 6) as margin
+    from b where fr = 1 and br = 1
     """
 
     sql["bcubed"] = """

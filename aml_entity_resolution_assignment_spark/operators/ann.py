@@ -802,3 +802,96 @@ def kmeans_lloyd(
         f"cell int, centroid array<double>",
     )
     return assignments, cent_df
+
+
+def margin_mine(
+    xs: DataFrame,
+    ys: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
+    CCMatrix parallel-corpus miner): score every candidate cross-
+    lingual pair by the RATIO margin
+
+        margin(x, y) = cos(x, y)
+                     / ((mean_k cos(x, NN_k(x)) + mean_k cos(y, NN_k(y))) / 2)
+
+    (each side's k-NN mean is over its candidates on the OTHER side),
+    then keep pairs that are MUTUAL margin-best — x's best y is also
+    y's best x — the 'max' strategy of the paper. The margin
+    normalizes away hubness: a vector that is close to everything has
+    a high k-NN mean and therefore needs an unusually high cosine to
+    clear it.
+
+    `candidates` bounds the scored pairs as an (x id, y id) table —
+    at 10^9 × 10^9 this MUST be the LSH/IVF candidate set
+    (lsh_near_dup_pairs / ivf_topk buckets); the default all-pairs
+    cross join is the documented oracle-exact baseline for bounded
+    inputs only. Given candidates, every step is candidate-scale:
+    per-side k-NN means are windows partitioned by one id (bounded by
+    per-vector candidate fanout, never corpus-wide), the mutual check
+    is two row_number windows + one self-join on the pair key.
+
+    Returns (x id AS x_id, y id AS y_id, cosine, margin), one row per
+    mutual-best pair, margin/cosine unrounded."""
+    xv = xs.select(
+        F.col(id_col).alias("x_id"), F.col(vec_col).alias("_xv")
+    )
+    yv = ys.select(
+        F.col(id_col).alias("y_id"), F.col(vec_col).alias("_yv")
+    )
+    if candidates is None:
+        pairs = xv.crossJoin(yv)
+    else:
+        pairs = (
+            candidates.select("x_id", "y_id")
+            .distinct()
+            .join(xv, "x_id")
+            .join(yv, "y_id")
+        )
+    scored = pairs.select(
+        "x_id",
+        "y_id",
+        cosine_similarity_col(F.col("_xv"), F.col("_yv")).alias("cosine"),
+    )
+    wx = Window.partitionBy("x_id").orderBy(
+        F.desc("cosine"), F.asc("y_id")
+    )
+    wy = Window.partitionBy("y_id").orderBy(
+        F.desc("cosine"), F.asc("x_id")
+    )
+    mx = (
+        scored.withColumn("_r", F.row_number().over(wx))
+        .where(F.col("_r") <= k)
+        .groupBy("x_id")
+        .agg(F.avg("cosine").alias("_mx"))
+    )
+    my = (
+        scored.withColumn("_r", F.row_number().over(wy))
+        .where(F.col("_r") <= k)
+        .groupBy("y_id")
+        .agg(F.avg("cosine").alias("_my"))
+    )
+    m = (
+        scored.join(mx, "x_id")
+        .join(my, "y_id")
+        .withColumn(
+            "margin",
+            F.col("cosine") / ((F.col("_mx") + F.col("_my")) / 2),
+        )
+    )
+    fwd = Window.partitionBy("x_id").orderBy(
+        F.desc("margin"), F.asc("y_id")
+    )
+    bwd = Window.partitionBy("y_id").orderBy(
+        F.desc("margin"), F.asc("x_id")
+    )
+    best = (
+        m.withColumn("_fr", F.row_number().over(fwd))
+        .withColumn("_br", F.row_number().over(bwd))
+        .where((F.col("_fr") == 1) & (F.col("_br") == 1))
+    )
+    return best.select("x_id", "y_id", "cosine", "margin")

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "lm_score",
     "ppl_buckets",  # CCNet head/middle/tail: per-lang histogram cuts, broadcast back
     "dsir",  # hashed-ngram importance weights: two bounded count tables, one shuffle
+    "bitext_mine",  # ratio-margin mutual-best mining over candidate pairs
     "trigram_lm",  # stupid-backoff trigram LM (5 gram-keyed joins)
     "tfidf",
     "bcubed",

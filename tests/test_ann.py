@@ -494,3 +494,90 @@ def test_kmeans_partitioning_invariant(spark):
     a1, _ = kmeans_lloyd(df.repartition(1), k=5, iterations=3)
     a8, _ = kmeans_lloyd(df.repartition(8), k=5, iterations=3)
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a8.collect()))
+
+
+# ------------------------------------------------- margin bitext mining
+
+
+def _margin_ref(xs, ys, k):
+    """Plain-Python ratio-margin mutual-best replay."""
+    import math
+
+    def cos(a, b):
+        d = sum(p * q for p, q in zip(a, b))
+        na = math.sqrt(sum(p * p for p in a))
+        nb = math.sqrt(sum(q * q for q in b))
+        return d / (na * nb)
+
+    c = {(xi, yi): cos(xv, yv) for xi, xv in xs for yi, yv in ys}
+    mx = {
+        xi: sum(sorted((c[(xi, yi)] for yi, _ in ys), reverse=True)[:k])
+        / min(k, len(ys))
+        for xi, _ in xs
+    }
+    my = {
+        yi: sum(sorted((c[(xi, yi)] for xi, _ in xs), reverse=True)[:k])
+        / min(k, len(xs))
+        for yi, _ in ys
+    }
+    mg = {p: c[p] / ((mx[p[0]] + my[p[1]]) / 2) for p in c}
+    out = []
+    for xi, _ in xs:
+        best_y = max((yi for yi, _ in ys), key=lambda yi: (mg[(xi, yi)], -yi))
+        best_x = max((xj for xj, _ in xs), key=lambda xj: (mg[(xj, best_y)], -xj))
+        if best_x == xi:
+            out.append((xi, best_y, c[(xi, best_y)], mg[(xi, best_y)]))
+    return out
+
+
+def test_margin_mine_matches_reference_and_suppresses_hubs(spark):
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        margin_mine,
+    )
+
+    # y20 is a HUB (close to every x); per-pair true matches x_i ~ y_i
+    xs = [(i, [1.0 if j == i else 0.1 for j in range(6)]) for i in range(4)]
+    ys = [(i + 10, [1.0 if j == i else 0.12 for j in range(6)]) for i in range(4)]
+    ys.append((20, [0.5] * 6))
+    xdf = spark.createDataFrame(xs, "vec_id long, embedding array<double>")
+    ydf = spark.createDataFrame(ys, "vec_id long, embedding array<double>")
+    got = {
+        (r["x_id"], r["y_id"]): (r["cosine"], r["margin"])
+        for r in margin_mine(xdf, ydf, k=3).collect()
+    }
+    want = {(a, b): (cc, mm) for a, b, cc, mm in _margin_ref(xs, ys, 3)}
+    assert set(got) == set(want)
+    for p, (cc, mm) in want.items():
+        assert abs(got[p][0] - cc) < 1e-9 and abs(got[p][1] - mm) < 1e-9
+    # every mined pair is the planted diagonal, never the hub
+    assert all(y == x + 10 for x, y in got)
+
+
+def test_margin_mine_candidates_and_invariance(spark):
+    from aml_entity_resolution_assignment_spark.operators.ann import (
+        margin_mine,
+    )
+
+    xs = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(12)]
+    ys = [(i + 100, [float((i * 5 + j * 2) % 13) for j in range(8)]) for i in range(12)]
+    xdf = spark.createDataFrame(xs, "vec_id long, embedding array<double>")
+    ydf = spark.createDataFrame(ys, "vec_id long, embedding array<double>")
+    a = {
+        (r["x_id"], r["y_id"], round(r["margin"], 9))
+        for r in margin_mine(xdf.repartition(1), ydf.repartition(1), k=4).collect()
+    }
+    b = {
+        (r["x_id"], r["y_id"], round(r["margin"], 9))
+        for r in margin_mine(xdf.repartition(8), ydf.repartition(5), k=4).collect()
+    }
+    assert a == b and len(a) >= 1
+    # restricting candidates to the full grid reproduces the baseline
+    cand = spark.createDataFrame(
+        [(x, y + 100) for x in range(12) for y in range(12)],
+        "x_id long, y_id long",
+    )
+    c = {
+        (r["x_id"], r["y_id"], round(r["margin"], 9))
+        for r in margin_mine(xdf, ydf, k=4, candidates=cand).collect()
+    }
+    assert c == a
