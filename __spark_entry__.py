@@ -2130,20 +2130,11 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "blocked_host", "n_banned", "keep")
 
 
-def q_etld1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """publicsuffix.org eTLD+1 extraction (operators/urls.py
-    registrable_domain — the "group pages by site" key for crawl
-    quotas and per-site rollups) with a hard oracle: a deterministic
-    host mix exercises every rule kind — normal (com), multi-label
-    (co.uk, ne.jp), wildcard (*.ck), exception (!www.ck), the default
-    rule '*' for unknown TLDs, and hosts that ARE a public suffix
-    (NULL domain). DuckDB replays the full algorithm: candidate-suffix
-    explode, rule-kind normalization, one key+slot join, and the
-    exception-beats-longest-match selection."""
-    from aml_entity_resolution_assignment_spark.operators.urls import (
-        registrable_domain,
-    )
-
+def _etld_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, host) with a deterministic host mix that exercises
+    every publicsuffix rule kind: normal (com), multi-label (co.uk,
+    ne.jp), wildcard (*.ck), exception (!www.ck), the default rule
+    '*', and hosts that ARE a public suffix."""
     i = F.col("doc_id")
     host = (
         F.when(i % 7 == 0, F.lit("www.ck"))
@@ -2174,9 +2165,42 @@ def q_etld1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), (i % 9).cast("string"), F.lit(".b.ne.jp"))
         )
     )
-    pages = _docs(spark, sf_dir).select("doc_id").withColumn("host", host)
-    return registrable_domain(pages, host_col="host").select(
-        "doc_id", "host", "public_suffix", "domain"
+    return _docs(spark, sf_dir).select("doc_id").withColumn("host", host)
+
+
+def q_etld1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """publicsuffix.org eTLD+1 extraction (operators/urls.py
+    registrable_domain — the "group pages by site" key for crawl
+    quotas and per-site rollups) with a hard oracle over the
+    every-rule-kind host mix of _etld_pages. DuckDB replays the full
+    algorithm: candidate-suffix explode, rule-kind normalization, one
+    key+slot join, and the exception-beats-longest-match selection."""
+    from aml_entity_resolution_assignment_spark.operators.urls import (
+        registrable_domain,
+    )
+
+    return registrable_domain(
+        _etld_pages(spark, sf_dir), host_col="host"
+    ).select("doc_id", "host", "public_suffix", "domain")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain page quota (operators/sampling.py group_cap over
+    operators/urls.py registrable_domain): at most 5 pages per eTLD+1,
+    survivors fixed by the md5 content-hash order — the C4/RefinedWeb
+    domain-cap pass. The DuckDB twin replays the full publicsuffix
+    algorithm AND the hash-ranked window."""
+    from aml_entity_resolution_assignment_spark.operators.sampling import (
+        group_cap,
+    )
+    from aml_entity_resolution_assignment_spark.operators.urls import (
+        registrable_domain,
+    )
+
+    d = registrable_domain(_etld_pages(spark, sf_dir), host_col="host")
+    out = group_cap(d, "domain", "doc_id", cap=5)
+    return out.select(
+        "doc_id", "domain", F.col("rank").cast("long").alias("rank"), "kept"
     )
 
 
@@ -3321,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_cdx": q_surt_cdx,
         "url_filter": q_url_filter,
         "etld1": q_etld1,
+        "domain_cap": q_domain_cap,
         "robots": q_robots,
         "bm25": q_bm25,
         "lm_score": q_lm_score,
@@ -4810,6 +4835,19 @@ def oracle_sql() -> dict[str, str]:
                 then array_to_string(labels[len(labels) - psn :], '.') end
              as domain
     from res
+    """
+
+    # domain_cap: the etld1 twin feeding a hash-ranked per-domain
+    # window; md5_number_lower(doc_id||'|31') replays hash_u64(seed=31)
+    sql["domain_cap"] = f"""
+    with base as ({sql["etld1"]})
+    select doc_id, domain, rank, (rank <= 5) as kept from (
+      select doc_id, domain,
+             row_number() over (
+               partition by domain
+               order by md5_number_lower(doc_id::varchar || '|31'),
+                        doc_id) as rank
+      from base) t
     """
 
     sql["pack_sequences"] = """

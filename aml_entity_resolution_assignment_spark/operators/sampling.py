@@ -270,3 +270,43 @@ def dsir_weights(
             F.sum("_t").alias("log_weight"),
         )
     )
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    seed: int | str = 31,
+) -> DataFrame:
+    """Deterministic per-group quota: keep at most `cap` rows per
+    group, chosen by content hash — the C4/RefinedWeb-style
+    domain-cap pass ("at most N pages per registrable domain") that
+    stops mega-sites from dominating a training mix. The "random"
+    `cap` survivors are fixed by md5(id||seed), so the kept set is
+    identical on every run, partitioning, and cluster size, and the
+    SQL twin replays it exactly.
+
+    Adds (rank, kept); drops nothing — callers `.where("kept")` or
+    route the overflow to a spillover sink. NULL groups are their own
+    group (every orphan competes in one bucket; pre-filter if that is
+    not wanted).
+
+    Distributed shape: ONE window — row_number over (group, hash) —
+    i.e. a single shuffle partitioned by group. Groups far above the
+    cap make that group's sort wide; for pathological skew (a 10^8-
+    page domain under cap=10^2) pre-thin with sample_fraction on the
+    same hash family first — the hash ORDER is preserved under
+    hash-threshold thinning, so a pre-thin to ~10*cap expected rows
+    followed by this exact window yields the identical survivor set
+    with high probability while never sorting the mega-group."""
+    from pyspark.sql.window import Window
+
+    if cap < 0:
+        raise ValueError("need cap >= 0")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_u64(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn("rank", F.row_number().over(w)).withColumn(
+        "kept", F.col("rank") <= cap
+    )

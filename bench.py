@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "surt_cdx",
     "url_filter",
     "etld1",  # publicsuffix.org algorithm: suffix explode + broadcast rule join
+    "domain_cap",  # per-eTLD+1 quota: one hash-ranked window
     "robots",
     "bm25",
     "hist_quantiles",

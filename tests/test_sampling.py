@@ -302,3 +302,58 @@ def test_dsir_weights_partitioning_invariant_and_empty_absent(spark):
     }
     assert a == b and len(a) == 24
     assert 99 not in {t[0] for t in a}
+
+
+# ---------------------------------------------------------- group cap
+
+
+def test_group_cap_exact_quota_and_determinism(spark):
+    import hashlib
+
+    from aml_entity_resolution_assignment_spark.operators.sampling import (
+        group_cap,
+    )
+
+    rows = [(f"d{i % 3}", i) for i in range(30)]
+    df = spark.createDataFrame(rows, "dom string, pid long")
+
+    def h(v, seed="31"):
+        d = hashlib.md5((str(v) + "|" + seed).encode()).digest()
+        return int.from_bytes(d[8:16], "little")
+
+    want = set()
+    for g in ("d0", "d1", "d2"):
+        ids = sorted((i for d, i in rows if d == g), key=lambda i: (h(i), i))
+        want |= {(g, i) for i in ids[:4]}
+    a = {
+        (r["dom"], r["pid"])
+        for r in group_cap(df.repartition(1), "dom", "pid", 4).collect()
+        if r["kept"]
+    }
+    b = {
+        (r["dom"], r["pid"])
+        for r in group_cap(df.repartition(8), "dom", "pid", 4).collect()
+        if r["kept"]
+    }
+    assert a == b == want
+    # nothing dropped, ranks are a permutation per group
+    full = group_cap(df, "dom", "pid", 4).collect()
+    assert len(full) == 30
+    for g in ("d0", "d1", "d2"):
+        assert sorted(r["rank"] for r in full if r["dom"] == g) == list(
+            range(1, 11)
+        )
+
+
+def test_group_cap_small_group_and_zero_cap(spark):
+    from aml_entity_resolution_assignment_spark.operators.sampling import (
+        group_cap,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "dom string, pid long"
+    )
+    out = group_cap(df, "dom", "pid", 5).collect()
+    assert all(r["kept"] for r in out)  # groups under the cap keep all
+    out0 = group_cap(df, "dom", "pid", 0).collect()
+    assert not any(r["kept"] for r in out0)
