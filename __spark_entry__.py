@@ -467,6 +467,45 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profiling (functions/text.py script_counts /
+    dominant_script — the mC4/CCNet script filter): per-script char
+    counts via \\p{IsScript} classes and argmax dominant script, over
+    documents salted with deterministic non-Latin snippets so every
+    script branch fires. The DuckDB twin counts the same \\p{Script}
+    properties under RE2 — the cross-engine agreement IS the test."""
+    from aml_entity_resolution_assignment_spark.functions.text import (
+        SCRIPTS,
+        dominant_script,
+        script_counts,
+    )
+
+    i = F.col("doc_id")
+    snip = F.element_at(
+        F.array(
+            F.lit(""),
+            F.lit(" привет мир"),
+            F.lit(" γειά σου"),
+            F.lit(" مرحبا"),
+            F.lit(" 你好世界"),
+            F.lit(" 안녕하세요"),
+            F.lit(" नमस्ते"),
+            F.lit(" שלום"),
+            F.lit(" мир world 你好"),
+        ),
+        (i % 9 + 1).cast("int"),
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), snip).alias("t")
+    )
+    sc = script_counts(F.col("t"))
+    return d.select(
+        "doc_id",
+        dominant_script(F.col("t")).alias("script"),
+        *[sc[s].alias(f"n_{s.lower()}") for s in SCRIPTS],
+    )
+
+
 def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level B-cubed P/R/F1 of the chain-CC clustering against
     `source` as ground truth — three key-grouped aggregations, no
@@ -3346,6 +3385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "etld1": q_etld1,
         "domain_cap": q_domain_cap,
+        "script_profile": q_script_profile,
         "robots": q_robots,
         "bm25": q_bm25,
         "lm_score": q_lm_score,
@@ -4042,6 +4082,50 @@ def oracle_sql() -> dict[str, str]:
     )
     select x_id, y_id, round(c, 6) as cosine, round(mg, 6) as margin
     from b where fr = 1 and br = 1
+    """
+
+    # script_profile: same \p{Script} properties under RE2; the
+    # dominant CASE replays the fixed SCRIPTS tie order
+    sql["script_profile"] = """
+    with t as (
+      select doc_id,
+             text || case doc_id % 9
+               when 0 then ''
+               when 1 then ' привет мир'
+               when 2 then ' γειά σου'
+               when 3 then ' مرحبا'
+               when 4 then ' 你好世界'
+               when 5 then ' 안녕하세요'
+               when 6 then ' नमस्ते'
+               when 7 then ' שלום'
+               else ' мир world 你好' end as t
+      from documents
+    ),
+    c as (
+      select doc_id,
+           (length(t) - length(regexp_replace(t, '\\p{Latin}', '', 'g')))::bigint as n_latin,
+           (length(t) - length(regexp_replace(t, '\\p{Cyrillic}', '', 'g')))::bigint as n_cyrillic,
+           (length(t) - length(regexp_replace(t, '\\p{Greek}', '', 'g')))::bigint as n_greek,
+           (length(t) - length(regexp_replace(t, '\\p{Arabic}', '', 'g')))::bigint as n_arabic,
+           (length(t) - length(regexp_replace(t, '\\p{Hebrew}', '', 'g')))::bigint as n_hebrew,
+           (length(t) - length(regexp_replace(t, '\\p{Han}', '', 'g')))::bigint as n_han,
+           (length(t) - length(regexp_replace(t, '\\p{Hangul}', '', 'g')))::bigint as n_hangul,
+           (length(t) - length(regexp_replace(t, '\\p{Devanagari}', '', 'g')))::bigint as n_devanagari
+      from t
+    )
+    select doc_id,
+           case when greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_hangul, n_devanagari) = 0 then 'Zzzz'
+                when n_latin = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_hangul, n_devanagari) then 'Latin'
+                when n_cyrillic = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_hangul, n_devanagari) then 'Cyrillic'
+                when n_greek = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_hangul, n_devanagari) then 'Greek'
+                when n_arabic = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_hangul, n_devanagari) then 'Arabic'
+                when n_hebrew = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_hangul, n_devanagari) then 'Hebrew'
+                when n_han = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_hangul, n_devanagari) then 'Han'
+                when n_hangul = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_hangul, n_devanagari) then 'Hangul'
+                when n_devanagari = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_hangul, n_devanagari) then 'Devanagari'
+                end as script,
+           n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_hangul, n_devanagari
+    from c
     """
 
     sql["bcubed"] = """

@@ -218,3 +218,44 @@ def sentences_table(
     ).select(
         id_col, "sent_idx", "sentence", F.length("sentence").alias("n_chars")
     )
+
+
+# Unicode-script profiling (the mC4 / CCNet script filter): per-script
+# character counts via \p{Is<Script>} character classes (Java regex;
+# the DuckDB/RE2 twin spells the same property \p{<Script>}), dominant
+# script by argmax with fixed tie order.
+SCRIPTS = (
+    "Latin",
+    "Cyrillic",
+    "Greek",
+    "Arabic",
+    "Hebrew",
+    "Han",
+    "Hangul",
+    "Devanagari",
+)
+
+
+def script_counts(c: Column) -> dict[str, Column]:
+    """Per-script character counts: count of chars in each Unicode
+    script = length(text) - length(text with that script removed).
+    One codegen'd projection, no UDF."""
+    out = {}
+    for s in SCRIPTS:
+        stripped = F.regexp_replace(c, rf"\p{{Is{s}}}", "")
+        out[s] = (F.length(c) - F.length(stripped)).cast("long")
+    return out
+
+
+def dominant_script(c: Column) -> Column:
+    """Argmax of script_counts; 'Zzzz' (unknown, the ISO 15924 code)
+    when no scripted character occurs. Ties break by SCRIPTS order,
+    matching the SQL oracle's CASE ordering."""
+    counts = script_counts(c)
+    best = F.greatest(*counts.values())
+    expr = F.lit("Zzzz")
+    for s in reversed(SCRIPTS):
+        expr = F.when((best > 0) & (counts[s] == best), F.lit(s)).otherwise(
+            expr
+        )
+    return expr

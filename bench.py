@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "url_filter",
     "etld1",  # publicsuffix.org algorithm: suffix explode + broadcast rule join
     "domain_cap",  # per-eTLD+1 quota: one hash-ranked window
+    "script_profile",  # \\p{Script} char-class counts, one codegen projection
     "robots",
     "bm25",
     "hist_quantiles",

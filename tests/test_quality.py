@@ -476,3 +476,44 @@ def test_score_buckets_null_and_invariance(spark):
     }
     assert a == b
     assert (99, None) in a
+
+
+# ------------------------------------------------------ script profile
+
+
+def test_script_counts_and_dominant(spark):
+    from pyspark.sql import functions as F
+
+    from aml_entity_resolution_assignment_spark.functions.text import (
+        dominant_script,
+        script_counts,
+    )
+
+    rows = [
+        (1, "hello world"),          # Latin 10
+        (2, "привет мир hi"),        # Cyrillic 9 > Latin 2
+        (3, "你好世界"),              # Han
+        (4, "안녕하세요 world"),       # tie 5/5 -> Latin (SCRIPTS order)
+        (5, "1234 ... !!"),          # no script -> Zzzz
+        (6, "مرحبا"),                # Arabic
+        (7, "γειά"),                 # Greek
+        (8, "नमस्ते"),                # Devanagari
+        (9, "שלום"),                 # Hebrew
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    sc = script_counts(F.col("t"))
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            dominant_script(F.col("t")).alias("s"),
+            *[v.alias(k) for k, v in sc.items()],
+        ).collect()
+    }
+    assert out[1]["s"] == "Latin" and out[1]["Latin"] == 10
+    assert out[2]["s"] == "Cyrillic" and out[2]["Cyrillic"] == 9
+    assert out[3]["s"] == "Han" and out[3]["Han"] == 4
+    assert out[4]["s"] == "Latin" and out[4]["Hangul"] == 5  # tie -> order
+    assert out[5]["s"] == "Zzzz"
+    for i, name in ((6, "Arabic"), (7, "Greek"), (8, "Devanagari"), (9, "Hebrew")):
+        assert out[i]["s"] == name and out[i][name] > 0
