@@ -771,6 +771,26 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-set Jaccard >= 0.95 self-join via AllPairs/PPJoin
+    prefix filtering (operators/dedup.py prefix_jaccard_pairs) — the
+    oracle BRUTE-FORCES all shared-token pairs, so any pair the prefix
+    filter missed (or fabricated) is a hard mismatch: the twin binds
+    the filter's exactness, not just the arithmetic."""
+    from aml_entity_resolution_assignment_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    out = prefix_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.95
+    )
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1-E5: full pairwise evaluation (precision/recall/F1) between
     predicted clusters (bk_lang_size blocks) and truth (source)."""
@@ -3386,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etld1": q_etld1,
         "domain_cap": q_domain_cap,
         "script_profile": q_script_profile,
+        "dedup_prefix": q_dedup_prefix,
         "robots": q_robots,
         "bm25": q_bm25,
         "lm_score": q_lm_score,
@@ -4932,6 +4953,30 @@ def oracle_sql() -> dict[str, str]:
                order by md5_number_lower(doc_id::varchar || '|31'),
                         doc_id) as rank
       from base) t
+    """
+
+    # dedup_prefix: brute-force twin — every pair sharing ANY token,
+    # exact distinct-word-set jaccard, >= 0.95; binds prefix-filter
+    # exactness (a missed or fabricated pair hard-fails)
+    sql["dedup_prefix"] = """
+    with tok as (
+      select distinct doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as t
+      from documents where trim(text) <> ''
+    ),
+    tok2 as (select doc_id, t from tok where t <> ''),
+    sz as (select doc_id, count(*) as m from tok2 group by doc_id),
+    inter as (
+      select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+      from tok2 a join tok2 b on a.t = b.t and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select id_a, id_b,
+           round(i::double / (sa.m + sb.m - i), 6) as jaccard
+    from inter
+    join sz sa on sa.doc_id = id_a
+    join sz sb on sb.doc_id = id_b
+    where i::double / (sa.m + sb.m - i) >= 0.95
     """
 
     sql["pack_sequences"] = """

@@ -578,3 +578,93 @@ def line_dedup(
             F.sum(F.col("_drop").cast("long")).alias("n_removed"),
         )
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT word-set Jaccard self-join via prefix filtering (the
+    AllPairs family — Bayardo et al. WWW'07 / PPJoin, Xiao et al.
+    WWW'08): unlike minhash/simhash this misses NOTHING, and unlike
+    the all-shared-token gram join it never joins on hot tokens —
+    if J(x, y) >= t, the first  |x| - ceil(t*|x|) + 1  tokens of x
+    under a GLOBAL rarest-first order and the same-length prefix of y
+    must intersect, so only those short prefixes are indexed and
+    self-joined. Rare tokens lead the order, so prefix join keys are
+    the LOW-frequency ones: the hot-key blowup the gram join must cap
+    away (max_df) never forms, at zero recall cost.
+
+    Pipeline: distinct (id, token) -> document frequencies -> per-doc
+    token array sorted by (df, token) -> prefix explode -> prefix
+    self-join (id_a < id_b, with the length filter t*max(|x|,|y|) <=
+    min(|x|,|y|)) -> exact verify with array_intersect over the full
+    sorted arrays. Every join is an equi-join on a token or id; the
+    per-doc arrays are doc-sized; no UDF anywhere.
+
+    Returns (id_a, id_b, jaccard) for all pairs with J >= threshold,
+    jaccard unrounded."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("need 0 < threshold <= 1")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    dfreq = tok.groupBy("t").agg(F.count("*").alias("_df"))
+    ranked = (
+        tok.join(dfreq, "t")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("t")))
+            ).alias("_arr")
+        )
+        .select(
+            "id",
+            F.transform("_arr", lambda s: s["t"]).alias("toks"),
+            F.size("_arr").alias("m"),
+        )
+    )
+    plen = F.col("m") - F.ceil(F.lit(threshold) * F.col("m")) + 1
+    prefix = ranked.select(
+        "id", "m", F.explode(F.slice("toks", 1, plen)).alias("t")
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("m").alias("_ma"), "t"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("m").alias("_mb"), "t"
+    )
+    cand = (
+        a.join(b, "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.lit(threshold) * F.greatest("_ma", "_mb")
+            <= F.least("_ma", "_mb")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ra = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("_ta"),
+        F.col("m").alias("_ma"),
+    )
+    rb = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("_tb"),
+        F.col("m").alias("_mb"),
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    jacc = inter / (F.col("_ma") + F.col("_mb") - inter)
+    return (
+        cand.join(ra, "id_a")
+        .join(rb, "id_b")
+        .select("id_a", "id_b", jacc.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

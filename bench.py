@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_substring",
     "dedup_ngram",  # merged entry: plain + capped n-gram Jaccard
+    "dedup_prefix",  # AllPairs/PPJoin exact set-sim join: rarest-first prefixes
     "dedup_minhash",
     "dedup_simhash",  # merged entry: md5 oracle twin + production SipHash path
     "dedup_keep_min",

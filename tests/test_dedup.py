@@ -131,3 +131,67 @@ def test_minhash_recall_forced_banding(docs):
     )
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == {(1, 2), (1, 4), (2, 4), (1, 3), (2, 3), (3, 4)}
+
+
+# ----------------------------------------------- prefix-filter jaccard
+
+
+def test_prefix_jaccard_exact_vs_brute(spark):
+    from aml_entity_resolution_assignment_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over a lazy dog",   # near-dup of 1
+        3: "the quick brown fox leaps over the lazy dog",  # near-dup of 1
+        4: "completely different content about spark joins",
+        5: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+        6: "spark joins about content different completely",  # set-eq of 4
+        7: "the a over",  # tiny doc of only hot tokens
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def jac(a, b):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        return len(sa & sb) / len(sa | sb)
+
+    for t in (0.6, 0.8, 0.95, 1.0):
+        want = {
+            (a, b): jac(a, b)
+            for a in texts
+            for b in texts
+            if a < b and jac(a, b) >= t
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_jaccard_pairs(df, "doc_id", "text", t).collect()
+        }
+        assert set(got) == set(want), t
+        for p, j in want.items():
+            assert abs(got[p] - j) < 1e-9
+
+
+def test_prefix_jaccard_partitioning_invariant(spark):
+    from aml_entity_resolution_assignment_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma delta tok{i % 4} tok{i % 7} epsilon")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in prefix_jaccard_pairs(
+            df.repartition(1), "doc_id", "text", 0.7
+        ).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in prefix_jaccard_pairs(
+            df.repartition(8), "doc_id", "text", 0.7
+        ).collect()
+    }
+    assert a == b and len(a) > 0
