@@ -2394,6 +2394,23 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("host", "label")
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected 2-core of the host link graph (operators/linkgraph.py
+    k_core): synchronous peeling to fixpoint, one degree aggregation +
+    two semi-joins per round, fused-round checkpoints. The oracle
+    replays 8 chained peel rounds (>= the graph's peel depth; extra
+    rounds are no-ops, matching the engine's converged fixpoint)."""
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        extract_links,
+        k_core,
+    )
+
+    edges = extract_links(_link_pages(spark, sf_dir))
+    return k_core(edges, k=2).select(
+        "host", F.col("degree").cast("long").alias("degree")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (backward, inclusive): each click event joined to the
     user's most recent prior view — the union/carry-forward merge form
@@ -3399,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "label_prop": q_label_prop,
         "triangles": q_triangles,
+        "k_core": q_k_core,
         "random_walks": q_random_walks,
         "pack_sequences": q_pack_sequences,
         "surt_cdx": q_surt_cdx,
@@ -5069,6 +5087,103 @@ def oracle_sql() -> dict[str, str]:
      and a.nbr = (md5_number_lower(s.walk_id || '#{t}' || '|17')
                     ::HUGEINT % d.outd)::INT
     """
+    # k_core: symmetrized simple graph, 8 chained peel rounds
+    # (>= the graph's peel depth at every SF; extra rounds are no-ops,
+    # exactly like the engine's converged fixpoint)
+    sql["k_core"] = f"""
+    with pages as ({_lg_pages}),
+    exploded as (
+      select {_lg_norm('url')} as src_host,
+             unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) as href
+      from pages
+    ),
+    f as (
+      select src_host, {_lg_norm('href')} as dst_host
+      from exploded where regexp_matches(href, '^https?://')
+    ),
+    e0 as materialized (
+      select a, b from (
+        select src_host as a, dst_host as b from f
+        union
+        select dst_host as a, src_host as b from f
+      ) where a <> b and a <> '' and b <> ''
+    ),
+    v1 as materialized (
+      select a from e0 group by a having count(*) >= 2
+    ),
+    e1 as materialized (
+      select e0.a, e0.b
+      from e0
+      join v1 va on va.a = e0.a
+      join v1 vb on vb.a = e0.b
+    ),
+    v2 as materialized (
+      select a from e1 group by a having count(*) >= 2
+    ),
+    e2 as materialized (
+      select e1.a, e1.b
+      from e1
+      join v2 va on va.a = e1.a
+      join v2 vb on vb.a = e1.b
+    ),
+    v3 as materialized (
+      select a from e2 group by a having count(*) >= 2
+    ),
+    e3 as materialized (
+      select e2.a, e2.b
+      from e2
+      join v3 va on va.a = e2.a
+      join v3 vb on vb.a = e2.b
+    ),
+    v4 as materialized (
+      select a from e3 group by a having count(*) >= 2
+    ),
+    e4 as materialized (
+      select e3.a, e3.b
+      from e3
+      join v4 va on va.a = e3.a
+      join v4 vb on vb.a = e3.b
+    ),
+    v5 as materialized (
+      select a from e4 group by a having count(*) >= 2
+    ),
+    e5 as materialized (
+      select e4.a, e4.b
+      from e4
+      join v5 va on va.a = e4.a
+      join v5 vb on vb.a = e4.b
+    ),
+    v6 as materialized (
+      select a from e5 group by a having count(*) >= 2
+    ),
+    e6 as materialized (
+      select e5.a, e5.b
+      from e5
+      join v6 va on va.a = e5.a
+      join v6 vb on vb.a = e5.b
+    ),
+    v7 as materialized (
+      select a from e6 group by a having count(*) >= 2
+    ),
+    e7 as materialized (
+      select e6.a, e6.b
+      from e6
+      join v7 va on va.a = e6.a
+      join v7 vb on vb.a = e6.b
+    ),
+    v8 as materialized (
+      select a from e7 group by a having count(*) >= 2
+    ),
+    e8 as materialized (
+      select e7.a, e7.b
+      from e7
+      join v8 va on va.a = e7.a
+      join v8 vb on vb.a = e7.b
+    )
+    select a as host, count(*)::BIGINT as degree
+    from e8 group by a having count(*) >= 2
+    """
+
     sql["random_walks"] = f"""
     with pages as ({_lg_pages}),
     exploded as (

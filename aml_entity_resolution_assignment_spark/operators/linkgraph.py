@@ -501,3 +501,63 @@ def random_walks(
         out = out.unionByName(nxt)
         state = nxt
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Vertices of the undirected k-core (the maximal subgraph where
+    every vertex keeps degree >= k) by synchronous peeling — the
+    standard link-spam / tightly-knit-community signal on host graphs
+    (a k-core of mutually-linking hosts with k large is a link farm;
+    coreness also orders crawl frontiers by connectivity).
+
+    Peeling: symmetrize to a simple undirected graph (self-loops
+    dropped), then repeatedly delete every vertex whose current degree
+    is < k until a fixpoint; what survives is exactly the k-core
+    (order-independent, hence deterministic). Each round is one
+    degree aggregation + two left-semi joins; the edge table shrinks
+    monotonically, so rounds get cheaper; the loop stops at the first
+    round that deletes nothing (the surviving-vertex count is the
+    1-row action that also materializes the round's lazy
+    localCheckpoint, the fused-round pattern of pagerank/CC). Peel
+    depth is bounded by the graph's degeneracy chain, not |V| —
+    `max_rounds` is a runaway guard, not a tuning knob.
+
+    Returns (host, degree) for k-core members, degree = within-core
+    degree (>= k by construction)."""
+    if k < 1:
+        raise ValueError("need k >= 1")
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        fwd.unionByName(
+            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_prev = -1
+    for _ in range(max_rounds):
+        deg = e.groupBy("a").agg(F.count("*").alias("degree"))
+        keep = deg.where(F.col("degree") >= k).localCheckpoint(eager=False)
+        n = keep.count()  # the ONE action per round
+        if n == n_prev:
+            break
+        n_prev = n
+        kv = keep.select("a")
+        e = (
+            e.join(kv, "a", "left_semi")
+            .join(kv.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy("a")
+        .agg(F.count("*").alias("degree"))
+        .where(F.col("degree") >= k)
+        .select(F.col("a").alias("host"), "degree")
+    )

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "pagerank",  # 10 fused-job power iterations over the host graph
     "label_prop",  # 5-round community detection, two shuffles per round
     "triangles",  # degree-oriented triangle counting (3 shuffles)
+    "k_core",  # synchronous peel to fixpoint, fused rounds
     "random_walks",  # deterministic DeepWalk corpus (2 joins per hop)
     "pack_sequences",  # distributed prefix sum + one-pass block shuffle
     "surt_cdx",

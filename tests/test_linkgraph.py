@@ -397,3 +397,49 @@ def test_random_walks_deterministic_and_valid(spark):
     # partitioning invariance
     rows8 = random_walks(df.repartition(8), length=3, seed=17).collect()
     assert sorted(map(tuple, rows8)) == sorted(map(tuple, rows))
+
+
+# ------------------------------------------------------------- k-core
+
+
+def test_k_core_triangle_with_tail(spark):
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        k_core,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src_host string, dst_host string",
+    )
+    got = {
+        (r["host"], r["degree"]) for r in k_core(edges, k=2).collect()
+    }
+    assert got == {("a", 2), ("b", 2), ("c", 2)}  # tail d peeled
+    # chain has no 2-core
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "src_host string, dst_host string",
+    )
+    assert k_core(chain, k=2).count() == 0
+
+
+def test_k_core_cascading_peel_and_symmetrize(spark):
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        k_core,
+    )
+
+    # clique {a,b,c,d}; pendant chain e-f hanging off d; duplicate and
+    # reverse edges + a self-loop must not inflate degrees
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"), ("a", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {(r["host"], r["degree"]) for r in k_core(df, k=3).collect()}
+    # peeling cascades: f (deg 1) then e (deg 1) then nothing else;
+    # the 3-core is the clique with in-core degree 3 each
+    assert got == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+    a = {tuple(r) for r in k_core(df.repartition(1), k=2).collect()}
+    b = {tuple(r) for r in k_core(df.repartition(7), k=2).collect()}
+    assert a == b
