@@ -1994,6 +1994,26 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user HLL estimates (sketches.py
+    hll_registers_by / hll_estimate_by): one grouped sketch
+    aggregation, <= 512 register rows per day, mergeable upward by
+    union+max. DuckDB recomputes the identical per-day sketches and
+    estimates in plain SQL."""
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    out = hll_estimate_by(
+        hll_registers_by(ev, "user_id", ["day"]), ["day"]
+    )
+    return out.select(
+        "day", "n_registers_set", F.round("estimate", 6).alias("estimate")
+    )
+
+
 def q_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT metadata extraction: typed fields out of Common-Crawl WAT
     JSON envelopes via JVM-side json-path (no UDF, no full-schema
@@ -3404,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "hll_distinct": q_hll_distinct,
+        "hll_daily": q_hll_daily,
         "profile_columns": q_profile_columns,
         "cm_token_counts": q_cm_token_counts,
         "hist_quantiles": q_hist_quantiles,
@@ -4586,6 +4607,33 @@ def oracle_sql() -> dict[str, str]:
            cast(min(coalesce(sketch.cnt, 0)) as bigint) as estimate
     from probes left join sketch using (row, bucket)
     group by probes.t
+    """
+
+    # hll_daily: the hll_distinct twin with a day group key
+    sql["hll_daily"] = """
+    with h as (
+      select cast(ts as date) as day,
+             ('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::UBIGINT
+               as hv
+      from events where user_id is not null
+    ),
+    regs as (
+      select day, (hv % 512) as register,
+             max(case when (hv >> 9) > 0
+                      then 52 - length(bin(hv >> 9)) else 52 end) as max_rho
+      from h group by 1, 2
+    ),
+    agg as (
+      select day, count(*) as nset, sum(power(2.0, -max_rho)) as s
+      from regs group by day
+    )
+    select day, cast(nset as bigint) as n_registers_set,
+      round(case when (0.7213/(1+1.079/512))*512*512/(s + (512 - nset))
+                      <= 2.5*512 and (512 - nset) > 0
+                 then 512.0 * ln(512.0 / (512 - nset))
+                 else (0.7213/(1+1.079/512))*512*512/(s + (512 - nset)) end,
+            6) as estimate
+    from agg
     """
 
     sql["hll_distinct"] = """

@@ -367,3 +367,62 @@ def profile_columns(df: DataFrame, cols: list[str], p: int = HLL_P) -> DataFrame
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def hll_registers_by(
+    df: DataFrame, col: str, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Grouped HLL sketches: (*group_cols, register, max_rho), at most
+    2^p register rows PER GROUP. Same hash/rho identity as
+    hll_registers; merge sketches for the same group (across days,
+    shards, tables) with unionByName + groupBy(group, register)
+    .max(max_rho) — the rollup dimension the 100k-segment warehouse
+    shape needs (per-day distinct users merging into per-month with no
+    rescan)."""
+    m = 1 << p
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, p)
+    bitlen = F.when(
+        w > 0, F.length(F.conv(w.cast("string"), 10, 2))
+    ).otherwise(F.lit(0))
+    rho = F.when(w > 0, F.lit(60 - p + 1) - bitlen).otherwise(
+        F.lit(60 - p + 1)
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            *group_cols,
+            F.pmod(h, F.lit(m)).cast("int").alias("register"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("_rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Grouped sketch rows -> one row per group (*group_cols,
+    n_registers_set, estimate). Identical estimator to hll_estimate
+    (bias alpha, absent-register completion, linear-counting
+    small-range correction), applied per group."""
+    m = 1 << p
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("_set"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+    )
+    alpha = _alpha(m)
+    raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_set")))
+    zeros = F.lit(m) - F.col("_set")
+    corrected = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("_set").cast("long").alias("n_registers_set"),
+        corrected.alias("estimate"),
+    )

@@ -252,3 +252,56 @@ def test_profile_columns(spark):
     # HLL on tiny cardinalities is the linear-counting branch: exact-ish
     assert abs(got["s"]["n_distinct_est"] - 2) < 0.1
     assert abs(got["id"]["n_distinct_est"] - 4) < 0.2
+
+
+# ---------------------------------------------------------- grouped HLL
+
+
+def test_hll_grouped_matches_global_per_group(spark):
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    rows = [(f"g{i % 3}", f"u{i % 50}-{i % 3}") for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, u string")
+    grouped = {
+        r["g"]: (r["n_registers_set"], r["estimate"])
+        for r in hll_estimate_by(
+            hll_registers_by(df, "u", ["g"]), ["g"]
+        ).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        solo = hll_distinct(df.where(F.col("g") == g), "u").collect()[0]
+        assert grouped[g] == (
+            solo["n_registers_set"],
+            solo["estimate"],
+        ), g
+
+
+def test_hll_grouped_merge_equals_whole_range(spark):
+    """Union+max over per-day sketches == the sketch of the union —
+    the rollup property that makes per-segment sketches composable."""
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    rows = [(i % 7, f"user{i % 211}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "day int, u string")
+    daily = hll_registers_by(df, "u", ["day"])
+    merged = daily.groupBy("register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    whole = hll_registers(df, "u")
+    a = hll_estimate(merged).collect()[0]
+    b = hll_estimate(whole).collect()[0]
+    assert (a["n_registers_set"], a["estimate"]) == (
+        b["n_registers_set"],
+        b["estimate"],
+    )
+    # grouped estimator runs off the same rows
+    assert hll_estimate_by(daily, ["day"]).count() == 7
