@@ -2014,6 +2014,69 @@ def q_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF structural metadata END-TO-END with a hard oracle:
+    every doc becomes a real single-track MP4 (functions/mp4.py
+    build_mp4 — ftyp/moov/mdat, v0 full boxes) with doc_id-derived
+    brand-independent fields, then operators/multimodal.mp4_metadata
+    parses the box tree back; the SQL twin recomputes each field from
+    the same doc_id arithmetic. Exercises video and audio tracks,
+    every codec fourcc branch, and the packed ISO-639 language."""
+    import pandas as pd
+
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        mp4_metadata,
+    )
+
+    def enc(batches):
+        from aml_entity_resolution_assignment_spark.functions.mp4 import (
+            build_mp4,
+        )
+
+        codecs = ["avc1", "hvc1", "vp09", "av01"]
+        langs = ["eng", "deu", "und"]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                audio = did % 3 == 0
+                out.append(
+                    build_mp4(
+                        width=0 if audio else 16 * (did % 8 + 1),
+                        height=0 if audio else 16 * (did % 5 + 1),
+                        duration=(did % 60 + 1) * 500,
+                        timescale=1000,
+                        handler="soun" if audio else "vide",
+                        codec="mp4a" if audio else codecs[did % 4],
+                        n_samples=did % 20 + 1,
+                        language=langs[did % 3],
+                        track_id=did % 9 + 1,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": out}
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id string, payload binary")
+    )
+    out = mp4_metadata(media)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "major_brand",
+        "duration_sec",
+        "handler",
+        "codec",
+        "width",
+        "height",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "language",
+        F.col("track_id").cast("long").alias("track_id"),
+    )
+
+
 def q_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT metadata extraction: typed fields out of Common-Crawl WAT
     JSON envelopes via JVM-side json-path (no UDF, no full-schema
@@ -3425,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "hll_distinct": q_hll_distinct,
         "hll_daily": q_hll_daily,
+        "mp4_meta": q_mp4_meta,
         "profile_columns": q_profile_columns,
         "cm_token_counts": q_cm_token_counts,
         "hist_quantiles": q_hist_quantiles,
@@ -4634,6 +4698,25 @@ def oracle_sql() -> dict[str, str]:
                  else (0.7213/(1+1.079/512))*512*512/(s + (512 - nset)) end,
             6) as estimate
     from agg
+    """
+
+    # mp4_meta: every parsed field recomputed from doc_id arithmetic
+    sql["mp4_meta"] = """
+    select doc_id,
+           'isom' as major_brand,
+           ((doc_id % 60 + 1) * 500) / 1000.0 as duration_sec,
+           case when doc_id % 3 = 0 then 'soun' else 'vide' end as handler,
+           case when doc_id % 3 = 0 then 'mp4a'
+                else ['avc1', 'hvc1', 'vp09', 'av01'][(doc_id % 4) + 1]
+                end as codec,
+           case when doc_id % 3 = 0 then 0.0
+                else 16.0 * (doc_id % 8 + 1) end as width,
+           case when doc_id % 3 = 0 then 0.0
+                else 16.0 * (doc_id % 5 + 1) end as height,
+           (doc_id % 20 + 1)::bigint as n_samples,
+           ['eng', 'deu', 'und'][(doc_id % 3) + 1] as language,
+           (doc_id % 9 + 1)::bigint as track_id
+    from documents
     """
 
     sql["hll_distinct"] = """

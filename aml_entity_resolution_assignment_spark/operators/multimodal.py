@@ -407,3 +407,63 @@ def exif_metadata(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=_EXIF_SCHEMA)
+
+
+_MP4_SCHEMA = (
+    "media_id string, major_brand string, timescale int, "
+    "duration_sec double, n_tracks int, track_id int, handler string, "
+    "codec string, width double, height double, n_samples long, "
+    "language string"
+)
+
+
+def mp4_metadata(media: DataFrame) -> DataFrame:
+    """Structural MP4/ISO-BMFF metadata (functions/mp4.py parse_mp4)
+    -> one typed row per media row: brand, movie duration, and the
+    first track's layout (id, handler, codec fourcc, 16.16 fixed
+    dimensions, sample count, ISO-639 language). The WAT philosophy
+    for the video column: at crawl scale everything a filter needs
+    (duration caps, resolution floors, codec allowlists) lives in a
+    few KB of `moov` — `mdat` is never read. Unparseable payloads
+    come back all-NULL, left-aligned with the media table. One Arrow
+    pass."""
+    from ..functions.mp4 import Mp4Error, parse_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "major_brand", "timescale", "duration_sec", "n_tracks",
+            "track_id", "handler", "codec", "width", "height",
+            "n_samples", "language",
+        ]
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                row = [None] * len(cols)
+                if payload is not None and len(payload) >= 8:
+                    try:
+                        m = parse_mp4(bytes(payload))
+                        t = m.tracks[0] if m.tracks else None
+                        row = [
+                            m.major_brand,
+                            m.timescale,
+                            m.duration_seconds,
+                            len(m.tracks),
+                            t.track_id if t else None,
+                            t.handler if t else None,
+                            t.codec if t else None,
+                            t.width if t else None,
+                            t.height if t else None,
+                            t.n_samples if t else None,
+                            t.language if t else None,
+                        ]
+                    except Mp4Error:
+                        pass
+                rows.append(row)
+            out = pd.DataFrame(rows, columns=cols)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            for c in ("timescale", "n_tracks", "track_id"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["n_samples"] = pd.array(out["n_samples"], dtype="Int64")
+            yield out
+
+    return media.mapInPandas(run, schema=_MP4_SCHEMA)
