@@ -2077,6 +2077,73 @@ def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_id3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3 tag metadata END-TO-END with a hard oracle: each doc
+    becomes a tagged MP3 payload — doc_id % 3 picks ID3v2.3 (cycling
+    text encodings 0-3), ID3v2.4 (UTF-8, TDRC year, syncsafe frame
+    sizes), or a v1.1 trailer after fake MPEG frames — then
+    operators/multimodal.id3_metadata parses the fields back and the
+    SQL twin recomputes them from doc_id arithmetic."""
+    import pandas as pd
+
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        id3_metadata,
+    )
+
+    def enc(batches):
+        from aml_entity_resolution_assignment_spark.functions.id3 import (
+            build_id3v1,
+            build_id3v2,
+        )
+
+        artists = ["Alpha", "Beta", "Gamma", "Delta", "Omega"]
+        genres = ["Blues", "Rock", "Pop", "Classical"]
+        gidx = [0, 17, 13, 32]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fields = dict(
+                    title=f"t{did}",
+                    artist=artists[did % 5],
+                    album=f"alb{did % 7}",
+                    year=str(1990 + did % 30),
+                    track=str(did % 12 + 1),
+                )
+                v = did % 3
+                if v == 0:
+                    b = build_id3v2(
+                        major=3, encoding=did % 4,
+                        genre=genres[did % 4], **fields,
+                    ) + b"\xff\xfb\x00\x00"
+                elif v == 1:
+                    b = build_id3v2(
+                        major=4, encoding=3,
+                        genre=genres[did % 4], **fields,
+                    ) + b"\xff\xfb\x00\x00"
+                else:
+                    b = b"\xff\xfb" * 8 + build_id3v1(
+                        title=fields["title"], artist=fields["artist"],
+                        album=fields["album"], year=fields["year"],
+                        track=did % 12 + 1, genre=gidx[did % 4],
+                    )
+                out.append(b)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": out}
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id string, payload binary")
+    )
+    return id3_metadata(media).select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "tag_version", "title", "artist", "album", "year", "track",
+        "genre",
+    )
+
+
 def q_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT metadata extraction: typed fields out of Common-Crawl WAT
     JSON envelopes via JVM-side json-path (no UDF, no full-schema
@@ -3489,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "hll_daily": q_hll_daily,
         "mp4_meta": q_mp4_meta,
+        "id3_meta": q_id3_meta,
         "profile_columns": q_profile_columns,
         "cm_token_counts": q_cm_token_counts,
         "hist_quantiles": q_hist_quantiles,
@@ -4701,6 +4769,21 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # mp4_meta: every parsed field recomputed from doc_id arithmetic
+    # id3_meta: tag fields recomputed from doc_id arithmetic
+    sql["id3_meta"] = """
+    select doc_id,
+           case doc_id % 3 when 0 then '2.3' when 1 then '2.4'
+                else '1.1' end as tag_version,
+           't' || doc_id as title,
+           ['Alpha','Beta','Gamma','Delta','Omega'][(doc_id % 5) + 1]
+             as artist,
+           'alb' || (doc_id % 7) as album,
+           (1990 + doc_id % 30)::varchar as year,
+           (doc_id % 12 + 1)::varchar as track,
+           ['Blues','Rock','Pop','Classical'][(doc_id % 4) + 1] as genre
+    from documents
+    """
+
     sql["mp4_meta"] = """
     select doc_id,
            'isom' as major_brand,

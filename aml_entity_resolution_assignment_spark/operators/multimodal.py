@@ -467,3 +467,40 @@ def mp4_metadata(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=_MP4_SCHEMA)
+
+
+_ID3_SCHEMA = (
+    "media_id string, tag_version string, title string, artist string, "
+    "album string, year string, track string, genre string"
+)
+
+
+def id3_metadata(media: DataFrame) -> DataFrame:
+    """ID3v2.3/2.4 (+ ID3v1 fallback) tag fields from MP3 payloads
+    (functions/id3.py) -> one typed row per media row; untagged or
+    malformed payloads come back all-NULL, left-aligned with the
+    media table. Structural only — MPEG audio frames are never
+    decoded. One Arrow pass."""
+    from ..functions.id3 import Id3Error, parse_id3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["tag_version", "title", "artist", "album", "year",
+                "track", "genre"]
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                row = [None] * len(cols)
+                if payload is not None:
+                    try:
+                        m = parse_id3(bytes(payload))
+                    except Id3Error:
+                        m = None
+                    if m is not None:
+                        row = [m.version, m.title, m.artist, m.album,
+                               m.year, m.track, m.genre]
+                rows.append(row)
+            out = pd.DataFrame(rows, columns=cols)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=_ID3_SCHEMA)
