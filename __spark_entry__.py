@@ -2144,6 +2144,73 @@ def q_id3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG audio frame-chain stats END-TO-END with a hard oracle:
+    each doc becomes a deterministic CBR frame chain — doc_id cycles
+    MPEG version/layer/bitrate/samplerate/mode, every 3rd stream gets
+    a leading ID3v2 tag to skip — then operators/multimodal.mp3_stats
+    walks the headers; the SQL twin recomputes n_frames, the exact
+    rational duration, and every field from doc_id arithmetic."""
+    import pandas as pd
+
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        mp3_stats,
+    )
+
+    def enc(batches):
+        from aml_entity_resolution_assignment_spark.functions.id3 import (
+            build_id3v2,
+        )
+        from aml_entity_resolution_assignment_spark.functions.mpeg_audio import (
+            build_frames,
+        )
+
+        cfgs = [
+            ("1", 3, 128, 44100),
+            ("1", 2, 192, 48000),
+            ("1", 1, 448, 32000),
+            ("2", 3, 64, 22050),
+            ("2.5", 3, 40, 11025),
+        ]
+        modes = ["stereo", "joint_stereo", "mono"]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v, layer, br, sr = cfgs[did % 5]
+                b = build_frames(
+                    n_frames=did % 30 + 1,
+                    bitrate_kbps=br,
+                    samplerate=sr,
+                    layer=layer,
+                    version=v,
+                    mode=modes[did % 3],
+                )
+                if did % 3 == 0:
+                    b = build_id3v2(title=f"t{did}") + b
+                out.append(b)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": out}
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id string, payload binary")
+    )
+    return mp3_stats(media).select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "n_frames",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        "samplerate",
+        "mode",
+        "layer",
+        "mpeg_version",
+        F.round("mean_bitrate_kbps", 6).alias("mean_bitrate_kbps"),
+        "is_cbr",
+    )
+
+
 def q_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT metadata extraction: typed fields out of Common-Crawl WAT
     JSON envelopes via JVM-side json-path (no UDF, no full-schema
@@ -3557,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily": q_hll_daily,
         "mp4_meta": q_mp4_meta,
         "id3_meta": q_id3_meta,
+        "mp3_stats": q_mp3_stats,
         "profile_columns": q_profile_columns,
         "cm_token_counts": q_cm_token_counts,
         "hist_quantiles": q_hist_quantiles,
@@ -4782,6 +4850,29 @@ def oracle_sql() -> dict[str, str]:
            (doc_id % 12 + 1)::varchar as track,
            ['Blues','Rock','Pop','Classical'][(doc_id % 4) + 1] as genre
     from documents
+    """
+
+    # mp3_stats: stream fields from doc_id arithmetic; duration is
+    # n_frames * samples_per_frame / samplerate (L1 384, L2/L3 1152
+    # at MPEG-1; L3 576 at MPEG-2/2.5), samplerate int column
+    sql["mp3_stats"] = """
+    with cfg as (
+      select doc_id,
+        (doc_id % 30 + 1)::bigint as n_frames,
+        ['1','1','1','2','2.5'][(doc_id % 5) + 1] as mpeg_version,
+        [3, 2, 1, 3, 3][(doc_id % 5) + 1] as layer,
+        [128.0, 192.0, 448.0, 64.0, 40.0][(doc_id % 5) + 1] as kbps,
+        [44100, 48000, 32000, 22050, 11025][(doc_id % 5) + 1] as sr,
+        [1152, 1152, 384, 576, 576][(doc_id % 5) + 1] as spf,
+        ['stereo','joint_stereo','mono'][(doc_id % 3) + 1] as mode
+      from documents
+    )
+    select doc_id, n_frames,
+           round(n_frames * spf / sr::double, 6) as duration_sec,
+           sr::int as samplerate, mode, layer::int as layer,
+           mpeg_version, round(kbps, 6) as mean_bitrate_kbps,
+           true as is_cbr
+    from cfg
     """
 
     sql["mp4_meta"] = """

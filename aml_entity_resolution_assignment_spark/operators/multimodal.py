@@ -504,3 +504,46 @@ def id3_metadata(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=_ID3_SCHEMA)
+
+
+_MP3_SCHEMA = (
+    "media_id string, n_frames long, duration_sec double, "
+    "samplerate int, mode string, layer int, mpeg_version string, "
+    "mean_bitrate_kbps double, is_cbr boolean"
+)
+
+
+def mp3_stats(media: DataFrame) -> DataFrame:
+    """MPEG audio stream statistics (functions/mpeg_audio.py): walk
+    the 4-byte frame headers (skipping ID3 tags) and aggregate
+    duration / bitrate / CBR-ness / channel mode — the audio analog
+    of mp4_metadata's moov-only philosophy: every curation filter a
+    100 TB audio sweep needs, with zero subband/huffman decode.
+    Unparseable payloads come back all-NULL. One Arrow pass."""
+    from ..functions.mpeg_audio import MpegAudioError, stream_stats
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["n_frames", "duration_sec", "samplerate", "mode",
+                "layer", "mpeg_version", "mean_bitrate_kbps", "is_cbr"]
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                row = [None] * len(cols)
+                if payload is not None and len(payload) >= 4:
+                    try:
+                        s = stream_stats(bytes(payload))
+                        row = [s.n_frames, s.duration_sec, s.samplerate,
+                               s.mode, s.layer, s.version,
+                               s.mean_bitrate_kbps, s.is_cbr]
+                    except MpegAudioError:
+                        pass
+                rows.append(row)
+            out = pd.DataFrame(rows, columns=cols)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out["n_frames"] = pd.array(out["n_frames"], dtype="Int64")
+            for c in ("samplerate", "layer"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["is_cbr"] = pd.array(out["is_cbr"], dtype="boolean")
+            yield out
+
+    return media.mapInPandas(run, schema=_MP3_SCHEMA)

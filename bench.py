@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "exif_extract",  # JPEG APP1/Exif build -> splice -> parse
     "mp4_meta",  # box-tree metadata: moov-only reads, mdat untouched
     "id3_meta",  # ID3v1/v2 tag fields, all text encodings
+    "mp3_stats",  # frame-header walk: duration/bitrate with zero decode
 ]
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "8000"))
 # scaling evidence needs a compute-dominated run: big enough that the
