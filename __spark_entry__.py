@@ -506,6 +506,31 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deequ-style declarative data-quality gate (operators/checks.py
+    quality_checks): five assertions over documents evaluated in ONE
+    aggregation pass; the DuckDB twin recomputes each metric and
+    verdict from the same bounds."""
+    from aml_entity_resolution_assignment_spark.operators.checks import (
+        Check,
+        quality_checks,
+    )
+
+    out = quality_checks(
+        _docs(spark, sf_dir),
+        [
+            Check("completeness", "text", lo=0.9),
+            Check("uniqueness", "doc_id", lo=1.0),
+            Check("min", "n_chars", lo=0.0),
+            Check("max", "n_chars", hi=100000.0),
+            Check("mean", "n_chars", lo=1.0, hi=5000.0),
+        ],
+    )
+    return out.select(
+        "check", "column", F.round("metric", 6).alias("metric"), "passed"
+    )
+
+
 def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level B-cubed P/R/F1 of the chain-CC clustering against
     `source` as ground truth — three key-grouped aggregations, no
@@ -3652,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "dsir": q_dsir,
         "bitext_mine": q_bitext_mine,
+        "quality_gate": q_quality_gate,
         "trigram_lm": q_trigram_lm,
         "tfidf": q_tfidf,
         # dedup / ANN
@@ -4386,6 +4412,33 @@ def oracle_sql() -> dict[str, str]:
                 end as script,
            n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_hangul, n_devanagari
     from c
+    """
+
+    # quality_gate: each metric recomputed; verdicts on unrounded values
+    sql["quality_gate"] = """
+    with m as (
+      select avg(case when text is not null then 1.0 else 0.0 end) as c_text,
+             count(distinct doc_id)::double / count(*) as u_id,
+             min(n_chars)::double as mn,
+             max(n_chars)::double as mx,
+             avg(n_chars::double) as me
+      from documents
+    )
+    select * from (
+      select 'completeness' as "check", 'text' as "column",
+             round(c_text, 6) as metric, c_text >= 0.9 as passed from m
+      union all
+      select 'uniqueness', 'doc_id', round(u_id, 6), u_id >= 1.0 from m
+      union all
+      select 'min', 'n_chars', round(mn, 6),
+             coalesce(mn >= 0.0, false) from m
+      union all
+      select 'max', 'n_chars', round(mx, 6),
+             coalesce(mx <= 100000.0, false) from m
+      union all
+      select 'mean', 'n_chars', round(me, 6),
+             coalesce(me >= 1.0 and me <= 5000.0, false) from m
+    )
     """
 
     sql["bcubed"] = """

@@ -1,0 +1,88 @@
+"""Declarative data-quality checks — the deequ-style validation gate
+every production pipeline runs between ingest and train.
+
+One `Check` per assertion (completeness / uniqueness / min / max /
+mean, with optional [lo, hi] bounds); `quality_checks` evaluates ALL
+of them in a SINGLE aggregation pass over the table (one job, one
+scan — metrics are plain agg expressions, so a 100 TB validation is
+exactly one map-reduce over the columns the checks touch, and column
+pruning keeps the scan narrow). Uniqueness adds the standard
+count-distinct expansion; everything else is a first-class partial
+aggregate.
+
+Output is a tidy (check, column, metric, passed) table — write it to
+the metrics sink, alert on `not passed`, or hard-fail the DAG with
+`.where("not passed").count() == 0`. Fully SQL-expressible, so the
+driver oracle recomputes every metric and verdict."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KINDS = ("completeness", "uniqueness", "min", "max", "mean")
+
+
+@dataclass(frozen=True)
+class Check:
+    """One assertion: `kind` over `col`, passing iff the metric lies
+    in [lo, hi] (either bound may be None = unbounded)."""
+
+    kind: str
+    col: str
+    lo: float | None = None
+    hi: float | None = None
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown check kind {self.kind!r}")
+
+    @property
+    def name(self) -> str:
+        return f"{self.kind}({self.col})"
+
+
+def _metric(c: Check) -> Column:
+    col = F.col(c.col)
+    if c.kind == "completeness":
+        return F.avg(col.isNotNull().cast("double"))
+    if c.kind == "uniqueness":
+        return F.countDistinct(col).cast("double") / F.count(F.lit(1))
+    if c.kind == "min":
+        return F.min(col).cast("double")
+    if c.kind == "max":
+        return F.max(col).cast("double")
+    return F.avg(col.cast("double"))
+
+
+def quality_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate every check in ONE aggregation; returns
+    (check, column, metric, passed) with one row per check, in the
+    order given."""
+    if not checks:
+        raise ValueError("need at least one check")
+    agg = df.agg(
+        *[_metric(c).alias(f"_m{i}") for i, c in enumerate(checks)]
+    )
+    rows = []
+    for i, c in enumerate(checks):
+        m = F.col(f"_m{i}")
+        ok = F.lit(True)
+        if c.lo is not None:
+            ok = ok & (m >= F.lit(float(c.lo)))
+        if c.hi is not None:
+            ok = ok & (m <= F.lit(float(c.hi)))
+        ok = F.when(m.isNull(), F.lit(False)).otherwise(ok)
+        rows.append(
+            F.struct(
+                F.lit(c.kind).alias("check"),
+                F.lit(c.col).alias("column"),
+                m.alias("metric"),
+                ok.alias("passed"),
+            )
+        )
+    return agg.select(
+        F.explode(F.array(*rows)).alias("_r")
+    ).select("_r.check", "_r.column", "_r.metric", "_r.passed")

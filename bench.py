@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "ppl_buckets",  # CCNet head/middle/tail: per-lang histogram cuts, broadcast back
     "dsir",  # hashed-ngram importance weights: two bounded count tables, one shuffle
     "bitext_mine",  # ratio-margin mutual-best mining over candidate pairs
+    "quality_gate",  # deequ-lite: all assertions in ONE aggregation pass
     "trigram_lm",  # stupid-backoff trigram LM (5 gram-keyed joins)
     "tfidf",
     "bcubed",

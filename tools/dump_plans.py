@@ -218,6 +218,41 @@ SECTIONS = [
         "expression.",
     ),
     (
+        "etld1",
+        "publicsuffix eTLD+1: DISTINCT hosts explode to O(labels) "
+        "suffix candidates; ONE broadcast hash join covers normal/"
+        "wildcard/exception rule kinds; pages rejoin the host->suffix "
+        "map with a plain shuffle equi-join — the rule table is the "
+        "only broadcast, the corpus-derived host map never is.",
+    ),
+    (
+        "domain_cap",
+        "Per-domain quota: one row_number window over (domain, "
+        "content-hash) — a single shuffle partitioned by domain; the "
+        "hash order makes the kept set identical under any "
+        "partitioning or cluster size.",
+    ),
+    (
+        "dedup_prefix",
+        "AllPairs/PPJoin: the self-join key is the RAREST-FIRST "
+        "prefix, so hot tokens never become join keys (no salt, no "
+        "max_df cap, zero recall loss); verify is an array_intersect "
+        "over doc-sized arrays hydrated by two id equi-joins.",
+    ),
+    (
+        "bitext_mine",
+        "Margin mining: per-side k-NN means are windows partitioned "
+        "by one vector id (bounded by candidate fanout); the mutual-"
+        "best check is two row_number windows over the same scored "
+        "table — nothing corpus-wide single-reducer.",
+    ),
+    (
+        "mp3_stats",
+        "Frame-header walk: one ArrowEvalPython/mapInPandas pass over "
+        "binary payloads; only 4-byte headers are touched, the audio "
+        "payload bytes never materialize as columns.",
+    ),
+    (
         "charset_decode",
         "Charset sniff + transcode: a single ArrowEvalPython "
         "projection (bytes in, text+charset struct out) — no shuffle; "
