@@ -2505,6 +2505,53 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML -> typed entry rows (operators/urls.py
+    sitemap_entries) with a hard oracle: every doc becomes a
+    deterministic sitemap — doc_id % 4 == 0 is a <sitemapindex> with
+    one member, others are <urlset>s with two <url> entries (the
+    second omitting all optional fields) — and DuckDB recomputes each
+    exploded row from doc_id arithmetic."""
+    from aml_entity_resolution_assignment_spark.operators.urls import (
+        sitemap_entries,
+    )
+
+    i = F.col("doc_id")
+    urlset = F.concat(
+        F.lit("<urlset><url><loc>https://d"),
+        (i % 23).cast("string"),
+        F.lit(".example.org/p"),
+        (i % 7).cast("string"),
+        F.lit("</loc><lastmod>2024-0"),
+        (i % 9 + 1).cast("string"),
+        F.lit("-01</lastmod><changefreq>"),
+        F.element_at(
+            F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+            (i % 3 + 1).cast("int"),
+        ),
+        F.lit("</changefreq><priority>0."),
+        (i % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://d"),
+        (i % 23).cast("string"),
+        F.lit(".example.org/q"),
+        (i % 5).cast("string"),
+        F.lit("</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://d"),
+        (i % 23).cast("string"),
+        F.lit(".example.org/s"),
+        (i % 6).cast("string"),
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.when(i % 4 == 0, index).otherwise(urlset).alias("xml")
+    )
+    return sitemap_entries(pages).select(
+        "doc_id", "kind", "loc", "lastmod", "changefreq", "priority"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pretraining sequence packing: whitespace tokens + per-doc
     EOS, concatenated in doc_id order and cut into 256-token training
@@ -3669,6 +3716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "etld1": q_etld1,
         "domain_cap": q_domain_cap,
+        "sitemap": q_sitemap,
         "script_profile": q_script_profile,
         "dedup_prefix": q_dedup_prefix,
         "robots": q_robots,
@@ -5353,6 +5401,28 @@ def oracle_sql() -> dict[str, str]:
     join sz sa on sa.doc_id = id_a
     join sz sb on sb.doc_id = id_b
     where i::double / (sa.m + sb.m - i) >= 0.95
+    """
+
+    # sitemap: exploded entry rows recomputed from doc_id arithmetic
+    sql["sitemap"] = """
+    select doc_id, 'sitemap' as kind,
+           'https://d' || (doc_id % 23) || '.example.org/s'
+             || (doc_id % 6) || '.xml' as loc,
+           null as lastmod, null as changefreq,
+           null::double as priority
+    from documents where doc_id % 4 = 0
+    union all
+    select doc_id, 'url',
+           'https://d' || (doc_id % 23) || '.example.org/p' || (doc_id % 7),
+           '2024-0' || (doc_id % 9 + 1) || '-01',
+           ['daily','weekly','monthly'][(doc_id % 3) + 1],
+           (doc_id % 10) / 10.0
+    from documents where doc_id % 4 <> 0
+    union all
+    select doc_id, 'url',
+           'https://d' || (doc_id % 23) || '.example.org/q' || (doc_id % 5),
+           null, null, null::double
+    from documents where doc_id % 4 <> 0
     """
 
     sql["pack_sequences"] = """

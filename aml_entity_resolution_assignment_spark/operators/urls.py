@@ -298,3 +298,63 @@ def registrable_domain(
         .withColumn("domain", dom)
         .drop("_host", "_has_exc", "_exc_ps", "_norm_ps", "_psn")
     )
+
+
+def sitemap_entries(
+    pages: DataFrame,
+    xml_col: str = "xml",
+    id_cols: Iterable[str] = ("doc_id",),
+) -> DataFrame:
+    """Explode sitemap XML (sitemaps.org protocol) into typed entry
+    rows — the crawl-scheduler's seed source: <urlset> pages become
+    kind='url' rows with loc / lastmod / changefreq / priority, and
+    <sitemapindex> members become kind='sitemap' rows (loc + lastmod)
+    to be fetched and fed back through this same operator.
+
+    Pure codegen'd column algebra: one (?s) regexp scan per entry
+    kind, one explode, per-field regexp extracts — no XML library, no
+    UDF (sitemaps are machine-generated and schema-fixed; the regex
+    grammar is the standard robust-enough parse at crawl scale, same
+    rationale as linkgraph's href scan). Empty/absent optional fields
+    come back NULL; priority is cast to double.
+
+    Returns (*id_cols, kind, loc, lastmod, changefreq, priority)."""
+    xml = F.col(xml_col)
+
+    def blocks(tag: str) -> Column:
+        return F.regexp_extract_all(
+            xml, F.lit(f"(?s)<{tag}>(.*?)</{tag}>"), F.lit(1)
+        )
+
+    def field(tag: str) -> Column:
+        return F.nullif(
+            F.regexp_extract(
+                F.col("_b"), rf"(?s)<{tag}>\s*(.*?)\s*</{tag}>", 1
+            ),
+            F.lit(""),
+        )
+
+    tagged = F.concat(
+        F.transform(
+            blocks("url"),
+            lambda b: F.struct(F.lit("url").alias("kind"), b.alias("b")),
+        ),
+        F.transform(
+            blocks("sitemap"),
+            lambda b: F.struct(
+                F.lit("sitemap").alias("kind"), b.alias("b")
+            ),
+        ),
+    )
+    return (
+        pages.select(*id_cols, F.explode(tagged).alias("_e"))
+        .select(*id_cols, "_e.kind", F.col("_e.b").alias("_b"))
+        .select(
+            *id_cols,
+            "kind",
+            field("loc").alias("loc"),
+            field("lastmod").alias("lastmod"),
+            field("changefreq").alias("changefreq"),
+            field("priority").cast("double").alias("priority"),
+        )
+    )

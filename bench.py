@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "url_filter",
     "etld1",  # publicsuffix.org algorithm: suffix explode + broadcast rule join
     "domain_cap",  # per-eTLD+1 quota: one hash-ranked window
+    "sitemap",  # regexp block explode, per-field extracts, all codegen
     "script_profile",  # \\p{Script} char-class counts, one codegen projection
     "robots",
     "bm25",

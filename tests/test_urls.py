@@ -180,3 +180,47 @@ def test_registrable_domain_partitioning_invariant(spark):
         for r in registrable_domain(df.repartition(8), host_col="h").collect()
     }
     assert a == b and len(a) == 52
+
+
+# ----------------------------------------------------- sitemap parsing
+
+
+def test_sitemap_urlset_and_index(spark):
+    from aml_entity_resolution_assignment_spark.operators.urls import (
+        sitemap_entries,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a.example/p1</loc>"
+        "<lastmod>2024-01-02</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc> https://a.example/p2 </loc></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://a.example/s1.xml</loc>"
+        "<lastmod>2024-02-03</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "<html>not a sitemap</html>")],
+        "doc_id long, xml string",
+    )
+    rows = sitemap_entries(df).collect()
+    got = {
+        (r["doc_id"], r["kind"], r["loc"]): (
+            r["lastmod"], r["changefreq"], r["priority"]
+        )
+        for r in rows
+    }
+    assert got[(1, "url", "https://a.example/p1")] == (
+        "2024-01-02", "daily", 0.8
+    )
+    # whitespace trimmed; absent optionals NULL
+    assert got[(1, "url", "https://a.example/p2")] == (None, None, None)
+    assert got[(2, "sitemap", "https://a.example/s1.xml")] == (
+        "2024-02-03", None, None,
+    )
+    assert len(rows) == 3  # the html doc contributes nothing
