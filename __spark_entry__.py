@@ -2236,6 +2236,62 @@ def q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF + Sun AU containers END-TO-END with a hard oracle: each
+    doc's first 4 text bytes become PCM samples ((byte-128)*3),
+    encoded into a doc_id-cycled container/width (AIFF 16/24/32-bit
+    big-endian incl. the 80-bit extended sample rate, AU linear
+    16/24/32) and decoded back bit-exactly by functions/aiff.py; the
+    SQL twin recomputes every sample from the text bytes."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        from aml_entity_resolution_assignment_spark.functions.aiff import (
+            decode_aiff,
+            decode_au,
+            encode_aiff,
+            encode_au,
+        )
+
+        fmts = ["aiff16", "aiff24", "aiff32", "au16", "au24", "au32"]
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                raw = str(text).encode("utf-8", "replace")[:4]
+                if len(raw) < 4:
+                    continue
+                s = (
+                    (np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                     - 128) * 3
+                )[:, None]
+                fmt = fmts[did % 6]
+                if fmt.startswith("aiff"):
+                    payload = encode_aiff(s, 8000 + did % 5, int(fmt[4:]))
+                    dec, rate, _bits = decode_aiff(payload)
+                else:
+                    enc = {"au16": 3, "au24": 4, "au32": 5}[fmt]
+                    payload = encode_au(s, 8000 + did % 5, enc)
+                    dec, rate, _bits = decode_au(payload)
+                assert rate == 8000 + did % 5
+                for k in range(4):
+                    out.append((did, fmt, k, int(dec[k, 0])))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "fmt", "k", "v"]
+            )
+
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars") >= 4)
+        .select("doc_id", "text")
+    )
+    return d.mapInPandas(
+        run, schema="doc_id long, fmt string, k int, v long"
+    )
+
+
 def q_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT metadata extraction: typed fields out of Common-Crawl WAT
     JSON envelopes via JVM-side json-path (no UDF, no full-schema
@@ -3697,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_meta": q_mp4_meta,
         "id3_meta": q_id3_meta,
         "mp3_stats": q_mp3_stats,
+        "audio_containers": q_audio_containers,
         "profile_columns": q_profile_columns,
         "cm_token_counts": q_cm_token_counts,
         "hist_quantiles": q_hist_quantiles,
@@ -4974,6 +5031,19 @@ def oracle_sql() -> dict[str, str]:
            mpeg_version, round(kbps, 6) as mean_bitrate_kbps,
            true as is_cbr
     from cfg
+    """
+
+    # audio_containers: every decoded sample equals (byte-128)*3
+    sql["audio_containers"] = """
+    with pos as (select unnest(generate_series(0, 3)) as k)
+    select d.doc_id,
+           ['aiff16','aiff24','aiff32','au16','au24','au32']
+             [(d.doc_id % 6) + 1] as fmt,
+           pos.k::int as k,
+           ((ord(substr(d.text, (pos.k + 1)::int, 1)) - 128) * 3)::bigint
+             as v
+    from documents d, pos
+    where d.n_chars >= 4
     """
 
     sql["mp4_meta"] = """

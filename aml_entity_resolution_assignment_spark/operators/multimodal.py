@@ -187,8 +187,9 @@ def _image_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def _audio_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Real audio feature: WAV/PCM (functions/wav.py) or FLAC
-    (functions/flac.py) decode, pure struct + numpy ->
+    """Real audio feature: WAV/PCM (functions/wav.py), FLAC
+    (functions/flac.py), AIFF, or Sun AU (functions/aiff.py) decode
+    by magic dispatch, pure struct + numpy ->
     RMS/peak/ZCR/centroid + FFT bands, padded or truncated to the
     fixed feature width. FLAC samples normalize by 2^(bps-1) to the
     same [-1, 1] convention decode_wav uses."""
@@ -201,6 +202,16 @@ def _audio_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
         raw, _rate, bps = decode_flac(payload)
         samples = raw.astype(np.float64) / float(1 << (bps - 1))
+    elif payload[:4] == b"FORM":
+        from ..functions.aiff import decode_aiff
+
+        raw, _rate, bits = decode_aiff(payload)
+        samples = raw.astype(np.float64) / float(1 << (bits - 1))
+    elif payload[:4] == b".snd":
+        from ..functions.aiff import decode_au
+
+        raw, _rate, bits = decode_au(payload)
+        samples = raw.astype(np.float64) / float(1 << (bits - 1))
     else:
         samples, _rate = decode_wav(payload)
     feat = audio_features(samples, n_bands=max(dim - 4, 1))
