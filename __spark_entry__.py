@@ -2739,6 +2739,48 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("host", "label")
 
 
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimates (sketches.py hll_set_estimates):
+    distinct purchasers vs signup users, |A|/|B|/|A∪B| from register
+    sketches (lossless union-by-max merge) and |A∩B| by inclusion-
+    exclusion. DuckDB recomputes both sketches, the merged sketch,
+    and all four estimates in plain SQL."""
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        hll_registers,
+        hll_set_estimates,
+    )
+
+    ev = _events(spark, sf_dir)
+    a = hll_registers(
+        ev.where(F.col("event_type") == "purchase"), "user_id"
+    )
+    b = hll_registers(
+        ev.where(F.col("event_type") == "signup"), "user_id"
+    )
+    out = hll_set_estimates(a, b)
+    return out.select(
+        F.round("est_a", 6).alias("est_a"),
+        F.round("est_b", 6).alias("est_b"),
+        F.round("est_union", 6).alias("est_union"),
+        F.round("est_intersection", 6).alias("est_intersection"),
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily forward-fill resample (operators/events.py
+    forward_fill_daily) over the events table: day-closing event by
+    (ts, event_id), entity-local grids, last-ignorenulls fill. The
+    DuckDB twin replays the same windows over the same grid."""
+    from aml_entity_resolution_assignment_spark.operators.events import (
+        forward_fill_daily,
+    )
+
+    out = forward_fill_daily(_events(spark, sf_dir))
+    return out.select(
+        "user_id", "day", F.round("value", 6).alias("value"), "observed"
+    )
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected 2-core of the host link graph (operators/linkgraph.py
     k_core): synchronous peeling to fixpoint, one degree aggregation +
@@ -3750,6 +3792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "hll_distinct": q_hll_distinct,
         "hll_daily": q_hll_daily,
+        "gap_fill": q_gap_fill,
+        "hll_overlap": q_hll_overlap,
         "mp4_meta": q_mp4_meta,
         "id3_meta": q_id3_meta,
         "mp3_stats": q_mp3_stats,
@@ -4968,6 +5012,100 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # hll_daily: the hll_distinct twin with a day group key
+    # gap_fill: day-closing row_number, entity-local grid, ignore-nulls
+    # running fill — window-for-window the engine's plan
+    # hll_overlap: both sketches + the max-merge + inclusion-exclusion
+    sql["hll_overlap"] = """
+    with ha as (
+      select ('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::UBIGINT
+               as hv
+      from events where event_type = 'purchase' and user_id is not null
+    ),
+    hb as (
+      select ('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::UBIGINT
+               as hv
+      from events where event_type = 'signup' and user_id is not null
+    ),
+    ra as (
+      select (hv % 512) as register,
+             max(case when (hv >> 9) > 0
+                      then 52 - length(bin(hv >> 9)) else 52 end) as mr
+      from ha group by 1
+    ),
+    rb as (
+      select (hv % 512) as register,
+             max(case when (hv >> 9) > 0
+                      then 52 - length(bin(hv >> 9)) else 52 end) as mr
+      from hb group by 1
+    ),
+    ru as (
+      select register, max(mr) as mr
+      from (select * from ra union all select * from rb) group by 1
+    ),
+    est as (
+      select
+        (select case when (0.7213/(1+1.079/512))*512*512
+                          / (sum(power(2.0, -mr)) + (512 - count(*)))
+                        <= 2.5*512 and (512 - count(*)) > 0
+                then 512.0 * ln(512.0 / (512 - count(*)))
+                else (0.7213/(1+1.079/512))*512*512
+                     / (sum(power(2.0, -mr)) + (512 - count(*))) end
+         from ra) as ea,
+        (select case when (0.7213/(1+1.079/512))*512*512
+                          / (sum(power(2.0, -mr)) + (512 - count(*)))
+                        <= 2.5*512 and (512 - count(*)) > 0
+                then 512.0 * ln(512.0 / (512 - count(*)))
+                else (0.7213/(1+1.079/512))*512*512
+                     / (sum(power(2.0, -mr)) + (512 - count(*))) end
+         from rb) as eb,
+        (select case when (0.7213/(1+1.079/512))*512*512
+                          / (sum(power(2.0, -mr)) + (512 - count(*)))
+                        <= 2.5*512 and (512 - count(*)) > 0
+                then 512.0 * ln(512.0 / (512 - count(*)))
+                else (0.7213/(1+1.079/512))*512*512
+                     / (sum(power(2.0, -mr)) + (512 - count(*))) end
+         from ru) as eu
+    )
+    select round(ea, 6) as est_a, round(eb, 6) as est_b,
+           round(eu, 6) as est_union,
+           round(greatest(0.0, ea + eb - eu), 6) as est_intersection
+    from est
+    """
+
+    sql["gap_fill"] = """
+    with pd as (
+      select user_id, day, v from (
+        select user_id, cast(ts as date) as day, value as v,
+               row_number() over (
+                 partition by user_id, cast(ts as date)
+                 order by ts desc, event_id desc) as r
+        from events) t
+      where r = 1
+    ),
+    b as (
+      select user_id, min(day) as d0, max(day) as d1
+      from pd group by user_id
+    ),
+    grid as (
+      select user_id,
+             cast(unnest(generate_series(d0::timestamp, d1::timestamp,
+                                         interval 1 day)) as date) as day
+      from b
+    ),
+    j as (
+      select g.user_id, g.day, pd.v
+      from grid g left join pd on pd.user_id = g.user_id
+                             and pd.day = g.day
+    )
+    select user_id, day,
+           round(last_value(v ignore nulls) over (
+             partition by user_id order by day
+             rows between unbounded preceding and current row), 6)
+             as value,
+           v is not null as observed
+    from j
+    """
+
     sql["hll_daily"] = """
     with h as (
       select cast(ts as date) as day,

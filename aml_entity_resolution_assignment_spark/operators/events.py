@@ -96,3 +96,65 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user").alias("n_users"))
     )
+
+
+def forward_fill_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity daily resample with forward fill — the standard
+    gap-filling pass that turns an irregular event stream into the
+    dense daily series dashboards, cohort models, and feature stores
+    expect. Semantics (all deterministic): each entity's daily value
+    is its LAST event of the day (by ts, ties by id); the grid spans
+    that entity's own [first_day, last_day]; days without events
+    carry the previous observed value forward (`observed` = false).
+
+    Distributed shape: one row_number window picks the day-closing
+    event, one groupBy finds the per-entity bounds, sequence+explode
+    builds the grid (entity-local — no global calendar join), one
+    left join re-attaches observations, and the fill is a
+    last-ignorenulls running window — every stage is partitioned by
+    the entity key, so the work and memory per task is bounded by one
+    entity's day span, never the corpus. Returns
+    (user_col, day, value, observed)."""
+    from pyspark.sql.window import Window
+
+    day = F.to_date(F.col(ts_col))
+    w_close = Window.partitionBy(user_col, "day").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    per_day = (
+        events.withColumn("day", day)
+        .withColumn("_r", F.row_number().over(w_close))
+        .where(F.col("_r") == 1)
+        .select(user_col, "day", F.col(value_col).alias("_v"))
+    )
+    bounds = per_day.groupBy(user_col).agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    grid = bounds.select(
+        user_col,
+        F.explode(
+            F.sequence(
+                F.col("_d0"), F.col("_d1"), F.expr("interval 1 day")
+            )
+        ).alias("day"),
+    )
+    w_fill = (
+        Window.partitionBy(user_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(per_day, [user_col, "day"], "left")
+        .select(
+            user_col,
+            "day",
+            F.last("_v", ignorenulls=True).over(w_fill).alias("value"),
+            F.col("_v").isNotNull().alias("observed"),
+        )
+    )

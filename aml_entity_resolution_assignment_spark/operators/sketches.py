@@ -426,3 +426,42 @@ def hll_estimate_by(
         F.col("_set").cast("long").alias("n_registers_set"),
         corrected.alias("estimate"),
     )
+
+
+def hll_set_estimates(
+    a: DataFrame, b: DataFrame, p: int = HLL_P
+) -> DataFrame:
+    """Set-operation estimates from two HLL register sketches
+    (hll_registers output): |A|, |B|, |A ∪ B| (the lossless
+    union-by-max merge), and |A ∩ B| by inclusion-exclusion
+    (max(0, |A| + |B| - |A∪B|)) — the audience-overlap / segment-
+    intersection primitive. Everything stays sketch-sized: the merge
+    is a <= 2^(p+1)-row groupBy, estimates are scalar aggregates, and
+    the same register tables roll up from per-segment sketches
+    without rescanning the corpus. One output row
+    (est_a, est_b, est_union, est_intersection)."""
+    u = (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+    def est(df: DataFrame, name: str) -> DataFrame:
+        return hll_estimate(df, p).select(
+            F.col("estimate").alias(name)
+        )
+
+    out = (
+        est(a, "est_a")
+        .crossJoin(est(b, "est_b"))
+        .crossJoin(est(u, "est_union"))
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(
+            F.lit(0.0),
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        ).alias("est_intersection"),
+    )

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "zorder_events",  # Morton clustering key (codegen'd shift/mask)
     "events_window",
     "events_sessionize",
+    "gap_fill",  # entity-local daily grid + ignore-nulls running fill
     "funnel",  # ordered min-after-previous funnel (k-1 keyed rounds)
     "cohort_retention",  # weekly cohorts, two keyed aggs + one join
     "tpch_pricing",

@@ -72,3 +72,67 @@ def test_cohort_retention(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+# ----------------------------------------------------- daily gap fill
+
+
+def test_forward_fill_daily_semantics(spark):
+    import datetime as dt
+
+    from aml_entity_resolution_assignment_spark.operators.events import (
+        forward_fill_daily,
+    )
+
+    T = dt.datetime
+    rows = [
+        # user 1: two events day1 (last wins), gap day2-3, event day4
+        (1, 1, T(2024, 1, 1, 9), 10.0),
+        (2, 1, T(2024, 1, 1, 18), 11.0),
+        (3, 1, T(2024, 1, 4, 12), 44.0),
+        # user 2: single day
+        (4, 2, T(2024, 2, 7, 1), 7.0),
+        # tie on ts within a day -> higher event_id closes the day
+        (5, 3, T(2024, 3, 1, 12), 1.0),
+        (6, 3, T(2024, 3, 1, 12), 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], str(r["day"])): (r["value"], r["observed"])
+        for r in forward_fill_daily(df).collect()
+    }
+    assert got[(1, "2024-01-01")] == (11.0, True)   # last event of day
+    assert got[(1, "2024-01-02")] == (11.0, False)  # carried forward
+    assert got[(1, "2024-01-03")] == (11.0, False)
+    assert got[(1, "2024-01-04")] == (44.0, True)
+    assert got[(2, "2024-02-07")] == (7.0, True)
+    assert got[(3, "2024-03-01")] == (2.0, True)    # id tie-break
+    assert len(got) == 6  # grids are entity-local, no global calendar
+
+
+def test_forward_fill_daily_partitioning_invariant(spark):
+    import datetime as dt
+
+    from aml_entity_resolution_assignment_spark.operators.events import (
+        forward_fill_daily,
+    )
+
+    T = dt.datetime
+    rows = [
+        (i, i % 5, T(2024, 1, 1 + (i * 3) % 20, i % 24), float(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    a = {
+        tuple(r)
+        for r in forward_fill_daily(df.repartition(1)).collect()
+    }
+    b = {
+        tuple(r)
+        for r in forward_fill_daily(df.repartition(8)).collect()
+    }
+    assert a == b and len(a) > 60  # gaps were filled

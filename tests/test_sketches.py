@@ -305,3 +305,33 @@ def test_hll_grouped_merge_equals_whole_range(spark):
     )
     # grouped estimator runs off the same rows
     assert hll_estimate_by(daily, ["day"]).count() == 7
+
+
+def test_hll_set_estimates_inclusion_exclusion(spark):
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        hll_distinct,
+        hll_registers,
+        hll_set_estimates,
+    )
+
+    # A = 0..399, B = 200..599 -> true |A∩B| = 200, |A∪B| = 600
+    a = spark.createDataFrame([(f"u{i}",) for i in range(400)], "u string")
+    b = spark.createDataFrame(
+        [(f"u{i}",) for i in range(200, 600)], "u string"
+    )
+    row = hll_set_estimates(
+        hll_registers(a, "u"), hll_registers(b, "u")
+    ).collect()[0]
+    # identities: est_a/est_b equal the one-shot estimates; the union
+    # merge is lossless so est_union equals the union's own sketch
+    ea = hll_distinct(a, "u").collect()[0]["estimate"]
+    eu = hll_distinct(a.unionByName(b).distinct(), "u").collect()[0][
+        "estimate"
+    ]
+    assert row["est_a"] == ea and abs(row["est_union"] - eu) < 1e-9
+    assert row["est_intersection"] == row["est_a"] + row["est_b"] - row[
+        "est_union"
+    ]
+    # estimates land near truth (p=9 -> ~5% rse; allow 3 sigma)
+    assert abs(row["est_union"] - 600) / 600 < 0.2
+    assert abs(row["est_intersection"] - 200) / 200 < 0.5
