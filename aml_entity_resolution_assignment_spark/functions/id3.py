@@ -64,7 +64,12 @@ def _text(payload: bytes) -> str:
     enc = _ENCODINGS.get(payload[0])
     if enc is None:
         raise Id3Error(f"unknown text encoding {payload[0]}")
-    return payload[1:].decode(enc).rstrip("\x00")
+    try:
+        return payload[1:].decode(enc).rstrip("\x00")
+    except UnicodeDecodeError as e:
+        # garbage tag bytes are routine in crawl MP3s — surface them
+        # as the structured error the operator's all-NULL path catches
+        raise Id3Error(f"undecodable text frame: {e}") from e
 
 
 _FRAME_FIELDS = {

@@ -102,13 +102,20 @@ def iter_boxes(data: bytes, start: int = 0, end: int | None = None):
         off += size
 
 
-def _full(data: bytes, off: int):
+def _need(off: int, end: int, n: int, what: str) -> None:
+    if end - off < n:
+        raise Mp4Error(f"{what} box too short ({end - off} < {n})")
+
+
+def _full(data: bytes, off: int, end: int, need_v0: int, need_v1: int):
+    _need(off, end, 4, "full")
     v = data[off]
+    _need(off, end, 4 + (need_v1 if v == 1 else need_v0), "full")
     return v, off + 4  # version byte + 3 flag bytes consumed
 
 
 def _read_mvhd(data, off, end, meta: Mp4Meta):
-    v, p = _full(data, off)
+    v, p = _full(data, off, end, 16, 28)
     if v == 1:
         meta.timescale = struct.unpack_from(">I", data, p + 16)[0]
         meta.duration = struct.unpack_from(">Q", data, p + 20)[0]
@@ -118,7 +125,7 @@ def _read_mvhd(data, off, end, meta: Mp4Meta):
 
 
 def _read_tkhd(data, off, end, t: TrackMeta):
-    v, p = _full(data, off)
+    v, p = _full(data, off, end, 80, 92)
     if v == 1:
         t.track_id = struct.unpack_from(">I", data, p + 16)[0]
         t.duration = struct.unpack_from(">Q", data, p + 24)[0]
@@ -135,7 +142,7 @@ def _read_tkhd(data, off, end, t: TrackMeta):
 
 
 def _read_mdhd(data, off, end, t: TrackMeta):
-    v, p = _full(data, off)
+    v, p = _full(data, off, end, 18, 30)
     if v == 1:
         t.media_timescale = struct.unpack_from(">I", data, p + 16)[0]
         t.media_duration = struct.unpack_from(">Q", data, p + 20)[0]
@@ -151,15 +158,16 @@ def _read_mdhd(data, off, end, t: TrackMeta):
 
 
 def _read_stsd(data, off, end, t: TrackMeta):
-    _, p = _full(data, off)
+    _, p = _full(data, off, end, 4, 4)
     t.n_sample_entries = struct.unpack_from(">I", data, p)[0]
     if t.n_sample_entries > 0 and p + 12 <= end:
         t.codec = data[p + 8 : p + 12].decode("ascii", "replace")
 
 
 def _read_stts(data, off, end, t: TrackMeta):
-    _, p = _full(data, off)
+    _, p = _full(data, off, end, 4, 4)
     n = struct.unpack_from(">I", data, p)[0]
+    _need(p + 4, end, 8 * n, "stts")
     total = 0
     for i in range(n):
         cnt = struct.unpack_from(">I", data, p + 4 + 8 * i)[0]
@@ -168,7 +176,7 @@ def _read_stts(data, off, end, t: TrackMeta):
 
 
 def _read_stsz(data, off, end, t: TrackMeta):
-    _, p = _full(data, off)
+    _, p = _full(data, off, end, 8, 8)
     const, n = struct.unpack_from(">II", data, p)
     t.const_sample_size = const if const else None
     if t.n_samples is None:
@@ -182,6 +190,7 @@ def parse_mp4(data: bytes) -> Mp4Meta:
     def walk(start, end, track: TrackMeta | None):
         for btype, poff, pend in iter_boxes(data, start, end):
             if btype == b"ftyp":
+                _need(poff, pend, 8, "ftyp")
                 meta.major_brand = data[poff : poff + 4].decode(
                     "ascii", "replace"
                 )

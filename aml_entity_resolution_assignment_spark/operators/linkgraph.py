@@ -524,9 +524,11 @@ def k_core(
     monotonically, so rounds get cheaper; the loop stops at the first
     round that deletes nothing (the surviving-vertex count is the
     1-row action that also materializes the round's lazy
-    localCheckpoint, the fused-round pattern of pagerank/CC). Peel
-    depth is bounded by the graph's degeneracy chain, not |V| —
-    `max_rounds` is a runaway guard, not a tuning knob.
+    localCheckpoint, the fused-round pattern of pagerank/CC). NOTE:
+    synchronous peel depth is worst-case O(|V|) (a path graph peels
+    two endpoints per round), so non-convergence within `max_rounds`
+    raises rather than silently returning a superset of the k-core;
+    raise `max_rounds` for deep chain-shaped graphs.
 
     Returns (host, degree) for k-core members, degree = within-core
     degree (>= k by construction)."""
@@ -542,11 +544,13 @@ def k_core(
         .localCheckpoint(eager=False)
     )
     n_prev = -1
+    converged = False
     for _ in range(max_rounds):
         deg = e.groupBy("a").agg(F.count("*").alias("degree"))
         keep = deg.where(F.col("degree") >= k).localCheckpoint(eager=False)
         n = keep.count()  # the ONE action per round
         if n == n_prev:
+            converged = True
             break
         n_prev = n
         kv = keep.select("a")
@@ -554,6 +558,13 @@ def k_core(
             e.join(kv, "a", "left_semi")
             .join(kv.select(F.col("a").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=False)
+        )
+    if not converged:
+        raise ValueError(
+            f"k_core did not converge within max_rounds={max_rounds}; "
+            "the partially-peeled graph is a SUPERSET of the k-core — "
+            "raise max_rounds (synchronous peel depth is worst-case "
+            "O(|V|) on chain-shaped graphs)"
         )
     return (
         e.groupBy("a")

@@ -505,8 +505,11 @@ def score_buckets(
             ]
         )
     )
+    # null-safe equality: a NULL group is a real group (the histogram
+    # kept it), so its docs must see their own cut points instead of
+    # falling through the join into labels[0]
     out = docs.join(
-        F.broadcast(cuts), docs[group_col] == cuts["_g"], "left"
+        F.broadcast(cuts), docs[group_col].eqNullSafe(cuts["_g"]), "left"
     ).drop("_g")
     label = F.lit(labels[0])
     for i in range(len(fractions)):

@@ -46,45 +46,20 @@ def _alpha(m: int) -> float:
 def hll_registers(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
     """(register int, max_rho int) sketch rows for the distinct values
     of `col` — at most 2^p rows regardless of input size; merge two
-    sketches with unionByName + groupBy(register).max(max_rho)."""
-    m = 1 << p
-    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    w = F.shiftright(h, p)  # exact integer shift (no float division)
-    bitlen = F.when(w > 0, F.length(F.conv(w.cast("string"), 10, 2))).otherwise(
-        F.lit(0)
-    )
-    rho = F.when(w > 0, F.lit(60 - p + 1) - bitlen).otherwise(F.lit(60 - p + 1))
-    return (
-        df.where(F.col(col).isNotNull())
-        .select(F.pmod(h, F.lit(m)).cast("int").alias("register"), rho.alias("_rho"))
-        .groupBy("register")
-        .agg(F.max("_rho").cast("int").alias("max_rho"))
-    )
+    sketches with unionByName + groupBy(register).max(max_rho).
+    Delegates to hll_registers_by with no group — ONE implementation
+    of the hash/rho identity keeps grouped and ungrouped sketches
+    bit-compatible for merges."""
+    return hll_registers_by(df, col, [], p)
 
 
 def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
     """Sketch rows -> one row (n_registers_set, estimate double).
     Registers absent from the sketch count as rho=0 (2^0 = 1 each);
     small-range correction: linear counting when E <= 2.5m and empty
-    registers exist."""
-    m = 1 << p
-    agg = registers.agg(
-        F.count("*").alias("_set"),
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
-    )
-    alpha = _alpha(m)
-    raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_set")))
-    zeros = F.lit(m) - F.col("_set")
-    corrected = F.when(
-        (raw <= 2.5 * m) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-    ).otherwise(raw)
-    return agg.select(
-        F.col("_set").cast("long").alias("n_registers_set"),
-        corrected.alias("estimate"),
-    )
+    registers exist. Delegates to hll_estimate_by (same estimator,
+    one implementation)."""
+    return hll_estimate_by(registers, [], p)
 
 
 def hll_distinct(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:

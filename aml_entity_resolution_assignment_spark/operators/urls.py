@@ -194,18 +194,21 @@ def registrable_domain(
         rules = spark.createDataFrame(
             [(r,) for r in rules], "rule string"
         )
-    r = F.lower(F.trim(F.col(rules.columns[0])))
+    # strip ALL whitespace (not just ASCII spaces — a CRLF checkout of
+    # public_suffix_list.dat leaves \r on every line) and derive the
+    # base from the SAME normalized value the kind test uses
+    r = F.lower(F.regexp_replace(F.col(rules.columns[0]), r"\s+", ""))
     kind = (
         F.when(r.startswith("!"), F.lit("exc"))
         .when(r.startswith("*."), F.lit("wild"))
         .otherwise(F.lit("norm"))
     )
+    big = F.lit(2147483647)
     base = (
-        F.when(r.startswith("!"), F.expr(f"substring({rules.columns[0]}, 2)"))
-        .when(r.startswith("*."), F.expr(f"substring({rules.columns[0]}, 3)"))
+        F.when(r.startswith("!"), F.substring(r, 2, big))
+        .when(r.startswith("*."), F.substring(r, 3, big))
         .otherwise(r)
     )
-    base = F.lower(F.trim(base))
     nb = F.size(F.split(base, r"\."))
     # tall key table: (match key, key slot, public-suffix label count,
     # exception flag). norm/exc match a candidate ON ITS OWN suffix
@@ -232,38 +235,26 @@ def registrable_domain(
     with_host = pages.withColumn("_host", F.lower(host))
     labels = F.split(F.col("_host"), r"\.")
     n = F.size(labels)
-    # every suffix of the host, with the key it occupies in each slot:
-    # the k-label suffix is its own "self" key and the (k+1)-label
-    # candidate's "parent" key.
     cand = F.explode(
         F.transform(
             F.sequence(F.lit(1), n),
-            lambda k: F.struct(
-                F.array_join(F.slice(labels, -k, k), ".").alias("_key"),
-                k.alias("_k"),
-            ),
+            lambda k: F.array_join(F.slice(labels, -k, k), "."),
         )
     )
+    # every suffix occupies BOTH key slots: it is its own "self" key
+    # (normal/exception rules) and the one-deeper candidate's "parent"
+    # key (wildcard rules)
     tall = (
-        with_host.select("_host").distinct().select("_host", cand.alias("_c"))
-        .select("_host", "_c._key", "_c._k")
+        with_host.select("_host")
+        .distinct()
+        .select("_host", cand.alias("_key"))
         .select(
             "_host",
             "_key",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("self").alias("_slot"),
-                        F.col("_k").alias("_k"),
-                    ),
-                    F.struct(
-                        F.lit("parent").alias("_slot"),
-                        (F.col("_k") + 1).alias("_k"),
-                    ),
-                )
-            ).alias("_s"),
+            F.explode(F.array(F.lit("self"), F.lit("parent"))).alias(
+                "_slot"
+            ),
         )
-        .select("_host", "_key", "_s._slot", F.col("_s._k").alias("_k"))
     )
     hits = tall.join(F.broadcast(rule_keys), ["_key", "_slot"]).where(
         # a wildcard rule only matches when the one-deeper label exists

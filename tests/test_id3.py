@@ -65,3 +65,29 @@ def test_spark_id3_metadata(spark):
     assert got["a"]["tag_version"] == "2.4" and got["a"]["title"] == "T4"
     assert got["b"]["tag_version"] == "1.0" and got["b"]["genre"] == "Pop"
     assert got["c"]["tag_version"] is None and got["d"]["title"] is None
+
+
+def test_garbage_text_bytes_are_id3error_and_null_row(spark):
+    from aml_entity_resolution_assignment_spark.functions.id3 import (
+        Id3Error,
+        parse_id3v2,
+    )
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        id3_metadata,
+    )
+
+    # UTF-8 frame carrying invalid bytes: structured error, not
+    # UnicodeDecodeError escaping the operator's all-NULL contract
+    frame = b"TIT2" + (3).to_bytes(4, "big") + b"\x00\x00" + b"\x03\xff\xfe"
+    body = frame + b"\x00" * 10
+    size = len(body)
+    ss = bytes([(size >> 21) & 127, (size >> 14) & 127,
+                (size >> 7) & 127, size & 127])
+    tag = b"ID3\x03\x00\x00" + ss + body
+    import pytest
+
+    with pytest.raises(Id3Error):
+        parse_id3v2(tag)
+    df = spark.createDataFrame([("x", tag)], "media_id string, payload binary")
+    row = id3_metadata(df).collect()[0]
+    assert row["tag_version"] is None and row["title"] is None

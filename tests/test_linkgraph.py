@@ -443,3 +443,20 @@ def test_k_core_cascading_peel_and_symmetrize(spark):
     a = {tuple(r) for r in k_core(df.repartition(1), k=2).collect()}
     b = {tuple(r) for r in k_core(df.repartition(7), k=2).collect()}
     assert a == b
+
+
+def test_k_core_raises_on_non_convergence(spark):
+    import pytest
+
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        k_core,
+    )
+
+    # a 14-node path peels two endpoints per round: needs 7 rounds +
+    # the convergence-detection round; max_rounds=3 must raise, not
+    # silently return the middle of the path as a fake 2-core
+    path = [(f"n{i}", f"n{i+1}") for i in range(13)]
+    df = spark.createDataFrame(path, "src_host string, dst_host string")
+    with pytest.raises(ValueError, match="did not converge"):
+        k_core(df, k=2, max_rounds=3)
+    assert k_core(df, k=2, max_rounds=12).count() == 0  # true 2-core

@@ -98,3 +98,24 @@ def test_spark_mp4_metadata(spark):
     assert got["b"]["handler"] == "soun"
     for k in ("c", "d", "e"):
         assert got[k]["major_brand"] is None and got[k]["codec"] is None
+
+
+def test_short_boxes_raise_mp4error_and_operator_nulls(spark):
+    import struct
+
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        mp4_metadata,
+    )
+
+    short_mvhd = struct.pack(">I", 12) + b"mvhd" + b"\x00" * 4
+    header_only = struct.pack(">I", 8) + b"mvhd"
+    with pytest.raises(Mp4Error):
+        parse_mp4(short_mvhd)
+    with pytest.raises(Mp4Error):
+        parse_mp4(header_only)
+    df = spark.createDataFrame(
+        [("a", short_mvhd), ("b", header_only)],
+        "media_id string, payload binary",
+    )
+    rows = mp4_metadata(df).collect()
+    assert all(r["major_brand"] is None and r["codec"] is None for r in rows)

@@ -517,3 +517,19 @@ def test_script_counts_and_dominant(spark):
     assert out[5]["s"] == "Zzzz"
     for i, name in ((6, "Arabic"), (7, "Greek"), (8, "Devanagari"), (9, "Hebrew")):
         assert out[i]["s"] == name and out[i][name] > 0
+
+
+def test_score_buckets_null_group_gets_own_cuts(spark):
+    """A NULL group is a real group: its docs must be bucketed by its
+    own cut points, not dumped into labels[0]."""
+    from aml_entity_resolution_assignment_spark.operators.quality import (
+        score_buckets,
+    )
+
+    rows = [(None, i, -15.0 + i * 0.5) for i in range(30)]
+    df = spark.createDataFrame(rows, "lang string, i long, s double")
+    out = score_buckets(df, "s", "lang", lo=-16.0, hi=0.0, bins=64).collect()
+    labels = {r["bucket"] for r in out}
+    assert labels == {"head", "middle", "tail"}  # not all 'tail'
+    top = max(out, key=lambda r: r["s"])
+    assert top["bucket"] == "head"
