@@ -182,11 +182,12 @@ SECTIONS = [
     ),
     (
         "trigram_lm",
-        "Stupid-backoff trigram LM: context tuples from one array "
-        "transform + explode (no window); three gram-keyed "
-        "HashAggregates with map-side partial combine; five equi-joins "
-        "on gram keys (skew-free fanout) + a broadcast totals row; "
-        "log arithmetic codegen'd.",
+        "Stupid-backoff trigram LM: the position-scale data shuffles "
+        "ONCE (a (doc, trigram) count HashAggregate); the five backoff "
+        "equi-joins run over the far smaller DISTINCT-trigram table "
+        "(every backoff key is a function of the trigram string); "
+        "per-doc scores return through one trigram-keyed join + a "
+        "weighted-mean aggregate — log arithmetic codegen'd.",
     ),
     (
         "anchor_texts",
@@ -238,13 +239,6 @@ SECTIONS = [
         "prefix, so hot tokens never become join keys (no salt, no "
         "max_df cap, zero recall loss); verify is an array_intersect "
         "over doc-sized arrays hydrated by two id equi-joins.",
-    ),
-    (
-        "bitext_mine",
-        "Margin mining: per-side k-NN means are windows partitioned "
-        "by one vector id (bounded by candidate fanout); the mutual-"
-        "best check is two row_number windows over the same scored "
-        "table — nothing corpus-wide single-reducer.",
     ),
     (
         "mp3_stats",
