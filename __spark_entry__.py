@@ -456,8 +456,8 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    xs = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 1000))
-    ys = emb.where(F.col("vec_id") % 2 == 1)
+    xs = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 600))
+    ys = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 1200))
     out = margin_mine(xs, ys, k=4)
     return out.select(
         "x_id",
@@ -807,7 +807,10 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = prefix_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=0.95
+        _docs(spark, sf_dir).where(F.col("doc_id") < 1500),
+        "doc_id",
+        "text",
+        threshold=0.95,
     )
     return out.select(
         F.col("id_a").cast("long"),
@@ -4478,11 +4481,11 @@ def oracle_sql() -> dict[str, str]:
     sql["bitext_mine"] = """
     with x as (
       select vec_id as x_id, embedding::DOUBLE[] as e
-      from embeddings where vec_id % 2 = 0 and vec_id < 1000
+      from embeddings where vec_id % 2 = 0 and vec_id < 600
     ),
     y as (
       select vec_id as y_id, embedding::DOUBLE[] as e
-      from embeddings where vec_id % 2 = 1
+      from embeddings where vec_id % 2 = 1 and vec_id < 1200
     ),
     s as materialized (
       select x.x_id, y.y_id, list_cosine_similarity(x.e, y.e) as c
@@ -5594,7 +5597,7 @@ def oracle_sql() -> dict[str, str]:
     with tok as (
       select distinct doc_id,
              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as t
-      from documents where trim(text) <> ''
+      from documents where trim(text) <> '' and doc_id < 1500
     ),
     tok2 as (select doc_id, t from tok where t <> ''),
     sz as (select doc_id, count(*) as m from tok2 group by doc_id),
