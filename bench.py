@@ -217,15 +217,31 @@ def bench_main() -> None:
     timings: dict[str, float] = {}
 
     # ER throughput first: fresh executor state, no residual caches.
-    # Best-of-2 like the per-query timings (single samples swing 2x
-    # with this host's throttle windows); each run carries its own
-    # control probe.
-    er_ctl1 = _cpu_control(0.3)
-    n_pages, er_wall = run_er_pipeline(spark, ER_ENTITIES)
-    er_ctl2 = _cpu_control(0.3)
-    _, er_wall2 = run_er_pipeline(spark, ER_ENTITIES)
-    er_ctl = er_ctl1 if er_wall <= er_wall2 else er_ctl2
-    er_wall = min(er_wall, er_wall2)
+    # Best-of-N with a MEMORY-BANDWIDTH gate on top of the ctl probe:
+    # this host's hypervisor swings aggregate memcpy 0.1-125 GB/s on
+    # minute scales while single-thread ALU stays near-constant
+    # (BENCH/BASELINE.md), and the ER pipeline is the one
+    # shuffle/persist-bound job in this file — a ctl-healthy but
+    # memcpy-starved window records a 3x-slow ER wall that says
+    # nothing about the engine (observed 366 vs 1426 pages/s on
+    # unchanged code, ctl 12 both times, memcpy 4.7 vs >29 GB/s).
+    # Each sample carries an in-window aggregate-memcpy probe; extra
+    # samples run while the best sample's window offered less than
+    # ER_MEM_OK_GBPS, so the published number is from the healthiest
+    # window the session saw and the probe value makes a still-slow
+    # record attributable to host vs engine.
+    ER_MEM_OK_GBPS = 12.0
+    ER_MIN_SAMPLES = 2
+    ER_MAX_SAMPLES = 4
+    er_wall, er_ctl, er_mem, n_pages = float("inf"), 0.0, 0.0, 0
+    for i in range(ER_MAX_SAMPLES):
+        ctl = _cpu_control(0.3)
+        mem = _host_ceiling(CPUS, 1.0)["copy_gbps"]
+        n_pages, wall = run_er_pipeline(spark, ER_ENTITIES)
+        if wall < er_wall:
+            er_wall, er_ctl, er_mem = wall, ctl, mem
+        if i >= ER_MIN_SAMPLES - 1 and er_mem >= ER_MEM_OK_GBPS:
+            break
     spark.catalog.clearCache()
 
     from aml_entity_resolution_assignment_spark.operators.candidates import (
@@ -278,9 +294,11 @@ def bench_main() -> None:
 
     timings["er_pipeline"] = round(er_wall, 3)
     controls["er_pipeline"] = round(er_ctl, 1)
+    mem_flag = "" if er_mem >= ER_MEM_OK_GBPS else " [memcpy-starved window]"
     print(
         f"# er_pipeline: {n_pages} pages in {er_wall:.1f}s "
-        f"({n_pages / er_wall:.0f} pages/sec)",
+        f"({n_pages / er_wall:.0f} pages/sec, "
+        f"mem {er_mem:.1f} GB/s){mem_flag}",
         file=sys.stderr,
     )
 
@@ -300,6 +318,12 @@ def bench_main() -> None:
                 "sf": _sf_label(SF_DIR),
                 "er_pages": n_pages,
                 "er_pages_per_sec": round(n_pages / er_wall, 1),
+                # aggregate-memcpy ceiling (GB/s at CPUS procs) probed
+                # in the best ER sample's window; healthy windows on
+                # this host measure 29-125, starved ones 0.1-8 — an
+                # ER record with a starved probe is a host artifact
+                # (see the ER best-of-N comment above)
+                "er_mem_gbps": round(er_mem, 1),
                 "cpus": CPUS,
             }
         )
