@@ -3755,8 +3755,59 @@ def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (operators/quality.py:
+    gopher_rules — Rae et al. 2021 Table A1) over a deterministically
+    line-structured variant of the documents table: ``' table '`` ->
+    ``'.\\n'`` breaks each doc into terminal-punctuated lines, and
+    doc_id mod classes inject a bullet line (%3), a trailing ellipsis
+    line with two extra stop words (%4), and ``#`` symbol runs (%7),
+    so every rule fires both ways.  The DuckDB twin rebuilds the same
+    text with plain replace/concat (identical non-overlapping
+    left-to-right semantics) and recomputes every ratio from the same
+    token/line arrays."""
+    from aml_entity_resolution_assignment_spark.operators import quality as Q
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    t = F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+    t = F.when(i % 3 == 0, F.concat(F.lit("- bullet item\n"), t)).otherwise(t)
+    t = F.when(
+        i % 4 == 0, F.concat(t, F.lit("\nto be continued..."))
+    ).otherwise(t)
+    t = F.when(i % 7 == 0, F.concat(t, F.lit(" ## #"))).otherwise(t)
+    return Q.gopher_rules(d.select("doc_id", t.alias("text")))
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/quality.py:c4_line_filter —
+    Raffel et al. 2020 §2.2) over a line-structured variant of the
+    documents table: ``' part '`` -> ``'.\\n'`` creates
+    terminal-punctuated lines, and doc_id mod classes append a
+    javascript line (%5, line-filtered), a short line (%11, under the
+    5-word floor), a curly brace (%17, page-dropped), and a lorem-
+    ipsum line (%23, page-dropped), exercising every rule's keep AND
+    drop path.  The DuckDB twin rebuilds the same text and replays the
+    filter with list_filter lambdas, pinning clean_text bytes."""
+    from aml_entity_resolution_assignment_spark.operators import quality as Q
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    t = F.replace(F.col("text"), F.lit(" part "), F.lit(".\n"))
+    t = F.when(
+        i % 5 == 0,
+        F.concat(t, F.lit("\nplease enable javascript on this very page.")),
+    ).otherwise(t)
+    t = F.when(i % 11 == 0, F.concat(t, F.lit("\nshort line."))).otherwise(t)
+    t = F.when(i % 17 == 0, F.concat(t, F.lit(" {"))).otherwise(t)
+    t = F.when(
+        i % 23 == 0, F.concat(t, F.lit("\nlorem ipsum dolor sit amet."))
+    ).otherwise(t)
+    return Q.c4_line_filter(d.select("doc_id", t.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 49 entries, ordered CHEAP-FIRST (the driver snapshots in dict
+    # Ordered CHEAP-FIRST (the driver snapshots in dict
     # order under a per-round budget — round 4 cut off at 50 with the
     # heavy multimodal queries mid-list). Former per-format/per-variant
     # entries are merged under fmt/variant columns (equally binding
@@ -3772,6 +3823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_stats": q_block_stats,
         "lang_id": q_lang_id,
         "text_metrics": q_text_metrics,
+        "gopher_rules": q_gopher_rules,
+        "c4_filter": q_c4_filter,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "sentences": q_sentences,
@@ -6982,5 +7035,103 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_wav", "multimodal_g711",
     ):
         del sql[k]
+
+    # Gopher document-quality rules over the ' table '->'.\n'
+    # line-structured synth (q_gopher_rules): every ratio recomputed
+    # from the same token/line arrays; list_aggregate('sum') instead
+    # of list_reduce (DuckDB 1.0 lambda-reduce bug, see project notes)
+    sql["gopher_rules"] = """
+    with synth as (
+      select doc_id,
+        (case when doc_id % 3 = 0 then '- bullet item' || chr(10)
+              else '' end)
+        || replace(text, ' table ', '.' || chr(10))
+        || (case when doc_id % 4 = 0
+                 then chr(10) || 'to be continued...' else '' end)
+        || (case when doc_id % 7 = 0 then ' ## #' else '' end) as text
+      from documents),
+    toks as (
+      select doc_id, text,
+        case when trim(text) = '' then cast([] as varchar[])
+             else regexp_split_to_array(lower(trim(text)), '\\s+')
+             end as w,
+        list_filter(
+          list_transform(string_split(text, chr(10)), x -> trim(x)),
+          x -> x <> '') as l
+      from synth),
+    sig as (
+      select doc_id,
+        len(w) as n_words,
+        cast(greatest(len(w), 1) as double) as wdiv,
+        coalesce(
+          list_aggregate(list_transform(w, x -> len(x)), 'sum'),
+          0) as sum_len,
+        len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) as n_alpha,
+        (len(text) - len(replace(text, '#', ''))) as n_hash,
+        (len(text) - len(replace(text, '...', ''))) / 3.0 as n_ell3,
+        (len(text) - len(replace(text, '…', ''))) as n_ellu,
+        cast(greatest(len(l), 1) as double) as ldiv,
+        len(list_filter(l, x -> regexp_matches(x, '^[-*•]')))
+          as n_bullet,
+        len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
+          as n_ell_line,
+        len(list_intersect(
+          w, ['the','be','to','of','and','that','have','with']))
+          as stop_hits
+      from toks)
+    select doc_id, n_words,
+      round(sum_len / wdiv, 6) as mean_word_len,
+      round((n_hash + n_ell3 + n_ellu) / wdiv, 6) as symbol_word_ratio,
+      round(n_bullet / ldiv, 6) as bullet_line_frac,
+      round(n_ell_line / ldiv, 6) as ellipsis_line_frac,
+      round(n_alpha / wdiv, 6) as alpha_word_frac,
+      stop_hits,
+      ((n_words between 50 and 100000)
+       and (sum_len / wdiv between 3.0 and 10.0)
+       and ((n_hash + n_ell3 + n_ellu) / wdiv <= 0.1)
+       and (n_bullet / ldiv <= 0.9)
+       and (n_ell_line / ldiv <= 0.3)
+       and (n_alpha / wdiv >= 0.8)
+       and (stop_hits >= 2)) as gopher_keep
+    from sig
+    """
+
+    # C4 line filter over the ' part '->'.\n' synth (q_c4_filter):
+    # the DuckDB twin replays the per-line keep predicate and pins
+    # the re-joined clean_text bytes
+    sql["c4_filter"] = """
+    with synth as (
+      select doc_id,
+        replace(text, ' part ', '.' || chr(10))
+        || (case when doc_id % 5 = 0 then chr(10) ||
+              'please enable javascript on this very page.'
+            else '' end)
+        || (case when doc_id % 11 = 0 then chr(10) || 'short line.'
+            else '' end)
+        || (case when doc_id % 17 = 0 then ' {' else '' end)
+        || (case when doc_id % 23 = 0 then chr(10) ||
+              'lorem ipsum dolor sit amet.'
+            else '' end) as text
+      from documents),
+    lf as (
+      select doc_id, text,
+        list_filter(
+          list_transform(string_split(text, chr(10)), x -> trim(x)),
+          x -> x <> '') as l
+      from synth),
+    k as (
+      select doc_id, text, l,
+        list_filter(l, x ->
+          regexp_matches(x, '[.!?\"]$')
+          and len(regexp_split_to_array(x, '\\s+')) >= 5
+          and not contains(lower(x), 'javascript')) as kept
+      from lf)
+    select doc_id, len(l) as n_lines, len(kept) as n_kept,
+      (len(kept) >= 3
+       and not contains(lower(text), 'lorem ipsum')
+       and not contains(text, '{')) as c4_keep,
+      coalesce(array_to_string(kept, chr(10)), '') as clean_text
+    from k
+    """
 
     return sql

@@ -520,3 +520,126 @@ def score_buckets(
     return out.withColumn("bucket", label).drop(
         *[f"_cut{i}" for i in range(len(fractions))]
     )
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher quality-filter signals and verdict (Rae et
+    al. 2021, "Scaling Language Models: Methods, Analysis & Insights
+    from Training Gopher", Table A1 — the document-level rule set,
+    distinct from the repetition fractions in ``repetition_signals``):
+
+    * word count in [50, 100000]
+    * mean word length in [3, 10] characters
+    * symbol-to-word ratio (``#`` and ellipsis) <= 0.1
+    * <= 90% of lines start with a bullet character
+    * <= 30% of lines end with an ellipsis
+    * >= 80% of words contain at least one alphabetic character
+    * at least 2 of the 8 Gopher stop words appear
+
+    One narrow projection per document — every signal is a built-in
+    column expression over the token/line arrays (size/filter/
+    aggregate higher-order functions), so the whole operator is a
+    single whole-stage-codegen map with NO shuffle and NO UDF: at
+    100 TB it runs at parquet-scan speed, column-pruned to
+    (id, text).  Counts use non-overlapping left-to-right literal
+    replace semantics, identical across engines, so the DuckDB twin
+    pins every ratio exactly.
+    """
+    t = F.col(text_col)
+    words = word_tokens(t)
+    n_words = F.size(words)
+    wdiv = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_word_len = sum_len / wdiv
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
+    n_ell3 = (F.length(t) - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
+    n_ellu = F.length(t) - F.length(F.replace(t, F.lit("…")))
+    symbol_ratio = (n_hash + n_ell3 + n_ellu) / wdiv
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), F.trim), lambda x: x != ""
+    )
+    n_lines = F.size(lines)
+    ldiv = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike("^[-*•]"))) / ldiv
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda x: x.rlike("(\\.\\.\\.|…)$"))
+        )
+        / ldiv
+    )
+    stops = F.array(
+        *[
+            F.lit(w)
+            for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+        ]
+    )
+    stop_hits = F.size(F.array_intersect(words, stops))
+    keep = (
+        n_words.between(50, 100_000)
+        & ((sum_len / wdiv).between(3.0, 10.0))
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & ((n_alpha / wdiv) >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(n_alpha / wdiv, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("gopher_keep"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning", §2.2): keep only lines that end in a terminal
+    punctuation mark, contain >= 5 words, and do not mention
+    "javascript"; drop the whole page when fewer than 3 lines survive,
+    or when the page contains "lorem ipsum" or a curly brace.
+
+    Returns (id, n_lines, n_kept, c4_keep, clean_text) where
+    ``clean_text`` is the surviving lines re-joined with newlines —
+    the exact text a downstream tokenization stage would consume.
+
+    Same scale shape as ``gopher_rules``: one codegen'd projection,
+    no shuffle, no UDF; line filtering happens inside array
+    higher-order functions so the 100 TB plan is scan-bound.
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), F.trim), lambda x: x != ""
+    )
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]$')
+        & (F.size(F.split(x, "\\s+")) >= 5)
+        & ~F.contains(F.lower(x), F.lit("javascript")),
+    )
+    n_kept = F.size(kept)
+    keep = (
+        (n_kept >= 3)
+        & ~F.contains(F.lower(t), F.lit("lorem ipsum"))
+        & ~F.contains(t, F.lit("{"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        keep.alias("c4_keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

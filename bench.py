@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "lang_id",
     "rep_signals",
     "decontaminate",
+    "gopher_rules",  # Gopher Table-A1 doc filters: one codegen projection
+    "c4_filter",  # C4 line filter: one codegen projection
+
     # round-4 operators
     "cc_incremental",
     "dedup_keep_best",

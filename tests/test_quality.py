@@ -533,3 +533,106 @@ def test_score_buckets_null_group_gets_own_cuts(spark):
     assert labels == {"head", "middle", "tail"}  # not all 'tail'
     top = max(out, key=lambda r: r["s"])
     assert top["bucket"] == "head"
+
+
+class TestGopherRules:
+    def _run(self, spark, texts):
+        from aml_entity_resolution_assignment_spark.operators.quality import (
+            gopher_rules,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r["doc_id"]: r.asDict()
+            for r in gopher_rules(df).orderBy("doc_id").collect()
+        }
+
+    def test_hand_computed_signals(self, spark):
+        # 60 words, all alphabetic, two stop words -> keeps
+        good = " ".join(["the", "with"] + ["word"] * 58)
+        rows = self._run(spark, [good])
+        r = rows[0]
+        assert r["n_words"] == 60
+        assert r["stop_hits"] == 2
+        assert r["alpha_word_frac"] == 1.0
+        assert r["symbol_word_ratio"] == 0.0
+        assert r["gopher_keep"] is True
+
+    def test_each_rule_vetoes(self, spark):
+        base = ["the", "with"] + ["word"] * 58
+        texts = [
+            " ".join(base),                             # 0: keep
+            " ".join(base[:30]),                        # 1: too few words
+            " ".join(["the", "with"] + ["ab"] * 58),    # 2: mean len < 3
+            " ".join(base) + " " + "# " * 20,           # 3: symbol ratio
+            "\n".join("- " + w for w in base),          # 4: all bullets
+            "\n".join(w + "..." for w in base),         # 5: all ellipsis
+            " ".join(["the", "with"] + ["42"] * 58),    # 6: non-alpha words
+            " ".join(["word"] * 60),                    # 7: no stop words
+        ]
+        rows = self._run(spark, texts)
+        assert rows[0]["gopher_keep"] is True
+        for i in range(1, 8):
+            assert rows[i]["gopher_keep"] is False, (i, rows[i])
+
+    def test_blank_doc(self, spark):
+        r = self._run(spark, ["   "])[0]
+        assert r["n_words"] == 0
+        assert r["gopher_keep"] is False
+
+
+class TestC4LineFilter:
+    def _run(self, spark, texts):
+        from aml_entity_resolution_assignment_spark.operators.quality import (
+            c4_line_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r["doc_id"]: r.asDict()
+            for r in c4_line_filter(df).orderBy("doc_id").collect()
+        }
+
+    def test_line_rules(self, spark):
+        good = "this line has five words."
+        doc = "\n".join(
+            [
+                good,                              # kept
+                "no terminal punctuation here",    # dropped: no punct
+                "too short.",                      # dropped: < 5 words
+                "please enable javascript right now.",  # dropped: js
+                good + "!",                        # kept
+                good + "?",                        # kept
+            ]
+        )
+        r = self._run(spark, [doc])[0]
+        assert r["n_lines"] == 6
+        assert r["n_kept"] == 3
+        assert r["c4_keep"] is True
+        assert r["clean_text"].split("\n") == [good, good + "!", good + "?"]
+
+    def test_page_level_drops(self, spark):
+        good = "this line has five words."
+        three = "\n".join([good] * 3)
+        rows = self._run(
+            spark,
+            [
+                three,                          # 0: keep
+                "\n".join([good] * 2),          # 1: < 3 surviving lines
+                three + "\nlorem ipsum dolor.", # 2: lorem ipsum
+                three + " {",                   # 3: curly brace
+            ],
+        )
+        assert rows[0]["c4_keep"] is True
+        for i in (1, 2, 3):
+            assert rows[i]["c4_keep"] is False, (i, rows[i])
+
+    def test_blank_doc(self, spark):
+        r = self._run(spark, [""])[0]
+        assert r["n_lines"] == 0 and r["n_kept"] == 0
+        assert r["c4_keep"] is False
+        assert r["clean_text"] == ""
