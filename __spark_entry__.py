@@ -3755,6 +3755,22 @@ def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking (operators/packing.py:
+    chunk_documents — HF return_overflowing_tokens semantics) at
+    chunk=32/stride=24 so sf docs produce multi-chunk fan-out with
+    truncated tails and suppressed no-new-token chunks.  The DuckDB
+    twin rebuilds the start list with range + list_filter and slices
+    the same token array, pinning chunk_text bytes."""
+    from aml_entity_resolution_assignment_spark.operators import (
+        packing as P,
+    )
+
+    return P.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, stride=24
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality rules (operators/quality.py:
     gopher_rules — Rae et al. 2021 Table A1) over a deterministically
@@ -3825,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "gopher_rules": q_gopher_rules,
         "c4_filter": q_c4_filter,
+        "chunk_docs": q_chunk_docs,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "sentences": q_sentences,
@@ -7094,6 +7111,30 @@ def oracle_sql() -> dict[str, str]:
        and (n_alpha / wdiv >= 0.8)
        and (stop_hits >= 2)) as gopher_keep
     from sig
+    """
+
+    # Overlapping token chunking (q_chunk_docs, chunk=32 stride=24):
+    # same start-list rule (first chunk, or previous chunk's end short
+    # of the doc end) via range + list_filter, same 1-based inclusive
+    # token slice
+    sql["chunk_docs"] = """
+    with toks as (
+      select doc_id, regexp_split_to_array(trim(text), '\\s+') as t
+      from documents where trim(text) <> ''),
+    st as (
+      select doc_id, t, len(t) as n,
+        list_filter(range(0, greatest(len(t), 1), 24),
+                    s -> s = 0 or s - 24 + 32 < len(t)) as starts
+      from toks),
+    ex as (
+      select s.doc_id, s.t, s.n, s.starts, u.i
+      from st s, unnest(range(1, len(s.starts) + 1)) as u(i))
+    select doc_id, cast(i - 1 as int) as chunk_id,
+      starts[i] as chunk_start,
+      least(32, n - starts[i]) as n_chunk_tokens,
+      array_to_string(t[starts[i] + 1 : starts[i] + 32], ' ')
+        as chunk_text
+    from ex
     """
 
     # C4 line filter over the ' part '->'.\n' synth (q_c4_filter):

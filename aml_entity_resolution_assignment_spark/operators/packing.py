@@ -143,3 +143,68 @@ def pack_sequences(
     # (shared registry): unpersisting before the caller materializes
     # this plan would re-trigger the totals collect on recompute
     return out.select("block_id", "n_tokens", "tokens")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split long documents into fixed-size overlapping token chunks —
+    the standard pre-tokenization shape for embedding models and
+    long-context training (HF ``return_overflowing_tokens`` semantics:
+    chunk ``i`` starts at token ``i * stride``, covers up to
+    ``chunk_tokens`` tokens, and overlapping tails that add no new
+    tokens are suppressed).  The complement of ``pack_sequences``:
+    packing joins short docs into blocks, chunking splits long docs
+    into windows.
+
+    Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text);
+    empty/whitespace docs produce no chunks.  ``stride`` must satisfy
+    ``0 < stride <= chunk_tokens`` (equal means no overlap).
+
+    Scale shape: one codegen'd projection builds the per-doc start
+    list inside array higher-order functions, then a single
+    ``posexplode`` fans chunks out — no shuffle, no UDF, no window;
+    output partitioning inherits the scan, so at 100 TB this is a
+    map-only stage whose output count is bounded by
+    ``n_tokens / stride`` per document.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got {stride} > {chunk_tokens}"
+        )
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    n = F.size(toks)
+    # starts at 0, stride, 2*stride, ... while the chunk adds tokens:
+    # keep s if it is the first chunk or the previous chunk's end
+    # (s - stride + chunk_tokens) did not already reach the doc end
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0)
+        | (s - F.lit(stride) + F.lit(chunk_tokens) < n),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n"),
+            F.array_join(
+                F.slice(toks, s + 1, chunk_tokens), " "
+            ).alias("text"),
+        ),
+    )
+    return (
+        df.where(F.trim(t) != "")
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("_c.start").alias("chunk_start"),
+            F.col("_c.n").alias("n_chunk_tokens"),
+            F.col("_c.text").alias("chunk_text"),
+        )
+    )

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "gopher_rules",  # Gopher Table-A1 doc filters: one codegen projection
     "c4_filter",  # C4 line filter: one codegen projection
+    "chunk_docs",  # overlapping token chunking: map-only posexplode
 
     # round-4 operators
     "cc_incremental",

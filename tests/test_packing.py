@@ -110,3 +110,73 @@ def test_pack_int_token_ids(spark):
 def test_pack_rejects_bad_block_size(spark):
     with pytest.raises(ValueError):
         pack_sequences(_df(spark, DOCS), 0)
+
+
+class TestChunkDocuments:
+    def _run(self, spark, texts, chunk=8, stride=4):
+        from aml_entity_resolution_assignment_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return (
+            chunk_documents(df, chunk_tokens=chunk, stride=stride)
+            .orderBy("doc_id", "chunk_id")
+            .collect()
+        )
+
+    def test_overlap_and_tail_truncation(self, spark):
+        words = [f"w{i}" for i in range(10)]
+        rows = self._run(spark, [" ".join(words)], chunk=8, stride=4)
+        # starts 0 and 4; start 8 suppressed (chunk [4,10) reached end)
+        assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in rows] == [
+            (0, 8),
+            (4, 6),
+        ]
+        assert rows[0]["chunk_text"] == " ".join(words[0:8])
+        assert rows[1]["chunk_text"] == " ".join(words[4:10])
+        assert [r["chunk_id"] for r in rows] == [0, 1]
+
+    def test_every_token_covered_and_overlap_exact(self, spark):
+        words = [f"t{i}" for i in range(50)]
+        rows = self._run(spark, [" ".join(words)], chunk=16, stride=12)
+        covered = set()
+        for r in rows:
+            s, n = r["chunk_start"], r["n_chunk_tokens"]
+            assert r["chunk_text"] == " ".join(words[s : s + n])
+            covered.update(range(s, s + n))
+        assert covered == set(range(50))
+
+    def test_short_doc_single_chunk(self, spark):
+        rows = self._run(spark, ["a b c"], chunk=8, stride=4)
+        assert len(rows) == 1
+        assert rows[0]["n_chunk_tokens"] == 3
+        assert rows[0]["chunk_text"] == "a b c"
+
+    def test_empty_docs_produce_no_chunks(self, spark):
+        rows = self._run(spark, ["", "   ", "x y"], chunk=4, stride=4)
+        assert [r["doc_id"] for r in rows] == [2]
+
+    def test_no_overlap_when_stride_equals_chunk(self, spark):
+        words = [f"t{i}" for i in range(12)]
+        rows = self._run(spark, [" ".join(words)], chunk=4, stride=4)
+        assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in rows] == [
+            (0, 4),
+            (4, 4),
+            (8, 4),
+        ]
+
+    def test_bad_stride_raises(self, spark):
+        import pytest as _pytest
+
+        from aml_entity_resolution_assignment_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, stride=5)
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, stride=0)
