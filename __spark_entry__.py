@@ -3755,6 +3755,30 @@ def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP corpus telemetry (operators/checks.py:corpus_rollup)
+    over (lang, token-length bucket): per-cell, per-lang subtotal, and
+    grand-total doc counts / token volumes / length means with
+    GROUPING flags — one Expand + one hash aggregate.  The DuckDB twin
+    is GROUP BY ROLLUP with grouping() flags."""
+    from aml_entity_resolution_assignment_spark.operators.checks import (
+        corpus_rollup,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    n = (
+        F.when(F.trim(t) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    )
+    bucket = (
+        F.when(n < 40, "short").when(n < 120, "medium").otherwise("long")
+    )
+    return corpus_rollup(
+        d.withColumn("len_bucket", bucket), ["lang", "len_bucket"]
+    )
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size overlapping token chunking (operators/packing.py:
     chunk_documents — HF return_overflowing_tokens semantics) at
@@ -3842,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "c4_filter": q_c4_filter,
         "chunk_docs": q_chunk_docs,
+        "corpus_rollup": q_corpus_rollup,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "sentences": q_sentences,
@@ -7111,6 +7136,33 @@ def oracle_sql() -> dict[str, str]:
        and (n_alpha / wdiv >= 0.8)
        and (stop_hits >= 2)) as gopher_keep
     from sig
+    """
+
+    # ROLLUP corpus telemetry (q_corpus_rollup): same buckets, same
+    # grouping() flags; sums cast back to bigint (DuckDB sum(bigint)
+    # widens to hugeint)
+    sql["corpus_rollup"] = """
+    with per as (
+      select lang,
+        case when n < 40 then 'short'
+             when n < 120 then 'medium'
+             else 'long' end as len_bucket,
+        n, len(text) as nc
+      from (
+        select lang, text,
+          case when trim(text) = '' then 0
+               else len(regexp_split_to_array(trim(text), '\\s+'))
+               end as n
+        from documents))
+    select lang, len_bucket,
+      count(*) as n_docs,
+      cast(sum(n) as bigint) as total_tokens,
+      round(avg(n), 6) as avg_tokens,
+      round(avg(nc), 6) as avg_chars,
+      cast(grouping(lang) as int) as g_lang,
+      cast(grouping(len_bucket) as int) as g_len_bucket
+    from per
+    group by rollup(lang, len_bucket)
     """
 
     # Overlapping token chunking (q_chunk_docs, chunk=32 stride=24):

@@ -86,3 +86,40 @@ def quality_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     return agg.select(
         F.explode(F.array(*rows)).alias("_r")
     ).select("_r.check", "_r.column", "_r.metric", "_r.passed")
+
+
+def corpus_rollup(
+    df: DataFrame, dims: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Multi-level corpus telemetry in ONE aggregation pass via
+    ``ROLLUP`` — the per-dimension / per-subtotal / grand-total report
+    (doc counts, token volumes, length means) a training-data pipeline
+    publishes after every build.  ``dims`` are existing columns of
+    ``df`` (derive bucket columns with ``withColumn`` first); the
+    output carries one ``g_<dim>`` GROUPING flag per dimension so
+    subtotal rows are distinguishable from a genuine NULL dimension
+    value.
+
+    Scale shape: rollup compiles to one Expand + hash aggregate —
+    partial (map-side) aggregation applies AFTER the expand, so a
+    100 TB scan shuffles only (levels x group-cardinality) partial
+    rows, never data rows; the scan stays column-pruned to
+    (dims, text).  One shuffle total.
+    """
+    t = F.col(text_col)
+    n_tokens = (
+        F.when(F.trim(t) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    )
+    per = df.select(
+        *[F.col(d) for d in dims],
+        n_tokens.alias("_nt"),
+        F.length(t).alias("_nc"),
+    )
+    return per.rollup(*dims).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+        F.round(F.avg("_nc"), 6).alias("avg_chars"),
+        *[F.grouping(d).cast("int").alias(f"g_{d}") for d in dims],
+    )

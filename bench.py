@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "gopher_rules",  # Gopher Table-A1 doc filters: one codegen projection
     "c4_filter",  # C4 line filter: one codegen projection
     "chunk_docs",  # overlapping token chunking: map-only posexplode
+    "corpus_rollup",  # ROLLUP telemetry: one Expand + hash aggregate
 
     # round-4 operators
     "cc_incremental",

@@ -48,3 +48,61 @@ def test_bad_kind_and_empty():
         Check("median", "x")
     with pytest.raises(ValueError):
         quality_checks(None, [])
+
+
+class TestCorpusRollup:
+    def test_levels_and_flags(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.checks import (
+            corpus_rollup,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("en", "a b c"),        # 3 tokens
+                ("en", "d e"),          # 2 tokens
+                ("de", "x y z w"),      # 4 tokens
+                ("de", ""),             # 0 tokens
+            ],
+            "lang string, text string",
+        )
+        rows = {
+            (r["lang"], r["g_lang"]): r.asDict()
+            for r in corpus_rollup(df, ["lang"]).collect()
+        }
+        en = rows[("en", 0)]
+        assert en["n_docs"] == 2 and en["total_tokens"] == 5
+        assert en["avg_tokens"] == 2.5
+        de = rows[("de", 0)]
+        assert de["n_docs"] == 2 and de["total_tokens"] == 4
+        total = rows[(None, 1)]
+        assert total["n_docs"] == 4 and total["total_tokens"] == 9
+        assert total["avg_tokens"] == 2.25
+
+    def test_null_dim_distinguished_from_subtotal(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.checks import (
+            corpus_rollup,
+        )
+
+        df = spark.createDataFrame(
+            [("en", "a"), (None, "b b")], "lang string, text string"
+        )
+        rows = {
+            (r["lang"], r["g_lang"]): r for r in
+            corpus_rollup(df, ["lang"]).collect()
+        }
+        # a real NULL lang group (g_lang=0) AND the grand total
+        # (g_lang=1) both exist and differ
+        assert rows[(None, 0)]["n_docs"] == 1
+        assert rows[(None, 1)]["n_docs"] == 2
+
+    def test_single_shuffle_plan(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.checks import (
+            corpus_rollup,
+        )
+
+        df = spark.range(100).selectExpr(
+            "cast(id % 3 as string) as lang", "'w w w' as text"
+        )
+        plan = corpus_rollup(df, ["lang"])._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1, plan
+        assert "Expand" in plan
