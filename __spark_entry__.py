@@ -3755,6 +3755,24 @@ def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/checks.py:skew_report)
+    over events.user_id: top-10 heaviest keys with global stats,
+    skew ratio, and the salt factor the salted-join machinery would
+    apply at target=50 rows/task.  DuckDB twin: group-count + QUALIFY
+    window + cross-joined aggregate row."""
+    from aml_entity_resolution_assignment_spark.operators.checks import (
+        skew_report,
+    )
+
+    return skew_report(
+        _events(spark, sf_dir),
+        "user_id",
+        top_k=10,
+        target_rows_per_task=50,
+    )
+
+
 def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP corpus telemetry (operators/checks.py:corpus_rollup)
     over (lang, token-length bucket): per-cell, per-lang subtotal, and
@@ -3867,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "chunk_docs": q_chunk_docs,
         "corpus_rollup": q_corpus_rollup,
+        "skew_report": q_skew_report,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "sentences": q_sentences,
@@ -7136,6 +7155,31 @@ def oracle_sql() -> dict[str, str]:
        and (n_alpha / wdiv >= 0.8)
        and (stop_hits >= 2)) as gopher_keep
     from sig
+    """
+
+    # Skew diagnostic (q_skew_report): group-count, explicit
+    # nulls-first tie order matching the Spark window, stats row
+    # cross-joined, ceil()/avg kept in the same int->double shapes
+    sql["skew_report"] = """
+    with c as (
+      select user_id as key, count(*) as cnt from events group by 1),
+    s as (
+      select cast(sum(cnt) as bigint) as total_rows,
+             count(*) as n_keys,
+             cast(max(cnt) as bigint) as max_cnt,
+             round(avg(cnt), 6) as avg_cnt
+      from c),
+    t as (
+      select key, cnt,
+             row_number() over
+               (order by cnt desc, key asc nulls first) as rank
+      from c
+      qualify rank <= 10)
+    select t.key, t.cnt, t.rank,
+           s.total_rows, s.n_keys, s.max_cnt, s.avg_cnt,
+           cast(ceil(t.cnt / 50.0) as bigint) as salt_factor,
+           round(t.cnt / s.avg_cnt, 6) as skew_ratio
+    from t, s
     """
 
     # ROLLUP corpus telemetry (q_corpus_rollup): same buckets, same

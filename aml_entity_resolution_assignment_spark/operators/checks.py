@@ -21,6 +21,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _KINDS = ("completeness", "uniqueness", "min", "max", "mean")
 
@@ -122,4 +123,55 @@ def corpus_rollup(
         F.round(F.avg("_nt"), 6).alias("avg_tokens"),
         F.round(F.avg("_nc"), 6).alias("avg_chars"),
         *[F.grouping(d).cast("int").alias(f"g_{d}") for d in dims],
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic — the pre-flight a 100 TB
+    pipeline runs before keying a join or aggregation: the ``top_k``
+    heaviest keys with their frequencies, global key statistics, and
+    the salt factor (``ceil(cnt / target_rows_per_task)``) the salted
+    self-join machinery (operators/candidates.py) would need for each
+    heavy key.  NULL keys participate (they hash to one partition
+    like any other value — often they ARE the skew).
+
+    Scale shape: one hash aggregation over the key (map-side partial
+    combine, shuffle carries one partial row per key per partition),
+    then top-k via sort+limit (TakeOrderedAndProject: per-partition
+    heap, driver merge of k-row heads — never a full sort) and a
+    broadcast of the single global-stats row.  The rank window runs
+    on <= top_k rows.
+    """
+    cnts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = cnts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 6).alias("avg_cnt"),
+    )
+    top = (
+        cnts.orderBy(F.desc("cnt"), F.asc_nulls_first("key"))
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc_nulls_first("key"))
+            ),
+        )
+    )
+    salt = F.ceil(F.col("cnt") / F.lit(target_rows_per_task)).cast("long")
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("salt_factor", salt)
+        .withColumn(
+            "skew_ratio",
+            F.round(F.col("cnt") / F.col("avg_cnt"), 6),
+        )
     )

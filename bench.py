@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "c4_filter",  # C4 line filter: one codegen projection
     "chunk_docs",  # overlapping token chunking: map-only posexplode
     "corpus_rollup",  # ROLLUP telemetry: one Expand + hash aggregate
+    "skew_report",  # key-skew diagnostic: hash agg + TakeOrdered top-k
 
     # round-4 operators
     "cc_incremental",

@@ -106,3 +106,55 @@ class TestCorpusRollup:
         plan = corpus_rollup(df, ["lang"])._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 1, plan
         assert "Expand" in plan
+
+
+class TestSkewReport:
+    def test_heavy_key_and_salt(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.checks import (
+            skew_report,
+        )
+
+        # key 7 appears 30x, key 8 appears 10x, keys 0-5 once each
+        rows = [(7,)] * 30 + [(8,)] * 10 + [(k,) for k in range(6)]
+        df = spark.createDataFrame(rows, "k long")
+        out = {
+            r["rank"]: r.asDict()
+            for r in skew_report(
+                df, "k", top_k=3, target_rows_per_task=10
+            ).collect()
+        }
+        assert len(out) == 3
+        r1 = out[1]
+        assert r1["key"] == 7 and r1["cnt"] == 30
+        assert r1["salt_factor"] == 3  # ceil(30/10)
+        assert r1["total_rows"] == 46 and r1["n_keys"] == 8
+        assert r1["max_cnt"] == 30
+        assert out[2]["key"] == 8 and out[2]["salt_factor"] == 1
+        # rank 3 is the smallest of the tied count-1 keys
+        assert out[3]["key"] == 0 and out[3]["cnt"] == 1
+
+    def test_null_key_counted(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.checks import (
+            skew_report,
+        )
+
+        df = spark.createDataFrame(
+            [(None,)] * 5 + [(1,)], "k string"
+        )
+        out = skew_report(df, "k", top_k=2).collect()
+        assert out[0]["key"] is None and out[0]["cnt"] == 5
+        assert out[0]["n_keys"] == 2
+
+    def test_topk_plan_has_no_full_sort(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.checks import (
+            skew_report,
+        )
+
+        df = spark.range(1000).selectExpr("id % 13 as k")
+        plan = (
+            skew_report(df, "k", top_k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, plan
