@@ -2919,6 +2919,79 @@ def q_tpch_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog (shipping priority): segment-filtered customer
+    -> orders -> lineitem chain with opposing date predicates, grouped
+    revenue, top-10 by revenue.  Both date filters reach the parquet
+    scans (pushdown-able conjuncts on each side); the final top-10 is
+    TakeOrderedAndProject on the rounded revenue with a key
+    tie-break, never a full sort."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog (local supplier volume): six-table join where
+    customer and supplier must share a nation, restricted to one
+    region and one order year.  region/nation are explicitly
+    broadcast (fixed 5/25-row dims at any SF); customer/supplier/
+    orders/lineitem shuffle on their keys — the c_nationkey =
+    s_nationkey equi-conjunct rides the supplier join."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    asia_nations = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    )
+    local_supp = supp.join(
+        F.broadcast(asia_nations),
+        supp.s_nationkey == F.col("n_nationkey"),
+    )
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            local_supp,
+            (li.l_suppkey == local_supp.s_suppkey)
+            & (cust.c_nationkey == local_supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3901,6 +3974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics / joins / sketches
         "tpch_pricing": q_tpch_pricing,
         "tpch_join_agg": q_tpch_join_agg,
+        "tpch_shipping": q_tpch_shipping,
+        "tpch_local_supplier": q_tpch_local_supplier,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "funnel": q_funnel,
@@ -7155,6 +7230,39 @@ def oracle_sql() -> dict[str, str]:
        and (n_alpha / wdiv >= 0.8)
        and (stop_hits >= 2)) as gopher_keep
     from sig
+    """
+
+    # TPC-H Q3 analog (q_tpch_shipping)
+    sql["tpch_shipping"] = """
+    select l_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+    from customer
+    join orders on c_custkey = o_custkey
+    join lineitem on l_orderkey = o_orderkey
+    where c_mktsegment = 'BUILDING'
+      and o_orderdate < timestamp '1998-03-15'
+      and l_shipdate > timestamp '1998-03-15'
+    group by l_orderkey, o_orderdate, o_orderpriority
+    order by revenue desc, l_orderkey asc
+    limit 10
+    """
+
+    # TPC-H Q5 analog (q_tpch_local_supplier)
+    sql["tpch_local_supplier"] = """
+    select n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+           count(*) as n_items
+    from orders
+    join lineitem on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join supplier on l_suppkey = s_suppkey
+                 and c_nationkey = s_nationkey
+    join nation on s_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    where r_name = 'ASIA'
+      and o_orderdate >= timestamp '1997-01-01'
+      and o_orderdate < timestamp '1998-01-01'
+    group by n_name
     """
 
     # Skew diagnostic (q_skew_report): group-count, explicit

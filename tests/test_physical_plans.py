@@ -141,3 +141,27 @@ def test_resolve_plan_single_broadcast_and_shared_window_exchange(
     n_ex = len([e for e in ex if e.startswith("hashpartitioning")])
     # tree + detail duplication again: <= 2 textual occurrences = 1 node
     assert n_ex <= 2, ex
+
+
+def test_tpch_q3_pushdown_and_topk(spark):
+    import __spark_entry__ as entry
+
+    df = entry.q_tpch_shipping(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # both date predicates and the segment filter reach parquet scans
+    assert plan.count("PushedFilters: [") >= 3
+    seg = [s for s in plan.split("PushedFilters")[1:] if "c_mktsegment" in s[:200]]
+    assert seg, "segment filter not pushed to the customer scan"
+    # top-10 is a TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [revenue" not in plan
+
+
+def test_tpch_q5_broadcasts_fixed_dims(spark):
+    import __spark_entry__ as entry
+
+    df = entry.q_tpch_local_supplier(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # region and nation ride broadcast joins; no cartesian anywhere
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
