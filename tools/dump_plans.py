@@ -261,6 +261,44 @@ SECTIONS = [
         "flags are window maxes sharing the ranking windows' id_a "
         "partitioning — no collect_set aggregate, no corpus re-join.",
     ),
+    (
+        "gopher_rules",
+        "Gopher Table-A1 doc filters: every signal (token/line array "
+        "stats, symbol counts, stop-word intersection) folds into ONE "
+        "whole-stage-codegen Project over a column-pruned scan — zero "
+        "shuffles, zero UDFs; 100 TB runs at scan speed.",
+    ),
+    (
+        "chunk_docs",
+        "Overlapping token chunking: start list built inside array "
+        "higher-order functions, fanned out by one Generate "
+        "(posexplode) — a map-only stage, no shuffle/window; output "
+        "bounded by n_tokens/stride per doc.",
+    ),
+    (
+        "corpus_rollup",
+        "ROLLUP telemetry: one Expand + hash aggregate; partial "
+        "aggregation applies AFTER the expand so the single exchange "
+        "carries only levels x group-cardinality partial rows.",
+    ),
+    (
+        "skew_report",
+        "Key-skew diagnostic: map-side-combined count aggregate, top-k "
+        "via TakeOrderedAndProject (per-partition heaps, never a full "
+        "sort), rank window on <= k rows, stats row broadcast.",
+    ),
+    (
+        "tpch_shipping",
+        "TPC-H Q3 analog: segment + both date predicates reach their "
+        "parquet scans (PushedFilters); top-10 is "
+        "TakeOrderedAndProject on the rounded revenue.",
+    ),
+    (
+        "tpch_local_supplier",
+        "TPC-H Q5 analog: six-table join, region/nation broadcast "
+        "(fixed-size dims at any SF), locality conjunct rides the "
+        "supplier hash join; no nested-loop/cartesian.",
+    ),
 ]
 
 
@@ -288,12 +326,20 @@ def main() -> None:
     for name, blurb in SECTIONS:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
+        # snapshot_diff's hash expression embeds literal \x00/\x1f
+        # sentinel bytes — escape control chars so PLANS.md stays a
+        # greppable/diffable TEXT file
+        plan = "".join(
+            c if c == "\n" or ord(c) >= 0x20 else f"\\x{ord(c):02x}"
+            for c in plan
+        )
         # keep the operator tree + the interesting node details
         out.append(f"\n## {name}\n\n{blurb}\n\n```\n{plan.strip()}\n```\n")
         # exemptions: ann_rank's tiny centroid probe is a cross join;
-        # trigram_lm joins a BROADCAST 1-row totals scalar (N, V) —
-        # a BroadcastNestedLoopJoin over one row, not a plan smell
-        if name not in ("ann_rank", "trigram_lm"):
+        # trigram_lm joins a BROADCAST 1-row totals scalar (N, V) and
+        # skew_report cross-joins its BROADCAST 1-row stats summary —
+        # BroadcastNestedLoopJoins over one row, not plan smells
+        if name not in ("ann_rank", "trigram_lm", "skew_report"):
             bad = [
                 m for m in ("BroadcastNestedLoopJoin", "CartesianProduct")
                 if m in plan
