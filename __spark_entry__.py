@@ -3828,6 +3828,21 @@ def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (operators/packing.py:
+    shard_by_tokens, two-phase distributed prefix sum — no global
+    window) at 2000 tokens/shard.  The DuckDB twin IS the global
+    running-sum window the distributed form replaces, so the oracle
+    pins exactly the single-reducer semantics the engine avoids."""
+    from aml_entity_resolution_assignment_spark.operators import (
+        packing as P,
+    )
+
+    return P.shard_by_tokens(
+        _docs(spark, sf_dir), tokens_per_shard=2000
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostic (operators/checks.py:skew_report)
     over events.user_id: top-10 heaviest keys with global stats,
@@ -3959,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "corpus_rollup": q_corpus_rollup,
         "skew_report": q_skew_report,
+        "shard_by_tokens": q_shard_by_tokens,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "sentences": q_sentences,
@@ -7230,6 +7246,27 @@ def oracle_sql() -> dict[str, str]:
        and (n_alpha / wdiv >= 0.8)
        and (stop_hits >= 2)) as gopher_keep
     from sig
+    """
+
+    # Token-balanced sharding (q_shard_by_tokens): the twin is the
+    # naive global running-sum window over doc_id order — exactly the
+    # semantics the two-phase distributed prefix sum reproduces
+    sql["shard_by_tokens"] = """
+    with d as (
+      select doc_id,
+        case when trim(text) = '' then 0
+             else len(regexp_split_to_array(trim(text), '\\s+'))
+             end as n_tokens
+      from documents),
+    s as (
+      select doc_id, n_tokens,
+        cast(coalesce(sum(n_tokens) over (order by doc_id
+          rows between unbounded preceding and 1 preceding), 0)
+          as bigint) as token_start
+      from d)
+    select doc_id, n_tokens, token_start,
+      cast(floor(token_start / 2000.0) as bigint) as shard_id
+    from s
     """
 
     # TPC-H Q3 analog (q_tpch_shipping)

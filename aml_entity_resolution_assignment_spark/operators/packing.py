@@ -208,3 +208,44 @@ def chunk_documents(
             F.col("_c.text").alias("chunk_text"),
         )
     )
+
+
+def shard_by_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_shard: int = 100_000,
+) -> DataFrame:
+    """Assign each document to a token-balanced output shard — the
+    layout step before writing a training corpus: data loaders want
+    shards of near-equal TOKEN volume, not equal row counts (docs vary
+    100x in length, so row-count bucketing yields 100x-skewed shards).
+
+    Documents are taken in canonical ``id_col`` order; doc ``d`` with
+    exclusive running token sum ``start`` lands in shard
+    ``start // tokens_per_shard``.  Whole documents are never split
+    (shard boundaries shift by at most one doc's tokens), assignment
+    is deterministic and partitioning-invariant, and
+    ``df.repartition("shard_id").write...`` then produces the
+    balanced files.
+
+    Scale shape: reuses the two-phase distributed prefix sum
+    (`_with_global_offsets`) — per-partition cumsum windows in
+    parallel plus one #partitions-row collect for base offsets; no
+    global-order window, no single reducer, no token-level explode.
+    """
+    t = F.col(text_col)
+    n_tokens = (
+        F.when(F.trim(t) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    )
+    d = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    out = _with_global_offsets(d, id_col, "n_tokens")
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.col("start").alias("token_start"),
+        (F.col("start") / F.lit(tokens_per_shard))
+        .cast("long")
+        .alias("shard_id"),
+    )

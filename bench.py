@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "chunk_docs",  # overlapping token chunking: map-only posexplode
     "corpus_rollup",  # ROLLUP telemetry: one Expand + hash aggregate
     "skew_report",  # key-skew diagnostic: hash agg + TakeOrdered top-k
+    "shard_by_tokens",  # token-balanced shards: two-phase prefix sum
     "tpch_shipping",  # TPC-H Q3: pushdown chain + TakeOrdered top-10
     "tpch_local_supplier",  # TPC-H Q5: 6-table join, broadcast dims
 

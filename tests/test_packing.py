@@ -180,3 +180,58 @@ class TestChunkDocuments:
             chunk_documents(df, chunk_tokens=4, stride=5)
         with _pytest.raises(ValueError):
             chunk_documents(df, chunk_tokens=4, stride=0)
+
+
+class TestShardByTokens:
+    def test_balanced_and_deterministic(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.candidates import (
+            release_persisted,
+        )
+        from aml_entity_resolution_assignment_spark.operators.packing import (
+            shard_by_tokens,
+        )
+
+        # docs of wildly varying length: row-count bucketing would skew
+        rows = [(i, " ".join(["w"] * ((i * 37) % 100 + 1))) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = shard_by_tokens(df, tokens_per_shard=500).collect()
+        release_persisted()
+        by_doc = {r["doc_id"]: r for r in out}
+        # offsets are the exclusive running sum in doc_id order
+        acc = 0
+        for i in range(200):
+            r = by_doc[i]
+            assert r["token_start"] == acc
+            assert r["shard_id"] == acc // 500
+            acc += r["n_tokens"]
+        # every shard except the last holds >= 500 - (max doc) tokens
+        # and <= 500 + (max doc) tokens: whole docs never split
+        tot = {}
+        for r in out:
+            tot[r["shard_id"]] = tot.get(r["shard_id"], 0) + r["n_tokens"]
+        last = max(tot)
+        for sid, n in tot.items():
+            if sid != last:
+                assert 400 <= n <= 600, (sid, n)
+
+    def test_partitioning_invariant(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.candidates import (
+            release_persisted,
+        )
+        from aml_entity_resolution_assignment_spark.operators.packing import (
+            shard_by_tokens,
+        )
+
+        rows = [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(
+            (r["doc_id"], r["token_start"], r["shard_id"])
+            for r in shard_by_tokens(df.repartition(1), tokens_per_shard=50).collect()
+        )
+        release_persisted()
+        b = sorted(
+            (r["doc_id"], r["token_start"], r["shard_id"])
+            for r in shard_by_tokens(df.repartition(8), tokens_per_shard=50).collect()
+        )
+        release_persisted()
+        assert a == b
