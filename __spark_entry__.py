@@ -3828,6 +3828,28 @@ def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-cycle fetch-list selection (operators/urls.py:
+    frontier_schedule): per-host politeness cap (4) then the global
+    budget cut (100) on a deterministic synthetic frontier — host =
+    doc_id mod 37, score = Knuth-hash fraction — so ranks, caps, and
+    tie-breaks all fire.  DuckDB twin: QUALIFY window + order/limit
+    on the identical integer arithmetic."""
+    from aml_entity_resolution_assignment_spark.operators.urls import (
+        frontier_schedule,
+    )
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 37).cast("string"))
+    frontier = d.select(
+        F.concat(host, F.lit("/p"), i.cast("string")).alias("url"),
+        host.alias("host"),
+        (((i * F.lit(2654435761)) % 1000) / F.lit(1000.0)).alias("score"),
+    )
+    return frontier_schedule(frontier, per_host=4, capacity=100)
+
+
 def q_shard_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment (operators/packing.py:
     shard_by_tokens, two-phase distributed prefix sum — no global
@@ -3975,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "skew_report": q_skew_report,
         "shard_by_tokens": q_shard_by_tokens,
+        "frontier_schedule": q_frontier_schedule,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "sentences": q_sentences,
@@ -7246,6 +7269,29 @@ def oracle_sql() -> dict[str, str]:
        and (n_alpha / wdiv >= 0.8)
        and (stop_hits >= 2)) as gopher_keep
     from sig
+    """
+
+    # Crawl fetch-list selection (q_frontier_schedule): identical
+    # synthetic frontier arithmetic, QUALIFY politeness window,
+    # order/limit budget cut with the same total tie order
+    sql["frontier_schedule"] = """
+    with f as (
+      select
+        'h' || cast(doc_id % 37 as varchar) || '/p'
+            || cast(doc_id as varchar) as url,
+        'h' || cast(doc_id % 37 as varchar) as host,
+        ((doc_id * 2654435761) % 1000) / 1000.0 as score
+      from documents),
+    r as (
+      select url, host, score,
+        row_number() over
+          (partition by host order by score desc, url asc) as host_rank
+      from f
+      qualify host_rank <= 4)
+    select url, host, score, host_rank
+    from r
+    order by score desc, url asc
+    limit 100
     """
 
     # Token-balanced sharding (q_shard_by_tokens): the twin is the

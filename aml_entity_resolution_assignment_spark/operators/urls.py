@@ -349,3 +349,43 @@ def sitemap_entries(
             field("priority").cast("double").alias("priority"),
         )
     )
+
+
+def frontier_schedule(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    score_col: str = "score",
+    per_host: int = 4,
+    capacity: int = 1000,
+) -> DataFrame:
+    """Pick the next crawl cycle's fetch list from a scored frontier:
+    at most ``per_host`` URLs per host (politeness — a crawler must
+    not hammer one origin however good its pages look), then the
+    global top ``capacity`` by score (the cycle's fetch budget).
+    Deterministic under ties (score desc, url asc everywhere).
+
+    Returns (url, host, score, host_rank); feed the result to the
+    fetcher and the robots/sitemap operators in this module.
+
+    Scale shape: the politeness cap is one window keyed on host (the
+    shuffle key a frontier is naturally bucketed by); a mega-host's
+    candidate URLs do land in one task for ranking — pre-cap
+    pathological hosts with ``operators.sampling.group_cap`` (the
+    hash-ranked domain-cap pass) if the frontier itself is
+    host-skewed.  The global budget cut is
+    sort+limit = TakeOrderedAndProject (per-partition heaps of
+    ``capacity`` rows, driver merge) — never a full global sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(score_col), F.asc(url_col)
+    )
+    return (
+        df.select(url_col, host_col, score_col)
+        .withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= per_host)
+        .orderBy(F.desc(score_col), F.asc(url_col))
+        .limit(capacity)
+    )

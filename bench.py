@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "corpus_rollup",  # ROLLUP telemetry: one Expand + hash aggregate
     "skew_report",  # key-skew diagnostic: hash agg + TakeOrdered top-k
     "shard_by_tokens",  # token-balanced shards: two-phase prefix sum
+    "frontier_schedule",  # crawl fetch list: politeness window + TakeOrdered
     "tpch_shipping",  # TPC-H Q3: pushdown chain + TakeOrdered top-10
     "tpch_local_supplier",  # TPC-H Q5: 6-table join, broadcast dims
 

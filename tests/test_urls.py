@@ -224,3 +224,56 @@ def test_sitemap_urlset_and_index(spark):
         "2024-02-03", None, None,
     )
     assert len(rows) == 3  # the html doc contributes nothing
+
+
+class TestFrontierSchedule:
+    def _frontier(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, host string, score double"
+        )
+
+    def test_politeness_cap_and_budget(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.urls import (
+            frontier_schedule,
+        )
+
+        rows = (
+            # host a: 6 candidates, scores 0.9..0.4 — cap keeps top 2
+            [(f"a/{i}", "a", 0.9 - i / 10) for i in range(6)]
+            # host b: 3 candidates, all below host a's best
+            + [(f"b/{i}", "b", 0.3 - i / 100) for i in range(3)]
+        )
+        out = frontier_schedule(
+            self._frontier(spark, rows), per_host=2, capacity=3
+        ).collect()
+        assert [r["url"] for r in out] == ["a/0", "a/1", "b/0"]
+        assert [r["host_rank"] for r in out] == [1, 2, 1]
+
+    def test_tie_break_is_deterministic(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.urls import (
+            frontier_schedule,
+        )
+
+        rows = [(u, "h", 0.5) for u in ("h/z", "h/a", "h/m")]
+        out = frontier_schedule(
+            self._frontier(spark, rows), per_host=2, capacity=10
+        ).collect()
+        assert [r["url"] for r in out] == ["h/a", "h/m"]
+
+    def test_budget_cut_is_take_ordered(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.urls import (
+            frontier_schedule,
+        )
+
+        df = spark.range(500).selectExpr(
+            "concat('h', id % 20, '/p', id) as url",
+            "concat('h', id % 20) as host",
+            "cast(id % 97 as double) / 97 as score",
+        )
+        plan = (
+            frontier_schedule(df, per_host=3, capacity=10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, plan
