@@ -3828,6 +3828,32 @@ def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate revisit scheduling (operators/snapshots.py:
+    recrawl_schedule) over a deterministic version history: doc d has
+    1 + (d % 5) observed versions spaced 1 + (d % 9) days apart, so
+    never-changed urls, min-clamped fast changers, and mid-range gaps
+    all occur.  DuckDB twin replays the aggregation and clamp on the
+    identical epoch arithmetic."""
+    from aml_entity_resolution_assignment_spark.operators.snapshots import (
+        recrawl_schedule,
+    )
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    hist = d.select(
+        F.concat(F.lit("u"), i.cast("string")).alias("url"),
+        F.explode(F.sequence(F.lit(0), (i % 5).cast("int"))).alias("_k"),
+        ((i % 9) + 1).alias("_gap"),
+    ).select(
+        "url",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("_k") * F.col("_gap") * 86400
+        ).alias("version_ts"),
+    )
+    return recrawl_schedule(hist, oversample=2.0, min_days=2.0)
+
+
 def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-cycle fetch-list selection (operators/urls.py:
     frontier_schedule): per-host politeness cap (4) then the global
@@ -3998,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "shard_by_tokens": q_shard_by_tokens,
         "frontier_schedule": q_frontier_schedule,
+        "recrawl_schedule": q_recrawl_schedule,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "sentences": q_sentences,
@@ -7269,6 +7296,42 @@ def oracle_sql() -> dict[str, str]:
        and (n_alpha / wdiv >= 0.8)
        and (stop_hits >= 2)) as gopher_keep
     from sig
+    """
+
+    # Revisit scheduling (q_recrawl_schedule): identical synthetic
+    # version history (range-unnest), same epoch arithmetic, clamp,
+    # and floor-to-seconds
+    sql["recrawl_schedule"] = """
+    with h as (
+      select 'u' || cast(doc_id as varchar) as url,
+        to_timestamp(1700000000
+          + u.k * ((doc_id % 9) + 1) * 86400) as version_ts
+      from documents,
+           unnest(range(0, (doc_id % 5) + 1)) as u(k)),
+    a as (
+      select url, count(*) as n_versions,
+        cast(min(epoch(version_ts)) as bigint) as f,
+        cast(max(epoch(version_ts)) as bigint) as l
+      from h group by 1),
+    c as (
+      select url, n_versions, l,
+        (l - f) / 86400.0 as sd,
+        case when n_versions > 1
+             then ((l - f) / 86400.0) / (n_versions - 1) end as gap
+      from a),
+    iv as (
+      select url, n_versions, l, sd, gap,
+        case when n_versions > 1
+             then greatest(2.0, least(365.0, gap / 2.0))
+             else 365.0 end as interval_raw
+      from c)
+    select url, n_versions,
+      round(sd, 6) as span_days,
+      round(gap, 6) as change_gap_days,
+      round(interval_raw, 6) as interval_days,
+      l + cast(floor(interval_raw * 86400.0) as bigint)
+        as next_fetch_unix
+    from iv
     """
 
     # Crawl fetch-list selection (q_frontier_schedule): identical

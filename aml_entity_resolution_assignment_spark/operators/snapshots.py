@@ -147,3 +147,59 @@ def scd2_as_of(history: DataFrame, ts) -> DataFrame:
         (F.col("valid_from") <= ts_col)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > ts_col))
     ).drop("valid_from", "valid_to")
+
+
+def recrawl_schedule(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "version_ts",
+    oversample: float = 2.0,
+    min_days: float = 1.0,
+    max_days: float = 365.0,
+) -> DataFrame:
+    """Change-rate-driven revisit scheduling — the feedback loop from
+    crawl history back into the frontier (Cho & Garcia-Molina's
+    uniform-revisit result: sample each page at a rate proportional to
+    its observed change rate, bounded by politeness/staleness floors).
+
+    ``history`` holds one row per OBSERVED VERSION of a url (e.g. the
+    distinct ``valid_from`` rows of the SCD2 table built by
+    ``scd2_apply``).  Per url: mean observed change gap = span /
+    (n_versions - 1); the next interval is ``gap / oversample``
+    clamped to [min_days, max_days]; never-changed urls (one version)
+    go to ``max_days``.  Output: (url, n_versions, span_days,
+    change_gap_days, interval_days, next_fetch_unix).
+
+    Scale shape: ONE map-side-combined aggregation keyed on url
+    (min/max/count partials) and a codegen'd projection — no window,
+    no join; at 10^12 urls this is the same single-shuffle shape as
+    any per-key rollup.
+    """
+    ts = F.col(ts_col).cast("long")
+    agg = history.groupBy(F.col(url_col).alias("url")).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.min(ts).alias("_first"),
+        F.max(ts).alias("_last"),
+    )
+    span_days = (F.col("_last") - F.col("_first")) / F.lit(86400.0)
+    gap = span_days / (F.col("n_versions") - 1)
+    interval = F.when(
+        F.col("n_versions") > 1,
+        F.greatest(
+            F.lit(min_days),
+            F.least(F.lit(max_days), gap / F.lit(oversample)),
+        ),
+    ).otherwise(F.lit(max_days))
+    return agg.select(
+        "url",
+        "n_versions",
+        F.round(span_days, 6).alias("span_days"),
+        F.round(
+            F.when(F.col("n_versions") > 1, gap), 6
+        ).alias("change_gap_days"),
+        F.round(interval, 6).alias("interval_days"),
+        (
+            F.col("_last")
+            + F.floor(interval * F.lit(86400.0)).cast("long")
+        ).alias("next_fetch_unix"),
+    )

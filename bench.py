@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "skew_report",  # key-skew diagnostic: hash agg + TakeOrdered top-k
     "shard_by_tokens",  # token-balanced shards: two-phase prefix sum
     "frontier_schedule",  # crawl fetch list: politeness window + TakeOrdered
+    "recrawl_schedule",  # change-rate revisit intervals: one keyed agg
     "tpch_shipping",  # TPC-H Q3: pushdown chain + TakeOrdered top-10
     "tpch_local_supplier",  # TPC-H Q5: 6-table join, broadcast dims
 

@@ -100,3 +100,60 @@ def test_scd2_reinsert_after_delete(spark):
         for r in h.collect()
     )
     assert rows == [(t1, "a", t2), (t3, "b", None)]
+
+
+class TestRecrawlSchedule:
+    def _hist(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "url string, unix long"
+        ).select("url", F.timestamp_seconds("unix").alias("version_ts"))
+
+    def test_gap_clamp_and_never_changed(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.snapshots import (
+            recrawl_schedule,
+        )
+
+        day = 86400
+        rows = (
+            # u1: 3 versions, 10-day gaps -> gap 10d, interval 5d
+            [("u1", 0), ("u1", 10 * day), ("u1", 20 * day)]
+            # u2: 2 versions 12h apart -> gap 0.5d, min-clamped to 1d
+            + [("u2", 0), ("u2", day // 2)]
+            # u3: never changed -> max_days
+            + [("u3", 0)]
+        )
+        out = {
+            r["url"]: r.asDict()
+            for r in recrawl_schedule(
+                self._hist(spark, rows), oversample=2.0
+            ).collect()
+        }
+        u1 = out["u1"]
+        assert u1["n_versions"] == 3
+        assert u1["span_days"] == 20.0 and u1["change_gap_days"] == 10.0
+        assert u1["interval_days"] == 5.0
+        assert u1["next_fetch_unix"] == 20 * day + 5 * day
+        u2 = out["u2"]
+        assert u2["interval_days"] == 1.0  # min clamp
+        u3 = out["u3"]
+        assert u3["n_versions"] == 1
+        assert u3["change_gap_days"] is None
+        assert u3["interval_days"] == 365.0
+        assert u3["next_fetch_unix"] == 365 * day
+
+    def test_single_shuffle_no_window(self, spark):
+        from aml_entity_resolution_assignment_spark.operators.snapshots import (
+            recrawl_schedule,
+        )
+
+        df = self._hist(spark, [("u", k * 1000) for k in range(10)])
+        plan = (
+            recrawl_schedule(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 1, plan
+        assert "Window" not in plan and "Join" not in plan
