@@ -3828,6 +3828,20 @@ def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/dedup.py:winnow_fingerprints,
+    MOSS k=5 window=4) over doc_id < 150 documents (the canonical
+    corpus is character-dense: ~1 gram per char).  md5-hex hashes make
+    min-selection pure lexicographic order, so the DuckDB twin replays
+    gram hashing, window min, and the rightmost-tie rule exactly."""
+    from aml_entity_resolution_assignment_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 150)
+    return winnow_fingerprints(d, k=5, window=4)
+
+
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-rate revisit scheduling (operators/snapshots.py:
     recrawl_schedule) over a deterministic version history: doc d has
@@ -4025,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_by_tokens": q_shard_by_tokens,
         "frontier_schedule": q_frontier_schedule,
         "recrawl_schedule": q_recrawl_schedule,
+        "winnow": q_winnow,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "sentences": q_sentences,
@@ -7296,6 +7311,38 @@ def oracle_sql() -> dict[str, str]:
        and (n_alpha / wdiv >= 0.8)
        and (stop_hits >= 2)) as gopher_keep
     from sig
+    """
+
+    # Winnowing fingerprints (q_winnow): same canonicalization, gram
+    # hashing (md5 hex = the comparison order), window min with the
+    # rightmost-tie rule via list_reverse + list_position
+    sql["winnow"] = """
+    with c as (
+      select doc_id,
+        regexp_replace(lower(text), '[^a-z0-9]', '', 'g') as s
+      from documents where doc_id < 150),
+    g as (
+      select doc_id, s, len(s) - 4 as ng
+      from c where len(s) >= 5),
+    h as (
+      select doc_id, ng,
+        list_transform(range(1, greatest(ng, 1) + 1),
+                       i -> md5(s[i:i+4])) as hl
+      from g),
+    w as (
+      select doc_id,
+        range(1, greatest(ng - 3, 1) + 1) as js,
+        list_transform(range(1, greatest(ng - 3, 1) + 1),
+                       j -> hl[j:j+3]) as sls
+      from h),
+    u as (
+      select doc_id, unnest(js) as j, unnest(sls) as sl from w)
+    select distinct doc_id,
+      cast(j + len(sl)
+           - list_position(list_reverse(sl),
+                           list_aggregate(sl, 'min')) as int) as pos,
+      list_aggregate(sl, 'min') as fp
+    from u
     """
 
     # Revisit scheduling (q_recrawl_schedule): identical synthetic

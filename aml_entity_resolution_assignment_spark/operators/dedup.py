@@ -668,3 +668,68 @@ def prefix_jaccard_pairs(
         .select("id_a", "id_b", jacc.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): canonicalize text (lowercase, strip
+    non-alphanumerics), hash every character ``k``-gram, slide a
+    ``window`` over the hash sequence and select each window's
+    RIGHTMOST minimal hash.  The selected (position, hash) set is a
+    position-aware local fingerprint with the winnowing guarantee
+    (any match of length >= window + k - 1 shares a fingerprint) —
+    the copy/plagiarism-detection primitive that simhash/minhash
+    (global, position-blind) cannot provide.  Shared fingerprints
+    between docs = equi-join on the hash column.
+
+    Hashes are md5 hex strings: deterministic, engine-portable, and
+    their lexicographic order IS the min-selection order, so the
+    DuckDB twin replays selection exactly.
+
+    Output: (id, pos, fp) — one row per distinct selected
+    fingerprint; docs shorter than ``k`` canonical chars emit
+    nothing; docs with fewer than ``window`` grams emit the min of
+    what they have (the standard short-doc degenerate case).
+
+    Scale shape: everything happens inside array higher-order
+    functions in ONE codegen'd projection per doc, fanned out by a
+    single explode — no shuffle, no UDF; cost is O(n_grams x window)
+    comparisons per doc, streamed through the scan stage.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"need k >= 1 and window >= 1, got {k}/{window}")
+    c = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    n_g = F.length(c) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_g, F.lit(1))),
+        lambda i: F.md5(F.substring(c, i, k)),
+    )
+
+    def _fp(h, j):
+        sl = F.slice(h, j, window)
+        m = F.array_min(sl)
+        pos = j + F.size(sl) - F.array_position(F.reverse(sl), m)
+        return F.struct(pos.cast("int").alias("pos"), m.alias("fp"))
+
+    # materialize the gram-hash array in a CHILD projection: inlining
+    # `grams` into every window lambda would re-hash the whole doc
+    # once per window (O(n_grams^2) md5 calls — measured 100x slower)
+    hashed = df.where(n_g >= 1).select(F.col(id_col), grams.alias("_h"))
+    h = F.col("_h")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(h) - (window - 1), F.lit(1))
+    )
+    fps = F.array_distinct(F.transform(starts, lambda j: _fp(h, j)))
+    return hashed.select(
+        F.col(id_col), F.explode(fps).alias("_f")
+    ).select(
+        id_col,
+        F.col("_f.pos").alias("pos"),
+        F.col("_f.fp").alias("fp"),
+    )

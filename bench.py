@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "shard_by_tokens",  # token-balanced shards: two-phase prefix sum
     "frontier_schedule",  # crawl fetch list: politeness window + TakeOrdered
     "recrawl_schedule",  # change-rate revisit intervals: one keyed agg
+    "winnow",  # MOSS winnowing fingerprints: one codegen projection + explode
     "tpch_shipping",  # TPC-H Q3: pushdown chain + TakeOrdered top-10
     "tpch_local_supplier",  # TPC-H Q5: 6-table join, broadcast dims
 

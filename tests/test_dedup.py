@@ -195,3 +195,69 @@ def test_prefix_jaccard_partitioning_invariant(spark):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+class TestWinnowFingerprints:
+    @staticmethod
+    def _reference(text, k, w):
+        """Independent winnowing reference (hashlib md5, explicit
+        rightmost-min windows)."""
+        import hashlib
+        import re
+
+        s = re.sub(r"[^a-z0-9]", "", text.lower())
+        if len(s) < k:
+            return set()
+        hl = [
+            hashlib.md5(s[i : i + k].encode()).hexdigest()
+            for i in range(len(s) - k + 1)
+        ]
+        out = set()
+        n = len(hl)
+        for j in range(max(n - w + 1, 1)):
+            sl = hl[j : j + w]
+            m = min(sl)
+            # rightmost occurrence of the min
+            pos = j + max(i for i, v in enumerate(sl) if v == m)
+            out.add((pos + 1, m))  # 1-based like the operator
+        return out
+
+    def _run(self, spark, texts, k=5, w=4):
+        from aml_entity_resolution_assignment_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = winnow_fingerprints(df, k=k, window=w).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+        return got
+
+    def test_matches_reference(self, spark):
+        texts = [
+            "A do run run run, a do run run",
+            "the quick brown fox jumps over the lazy dog",
+            "aaaaaaaaaaaa",  # degenerate: all grams identical
+        ]
+        got = self._run(spark, texts, k=3, w=4)
+        for i, t in enumerate(texts):
+            assert got.get(i, set()) == self._reference(t, 3, 4), i
+
+    def test_shared_substring_guarantee(self, spark):
+        # any common substring of length >= w + k - 1 must share a
+        # fingerprint HASH between the two docs (winnowing guarantee)
+        core = "xyzqrstuvw123"  # 13 chars >= 4 + 5 - 1 = 8
+        got = self._run(
+            spark, ["aaa " + core + " bbb", "ccc ddd " + core + " e"]
+        )
+        fps0 = {f for _, f in got[0]}
+        fps1 = {f for _, f in got[1]}
+        assert fps0 & fps1, "no shared fingerprint for a shared substring"
+
+    def test_short_docs(self, spark):
+        got = self._run(spark, ["ab", "abcde", ""], k=5, w=4)
+        assert 0 not in got and 2 not in got  # under k canonical chars
+        assert len(got[1]) == 1  # one gram -> one fingerprint
