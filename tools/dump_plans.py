@@ -299,6 +299,30 @@ SECTIONS = [
         "(fixed-size dims at any SF), locality conjunct rides the "
         "supplier hash join; no nested-loop/cartesian.",
     ),
+    (
+        "shard_by_tokens",
+        "Token-balanced sharding: two-phase distributed prefix sum — "
+        "range repartition + per-partition cumsum windows + one "
+        "#partitions-row broadcast of base offsets; no global-order "
+        "window, no single reducer.",
+    ),
+    (
+        "frontier_schedule",
+        "Crawl fetch-list selection: politeness window keyed on host, "
+        "global budget via TakeOrderedAndProject.",
+    ),
+    (
+        "recrawl_schedule",
+        "Revisit scheduling: ONE map-side-combined aggregation keyed "
+        "on url + codegen projection — no window, no join.",
+    ),
+    (
+        "winnow",
+        "MOSS winnowing fingerprints: gram-hash array materialized in "
+        "a child Project (inlining it into the window lambdas is "
+        "O(n_grams^2) md5s), window min-selection inside array HOFs, "
+        "one Generate — no shuffle, no UDF.",
+    ),
 ]
 
 
