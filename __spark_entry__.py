@@ -1547,6 +1547,59 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_apng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-PNG decode path END-TO-END with a hard oracle: build a
+    REAL APNG (functions/png.py:encode_apng — acTL/fcTL/IDAT/fdAT,
+    every frame a genuine encode_png stream) whose 4 full-canvas RGB
+    frames are constant grays from the doc's first 4 ASCII bytes.
+    decode_apng returns RGBA (alpha 255), so each decoded frame mean
+    is exactly (3*b + 255) / 4 — binding the chunk walk, sequence
+    numbers, per-frame static-PNG decode, and compositing.  The
+    checked value is mean*4*255 = 3b + 255, an exact integer (the /4
+    form lands on .5 boundaries that float32 rounds differently)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from aml_entity_resolution_assignment_spark.functions.png import (
+        encode_apng,
+    )
+    from aml_entity_resolution_assignment_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def _to_apng(texts):
+        out = []
+        for t in texts:
+            raw = str(t).encode("utf-8")[:4]
+            frames = [np.full((8, 8, 3), b, dtype=np.uint8) for b in raw]
+            out.append(encode_apng(frames, delays_ms=[50] * 4))
+        return pd.Series(out, index=texts.index, dtype="object")
+
+    apng_udf = F.pandas_udf(_to_apng, BinaryType())
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        apng_udf(F.col("text")).alias("payload"),
+        F.lit("image/apng").alias("mime"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(200).alias("duration_ms"),
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return (
+        feats.select(
+            F.col("media_id").cast("long").alias("doc_id"),
+            F.posexplode(F.col("feature")).alias("k", "v"),
+        )
+        .where(F.col("k") < 4)
+        .select(
+            "doc_id", "k", F.round(F.col("v") * 1020).cast("long").alias("pix4")
+        )
+    )
+
+
 def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode path END-TO-END with a hard oracle: build a REAL
     8-bit PCM WAV (functions/wav.py) whose 16 samples are the doc's
@@ -4138,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_image": q_multimodal_image,
         "multimodal_av": q_multimodal_av,
+        "multimodal_apng": q_multimodal_apng,
     }
 
 
@@ -5193,6 +5247,17 @@ def oracle_sql() -> dict[str, str]:
     with pos as (select unnest(generate_series(0, 3)) as k)
     select d.doc_id, pos.k,
            ord(substr(d.text, cast(pos.k + 1 as int), 1)) as pix
+    from documents d, pos
+    where d.n_chars >= 4
+    """
+
+    # APNG video path (q_multimodal_apng): constant RGB frames decode
+    # to RGBA with alpha 255, so the frame mean is (3b + 255) / 4
+    sql["multimodal_apng"] = """
+    with pos as (select unnest(generate_series(0, 3)) as k)
+    select d.doc_id, pos.k,
+      cast(3 * ord(substr(d.text, cast(pos.k + 1 as int), 1)) + 255
+        as bigint) as pix4
     from documents d, pos
     where d.n_chars >= 4
     """

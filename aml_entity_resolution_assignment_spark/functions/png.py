@@ -429,3 +429,256 @@ def encode_png_subbyte(
     if palette is not None:
         out += _chunk(b"PLTE", np.ascontiguousarray(palette, dtype=np.uint8).tobytes())
     return out + _chunk(b"IDAT", zlib.compress(body, level)) + _chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — the acTL/fcTL/fdAT extension registered in the
+# PNG specification (Third Edition, W3C; originally Mozilla's APNG
+# spec). Round 5: the animated-image slice between static PNG and the
+# video path — frames composite per fcTL dispose/blend ops and feed
+# the same frame-sampling operator as GIF/AVI/IVF.
+# ---------------------------------------------------------------------------
+
+_APNG_DISPOSE_NONE, _APNG_DISPOSE_BACKGROUND, _APNG_DISPOSE_PREVIOUS = 0, 1, 2
+_APNG_BLEND_SOURCE, _APNG_BLEND_OVER = 0, 1
+
+
+def _png_chunks(payload: bytes):
+    """Yield (tag, body) with CRC verification (shared chunk walk)."""
+    if not payload or payload[:8] != _SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(body) != length or len(crc_bytes) != 4:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", crc_bytes)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        yield tag, body
+        if tag == b"IEND":
+            return
+        pos += 12 + length
+
+
+def is_apng(payload: bytes) -> bool:
+    """True iff ``payload`` is a PNG carrying an acTL animation-control
+    chunk (the spec's discriminator: acTL before IDAT)."""
+    if not payload or payload[:8] != _SIG:
+        return False
+    try:
+        for tag, _ in _png_chunks(payload):
+            if tag == b"acTL":
+                return True
+            if tag == b"IDAT":
+                return False
+    except ValueError:
+        return False
+    return False
+
+
+def _to_rgba(img: np.ndarray) -> np.ndarray:
+    """Lift any decode_png output to (h, w, 4) RGBA uint8."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c == 1:
+        rgb, a = np.repeat(img, 3, axis=2), None
+    elif c == 2:
+        rgb, a = np.repeat(img[:, :, :1], 3, axis=2), img[:, :, 1:]
+    elif c == 3:
+        rgb, a = img, None
+    else:
+        rgb, a = img[:, :, :3], img[:, :, 3:]
+    if a is None:
+        a = np.full((h, w, 1), 255, dtype=np.uint8)
+    return np.concatenate([rgb, a], axis=2)
+
+
+def decode_apng(payload: bytes) -> tuple[np.ndarray, list[int]]:
+    """Decode an APNG -> (frames uint8 (n, h, w, 4) RGBA, per-frame
+    delays in ms).
+
+    Full semantics: acTL frame count enforced; fcTL/fdAT sequence
+    numbers must be consecutive from 0; each frame's data decodes
+    through the SAME pipeline as a static PNG (a minimal per-frame
+    PNG is synthesized around the fdAT payload, reusing IHDR
+    parameters and the PLTE), then composites onto the canvas at its
+    (x, y) offset per its blend op (SOURCE replaces, OVER
+    alpha-composites) and disposes per its dispose op (NONE keeps,
+    BACKGROUND clears the region to fully transparent black, PREVIOUS
+    reverts the region).  An IDAT not preceded by an fcTL is the
+    spec's non-animated default image and is excluded from the frame
+    stack.  Raises ValueError on structural violations.
+    """
+    ihdr_body = None
+    plte_body = None
+    n_frames_decl = None
+    seq_expected = 0
+    frames_raw: list[tuple[tuple, list[bytes]]] = []  # (fctl, datas)
+    pending_fctl = None
+    idat_in_animation = False
+    for tag, body in _png_chunks(payload):
+        if tag == b"IHDR":
+            ihdr_body = body
+        elif tag == b"PLTE":
+            plte_body = body
+        elif tag == b"acTL":
+            n_frames_decl, _plays = struct.unpack(">II", body)
+        elif tag == b"fcTL":
+            if len(body) != 26:
+                raise ValueError("APNG fcTL length must be 26")
+            seq = struct.unpack(">I", body[:4])[0]
+            if seq != seq_expected:
+                raise ValueError(
+                    f"APNG sequence number {seq}, expected {seq_expected}"
+                )
+            seq_expected += 1
+            pending_fctl = struct.unpack(">IIIIIHHBB", body)
+            frames_raw.append((pending_fctl, []))
+        elif tag == b"fdAT":
+            if pending_fctl is None or not frames_raw:
+                raise ValueError("APNG fdAT before any fcTL")
+            seq = struct.unpack(">I", body[:4])[0]
+            if seq != seq_expected:
+                raise ValueError(
+                    f"APNG sequence number {seq}, expected {seq_expected}"
+                )
+            seq_expected += 1
+            frames_raw[-1][1].append(body[4:])
+        elif tag == b"IDAT":
+            if pending_fctl is not None and frames_raw and not frames_raw[-1][1]:
+                frames_raw[-1][1].append(body)
+                idat_in_animation = True
+            elif idat_in_animation and frames_raw and frames_raw[-1][1]:
+                frames_raw[-1][1].append(body)  # continued default-image IDAT
+    if ihdr_body is None:
+        raise ValueError("APNG missing IHDR")
+    if n_frames_decl is None:
+        raise ValueError("not an APNG (no acTL)")
+    if n_frames_decl != len(frames_raw):
+        raise ValueError(
+            f"APNG declares {n_frames_decl} frames, found {len(frames_raw)}"
+        )
+    if not frames_raw:
+        raise ValueError("APNG with zero frames")
+    w, h = struct.unpack(">II", ihdr_body[:8])
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    out: list[np.ndarray] = []
+    delays: list[int] = []
+    prev = None
+    for fctl, datas in frames_raw:
+        (_seq, fw, fh, x0, y0, dnum, dden, dispose, blend) = fctl
+        if fw == 0 or fh == 0 or x0 + fw > w or y0 + fh > h:
+            raise ValueError("APNG frame region outside canvas")
+        if not datas:
+            raise ValueError("APNG frame has no data chunks")
+        sub_ihdr = struct.pack(">II", fw, fh) + ihdr_body[8:]
+        mini = _SIG + _chunk(b"IHDR", sub_ihdr)
+        if plte_body is not None:
+            mini += _chunk(b"PLTE", plte_body)
+        mini += _chunk(b"IDAT", b"".join(datas)) + _chunk(b"IEND", b"")
+        region = _to_rgba(decode_png(mini))
+        if len(out) == 0 and dispose == _APNG_DISPOSE_PREVIOUS:
+            dispose = _APNG_DISPOSE_BACKGROUND  # spec: first frame rule
+        if dispose == _APNG_DISPOSE_PREVIOUS:
+            prev = canvas[y0 : y0 + fh, x0 : x0 + fw].copy()
+        tgt = canvas[y0 : y0 + fh, x0 : x0 + fw]
+        if blend == _APNG_BLEND_SOURCE:
+            tgt[:] = region
+        elif blend == _APNG_BLEND_OVER:
+            fa = region[:, :, 3:].astype(np.float64) / 255.0
+            ca = tgt[:, :, 3:].astype(np.float64) / 255.0
+            oa = fa + ca * (1.0 - fa)
+            safe = np.where(oa == 0.0, 1.0, oa)
+            rgb = (
+                region[:, :, :3] * fa + tgt[:, :, :3] * ca * (1.0 - fa)
+            ) / safe
+            tgt[:, :, :3] = np.round(rgb).astype(np.uint8)
+            tgt[:, :, 3:] = np.round(oa * 255.0).astype(np.uint8)
+        else:
+            raise ValueError(f"APNG blend op {blend} unknown")
+        out.append(canvas.copy())
+        dden = dden or 100  # spec: denominator 0 means 1/100 s
+        delays.append(round(1000 * dnum / dden))
+        if dispose == _APNG_DISPOSE_BACKGROUND:
+            canvas[y0 : y0 + fh, x0 : x0 + fw] = 0
+        elif dispose == _APNG_DISPOSE_PREVIOUS:
+            canvas[y0 : y0 + fh, x0 : x0 + fw] = prev
+        elif dispose != _APNG_DISPOSE_NONE:
+            raise ValueError(f"APNG dispose op {dispose} unknown")
+    return np.stack(out), delays
+
+
+def _idat_body(png: bytes) -> bytes:
+    return b"".join(body for tag, body in _png_chunks(png) if tag == b"IDAT")
+
+
+def encode_apng(
+    frames,
+    delays_ms=None,
+    num_plays: int = 0,
+    regions=None,
+    dispose_ops=None,
+    blend_ops=None,
+    level: int = 6,
+) -> bytes:
+    """Encode a spec-valid APNG.
+
+    ``frames[0]`` is the full-canvas first frame (uint8 RGB or RGBA);
+    later entries are full frames by default, or sub-regions when
+    ``regions[i] = (x0, y0)`` offsets are given (then ``frames[i]``
+    may be smaller than the canvas).  ``dispose_ops``/``blend_ops``
+    give the per-frame fcTL ops (default NONE/SOURCE).  Every frame's
+    pixel data is produced by ``encode_png`` and re-wrapped, so the
+    byte stream exercises exactly the static pipeline per frame.
+    """
+    n = len(frames)
+    if n == 0:
+        raise ValueError("APNG needs at least one frame")
+    delays_ms = delays_ms or [100] * n
+    dispose_ops = dispose_ops or [_APNG_DISPOSE_NONE] * n
+    blend_ops = blend_ops or [_APNG_BLEND_SOURCE] * n
+    f0 = np.asarray(frames[0], dtype=np.uint8)
+    if f0.ndim != 3 or f0.shape[2] not in (3, 4):
+        raise ValueError("APNG frames must be (h, w, 3|4) uint8")
+    h, w = f0.shape[:2]
+    nch = f0.shape[2]
+    out = bytearray(_SIG)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {3: 2, 4: 6}[nch], 0, 0, 0)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", n, num_plays))
+    seq = 0
+
+    def fctl(fw, fh, x0, y0, i):
+        nonlocal seq
+        dnum, dden = delays_ms[i], 1000
+        body = struct.pack(
+            ">IIIIIHHBB",
+            seq, fw, fh, x0, y0, dnum, dden,
+            dispose_ops[i], blend_ops[i],
+        )
+        seq += 1
+        return _chunk(b"fcTL", body)
+
+    out += fctl(w, h, 0, 0, 0)
+    out += _chunk(b"IDAT", _idat_body(encode_png(f0, level=level)))
+    for i in range(1, n):
+        fi = np.asarray(frames[i], dtype=np.uint8)
+        if fi.ndim != 3 or fi.shape[2] != nch:
+            raise ValueError("APNG frames must share the channel count")
+        x0, y0 = (regions[i] if regions and regions[i] else (0, 0))
+        fh, fw = fi.shape[:2]
+        if x0 + fw > w or y0 + fh > h:
+            raise ValueError("APNG frame region outside canvas")
+        out += fctl(fw, fh, x0, y0, i)
+        body = struct.pack(">I", seq) + _idat_body(
+            encode_png(fi, level=level)
+        )
+        seq += 1
+        out += _chunk(b"fdAT", body)
+    out += _chunk(b"IEND", b"")
+    return bytes(out)

@@ -223,11 +223,13 @@ def _audio_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 def decode_video_frames(payload: bytes) -> np.ndarray:
     """Decode a video payload to a (n, h, w[, c]) uint8 frame stack.
     Real formats: MJPEG-AVI (functions/avi.py), animated GIF
-    (functions/gif.py), and — round 5 — VP8-in-IVF with true INTER
-    frames (functions/vp8.py: motion-vector entropy decode, near-MV
-    survey, last/golden/altref reference buffers, quarter/eighth-pel
-    six-tap motion compensation). IVF returns the luma plane per frame
-    (gray). H.264/VP9/AV1 remain the marked boundary."""
+    (functions/gif.py), animated PNG (functions/png.py:decode_apng —
+    fcTL dispose/blend compositing, RGBA frames), and VP8-in-IVF with
+    true INTER frames (functions/vp8.py: motion-vector entropy
+    decode, near-MV survey, last/golden/altref reference buffers,
+    quarter/eighth-pel six-tap motion compensation). IVF returns the
+    luma plane per frame (gray). H.264/VP9/AV1 remain the marked
+    boundary."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from ..functions.avi import decode_mjpeg_avi
 
@@ -236,15 +238,19 @@ def decode_video_frames(payload: bytes) -> np.ndarray:
         from ..functions.gif import decode_gif
 
         return decode_gif(payload)[0]
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import decode_apng
+
+        return decode_apng(payload)[0]
     if payload[:4] == b"DKIF":
         from ..functions.vp8 import decode_ivf
 
         planes, _fps = decode_ivf(payload)
         return np.stack([y for (y, _u, _v) in planes])
     raise ValueError(
-        "video decode supports MJPEG-AVI, animated GIF, and VP8-in-IVF "
-        "(key + inter frames); H.264/VP9/AV1 need libraries absent "
-        "from this container"
+        "video decode supports MJPEG-AVI, animated GIF, animated PNG, "
+        "and VP8-in-IVF (key + inter frames); H.264/VP9/AV1 need "
+        "libraries absent from this container"
     )
 
 
@@ -315,6 +321,7 @@ def extract_media_features(
                         (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ")
                         or payload[:4] == b"GIF8"
                         or payload[:4] == b"DKIF"
+                        or payload[:8] == b"\x89PNG\r\n\x1a\n"
                     )
                 ):
                     feats.append(_video_feature(payload, dim))
