@@ -3,8 +3,9 @@
 Image/audio/video are opaque `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages. Decode is REAL in pure numpy for netpbm (P5/P6),
-baseline JPEG (functions/jpeg.py), PNG incl. Adam7/16-bit
-(functions/png.py), GIF incl. animation (functions/gif.py), WebP
+baseline JPEG (functions/jpeg.py), PNG incl. Adam7/16-bit AND
+animated APNG with dispose/blend compositing (functions/png.py —
+round 5), GIF incl. animation (functions/gif.py), WebP
 lossless VP8L (functions/webp.py) and lossy VP8 key frames
 (functions/vp8.py), baseline AND progressive JPEG
 (functions/jpeg.py), TIFF (functions/tiff.py), BMP + ICO
@@ -149,11 +150,13 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return decode_ico(payload)
     raise NotImplementedError(
         "unsupported image payload: netpbm (P5/P6), JPEG (baseline + "
-        "progressive), PNG, GIF, WebP (lossless VP8L + lossy VP8 key "
-        "frames), TIFF, BMP and ICO decode natively; the remaining "
-        "frontier — VP8 inter frames, H.264/VP9 — needs codec "
-        "libraries absent from this container, or use "
-        "extract_media_features(deterministic_fake=True)"
+        "progressive), PNG (incl. the APNG default image), GIF, WebP "
+        "(lossless VP8L + lossy VP8 key frames), TIFF, BMP and ICO "
+        "decode natively; VP8 inter frames decode on the video path "
+        "(decode_video_frames). The remaining frontier — H.264/VP9, "
+        "JPEG 2000/AVIF — needs codec libraries absent from this "
+        "container, or use extract_media_features("
+        "deterministic_fake=True)"
     )
 
 
