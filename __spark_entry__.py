@@ -3895,6 +3895,20 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, k=5, window=4)
 
 
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS copy-detection report (operators/dedup.py:winnow_matches)
+    over the same doc_id < 150 subset as q_winnow: doc pairs ranked by
+    distinct shared winnowing fingerprints, with the document-
+    frequency stop-pattern cap (2 <= df <= 100).  DuckDB twin composes
+    over the winnow twin and replays the df filter + pair join."""
+    from aml_entity_resolution_assignment_spark.operators.dedup import (
+        winnow_matches,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 150)
+    return winnow_matches(d, k=5, window=4, min_shared=2, max_df=100)
+
+
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-rate revisit scheduling (operators/snapshots.py:
     recrawl_schedule) over a deterministic version history: doc d has
@@ -4093,6 +4107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "recrawl_schedule": q_recrawl_schedule,
         "winnow": q_winnow,
+        "winnow_matches": q_winnow_matches,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "sentences": q_sentences,
@@ -7408,6 +7423,22 @@ def oracle_sql() -> dict[str, str]:
                            list_aggregate(sl, 'min')) as int) as pos,
       list_aggregate(sl, 'min') as fp
     from u
+    """
+
+    # MOSS match report (q_winnow_matches): composes over the winnow
+    # twin; same df stop-pattern cap and id_a < id_b pair join
+    sql["winnow_matches"] = f"""
+    with fps as (
+      select distinct doc_id, fp from ({sql["winnow"]})),
+    rare as (
+      select fp from fps group by fp
+      having count(*) between 2 and 100),
+    f as (select doc_id, fp from fps join rare using (fp))
+    select a.doc_id as id_a, b.doc_id as id_b,
+           count(*) as n_shared
+    from f a join f b on a.fp = b.fp and a.doc_id < b.doc_id
+    group by 1, 2
+    having count(*) >= 2
     """
 
     # Revisit scheduling (q_recrawl_schedule): identical synthetic

@@ -733,3 +733,58 @@ def winnow_fingerprints(
         F.col("_f.pos").alias("pos"),
         F.col("_f.fp").alias("fp"),
     )
+
+
+def winnow_matches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """MOSS-style copy-detection report on top of
+    ``winnow_fingerprints``: doc pairs ranked by the number of DISTINCT
+    winnowing fingerprints they share.  Position-aware local evidence —
+    two docs sharing ``n_shared`` fingerprints share at least that many
+    distinct substrings of length >= k (any match of length >=
+    window + k - 1 is guaranteed to surface).
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents before the join — boilerplate phrases shared by half the
+    corpus carry no copy signal and would otherwise create a hot join
+    key (the same stop-pattern rule MOSS applies); at 10^12 docs this
+    bound is what keeps the self-join linear in the match count.
+
+    Plan: fingerprint projection (map-only) -> per-doc distinct ->
+    document-frequency filter (one count aggregate, broadcast-free
+    semi-join shape) -> equi-join on the fingerprint hash with
+    id_a < id_b -> pair count.  All shuffles key on the fingerprint
+    hash or the pair — no all-pairs comparison anywhere.
+    """
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+        .select(F.col(id_col).alias("_id"), "fp")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") <= max_df) & (F.col("_df") >= 2))
+        .select("fp")
+    )
+    f = fps.join(rare, "fp")
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "frontier_schedule",  # crawl fetch list: politeness window + TakeOrdered
     "recrawl_schedule",  # change-rate revisit intervals: one keyed agg
     "winnow",  # MOSS winnowing fingerprints: one codegen projection + explode
+    "winnow_matches",  # MOSS match report: df-capped fingerprint equi-join
     "tpch_shipping",  # TPC-H Q3: pushdown chain + TakeOrdered top-10
     "tpch_local_supplier",  # TPC-H Q5: 6-table join, broadcast dims
 

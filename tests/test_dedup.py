@@ -261,3 +261,45 @@ class TestWinnowFingerprints:
         got = self._run(spark, ["ab", "abcde", ""], k=5, w=4)
         assert 0 not in got and 2 not in got  # under k canonical chars
         assert len(got[1]) == 1  # one gram -> one fingerprint
+
+
+class TestWinnowMatches:
+    def _run(self, spark, texts, **kw):
+        from aml_entity_resolution_assignment_spark.operators.dedup import (
+            winnow_matches,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            (r["id_a"], r["id_b"]): r["n_shared"]
+            for r in winnow_matches(df, **kw).collect()
+        }
+
+    def test_copied_passage_detected(self, spark):
+        core = "the quick brown fox jumps over the lazy dog repeatedly"
+        texts = [
+            "intro one. " + core + " outro alpha.",
+            "different opening text here; " + core + " and more words",
+            "totally unrelated content about spark query planning",
+        ]
+        got = self._run(spark, texts, k=5, window=4, min_shared=2)
+        assert (0, 1) in got and got[(0, 1)] >= 2
+        assert not any(2 in pair for pair in got)
+
+    def test_df_cap_drops_boilerplate(self, spark):
+        # the same phrase in ALL docs carries no copy signal at
+        # max_df=2: every fingerprint is in 3 docs -> all filtered
+        t = "identical boilerplate sentence everywhere"
+        got = self._run(spark, [t, t, t], k=5, window=4, max_df=2)
+        assert got == {}
+
+    def test_min_shared_threshold(self, spark):
+        core = "shared fragment alpha beta gamma delta"
+        texts = ["xx " + core, "yy " + core]
+        loose = self._run(spark, texts, k=5, window=4, min_shared=1)
+        strict = self._run(
+            spark, texts, k=5, window=4, min_shared=10**6
+        )
+        assert loose and not strict
