@@ -3895,6 +3895,22 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, k=5, window=4)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase query (operators/search.py:
+    phrase_search) for the REPEATED-term phrase "table table" —
+    rarest-first anchored (doc, pos-offset) hash joins over
+    build_positional_postings, never a corpus rescan; the repeated
+    term binds the same-postings-two-offsets path.  DuckDB twin scans
+    adjacent positions of the same token arrays."""
+    from aml_entity_resolution_assignment_spark.operators.search import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    postings = build_positional_postings(_docs(spark, sf_dir))
+    return phrase_search(postings, "table table")
+
+
 def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS copy-detection report (operators/dedup.py:winnow_matches)
     over the same doc_id < 150 subset as q_winnow: doc pairs ranked by
@@ -4108,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "winnow": q_winnow,
         "winnow_matches": q_winnow_matches,
+        "phrase_search": q_phrase_search,
         "fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
         "sentences": q_sentences,
@@ -7423,6 +7440,19 @@ def oracle_sql() -> dict[str, str]:
                            list_aggregate(sl, 'min')) as int) as pos,
       list_aggregate(sl, 'min') as fp
     from u
+    """
+
+    # Positional phrase query (q_phrase_search): adjacent-position
+    # scan over the same lowercase whitespace token arrays
+    sql["phrase_search"] = """
+    with t as (
+      select doc_id,
+        regexp_split_to_array(lower(text), '\\s+') as w
+      from documents)
+    select doc_id, count(*) as n_hits
+    from t, unnest(range(1, len(w))) as u(i)
+    where w[i] = 'table' and w[i + 1] = 'table'
+    group by 1
     """
 
     # MOSS match report (q_winnow_matches): composes over the winnow

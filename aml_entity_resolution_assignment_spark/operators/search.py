@@ -109,3 +109,66 @@ def bm25_scores(
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, pos) positional inverted-index rows (pos is the
+    0-based token position; empty terms dropped).  The phrase-query
+    layer on top of ``build_postings``'s tf rows — written bucketed by
+    term at scale like the tf index."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(_tokens(text_col)).alias("pos", "term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def phrase_search(
+    postings: DataFrame, phrase: Sequence[str] | str
+) -> DataFrame:
+    """Exact-phrase hits from POSITIONAL postings: (doc_id, n_hits)
+    for every document containing the phrase's terms at consecutive
+    positions — the classic positional-index phrase query, computed
+    from the index (never a corpus rescan).
+
+    Join order is RAREST-FIRST: per-term document frequencies are
+    counted once (aggregate-sized: one row per phrase term), the
+    rarest term anchors the join, and every subsequent join can only
+    shrink the row set — the standard phrase-query optimization, here
+    expressed so Catalyst executes m-1 hash joins keyed on
+    (doc_id, pos) with the anchor's offset arithmetic pushed into the
+    join keys.  All shuffles carry query-term postings only.
+    """
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    terms = [t.lower() for t in terms if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    sub = postings.where(F.col("term").isin(terms))
+    df_counts = {
+        r["term"]: r["n"]
+        for r in sub.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    if len(df_counts) < len(set(terms)):
+        # a phrase term absent from the corpus: no hits anywhere
+        spark = postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, n_hits long")
+    order = sorted(range(len(terms)), key=lambda i: (df_counts[terms[i]], i))
+    anchor = order[0]
+    base = sub.where(F.col("term") == terms[anchor]).select(
+        "doc_id", (F.col("pos") - anchor).alias("_start")
+    )
+    for i in order[1:]:
+        nxt = sub.where(F.col("term") == terms[i]).select(
+            F.col("doc_id").alias("_d"), (F.col("pos") - i).alias("_s")
+        )
+        base = base.join(
+            nxt,
+            (base.doc_id == nxt._d) & (base._start == nxt._s),
+        ).select("doc_id", "_start")
+    return base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "script_profile",  # \\p{Script} char-class counts, one codegen projection
     "robots",
     "bm25",
+    "phrase_search",  # positional phrase query: rarest-first index joins
     "hist_quantiles",
     "profile_columns",  # per-column quality report incl. HLL estimate
     "bloom_filter",  # mergeable bloom build + broadcast membership probe

@@ -91,3 +91,60 @@ def test_build_postings(spark):
     assert ("", 2) not in got  # double space never becomes a term
     # postings count == distinct (term, doc) pairs
     assert len(got) == len({k for k in got})
+
+
+class TestPhraseSearch:
+    def _run(self, spark, texts, phrase):
+        from aml_entity_resolution_assignment_spark.operators.search import (
+            build_positional_postings,
+            phrase_search,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r["doc_id"]: r["n_hits"]
+            for r in phrase_search(
+                build_positional_postings(df), phrase
+            ).collect()
+        }
+
+    def test_exact_phrase_and_counts(self, spark):
+        texts = [
+            "the quick brown fox and the quick brown cat",  # 2 hits
+            "quick the brown fox",                          # terms, wrong order
+            "nothing relevant here",
+            "prefix words the quick brown suffix",          # 1 hit
+        ]
+        got = self._run(spark, texts, "the quick brown")
+        assert got == {0: 2, 3: 1}
+
+    def test_repeated_term_phrase(self, spark):
+        texts = [
+            "a table table b",          # 1 hit
+            "table table table",        # 2 overlapping hits
+            "table a table",            # none
+        ]
+        got = self._run(spark, texts, "table table")
+        assert got == {0: 1, 1: 2}
+
+    def test_absent_term_short_circuits(self, spark):
+        got = self._run(spark, ["some words here"], "words notintheindex")
+        assert got == {}
+
+    def test_case_insensitive(self, spark):
+        got = self._run(spark, ["The Quick brown"], "the quick")
+        assert got == {0: 1}
+
+    def test_empty_phrase_raises(self, spark):
+        import pytest as _pytest
+
+        from aml_entity_resolution_assignment_spark.operators.search import (
+            build_positional_postings,
+            phrase_search,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            phrase_search(build_positional_postings(df), "   ")
