@@ -323,6 +323,19 @@ SECTIONS = [
         "O(n_grams^2) md5s), window min-selection inside array HOFs, "
         "one Generate — no shuffle, no UDF.",
     ),
+    (
+        "winnow_matches",
+        "MOSS match report: per-doc distinct fingerprints, document-"
+        "frequency stop-pattern filter BEFORE the self-join, hash "
+        "equi-join on the fingerprint with id_a < id_b — no all-pairs "
+        "comparison.",
+    ),
+    (
+        "phrase_search",
+        "Positional phrase query from the index: rarest-first anchor, "
+        "m-1 hash joins keyed on (doc_id, pos - offset); only "
+        "query-term postings reach a shuffle.",
+    ),
 ]
 
 
