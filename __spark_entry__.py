@@ -3131,6 +3131,22 @@ def q_pair_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-free threshold similarity join (operators/joins.py:
+    edit_distance_self_join, the PassJoin pigeonhole): all document
+    pairs whose 24-char lowercased text prefixes are within 2 edits,
+    with the exact distance — vs a DuckDB length-banded cross check
+    with its built-in levenshtein."""
+    from aml_entity_resolution_assignment_spark.operators.joins import (
+        edit_distance_self_join,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring(F.lower("text"), 1, 24).alias("p24")
+    )
+    return edit_distance_self_join(d, "doc_id", "p24", max_dist=2)
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features, composite quality score, and both token
     counters in ONE codegen projection (the former text_quality /
@@ -4202,6 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_pairs": q_candidate_pairs,
         "pair_features": q_pair_features,
         "pair_edit": q_pair_edit,
+        "edit_join": q_edit_join,
         "rule_cascade": q_rule_cascade,
         "ml_prob": q_ml_prob,
         "connected_components": q_connected_components,
@@ -4380,6 +4397,20 @@ def oracle_sql() -> dict[str, str]:
                      / cast(greatest(length(da.p16), length(db.p16)) as double), 6)
            end as dl_score
     from pairs p join d da on p.id_a = da.doc_id join d db on p.id_b = db.doc_id
+    """
+
+    # edit_join: the PassJoin result IS all pairs within 2 edits, so the
+    # twin is the definitional length-banded cross check with DuckDB's
+    # built-in levenshtein (exactness of the pigeonhole candidates is
+    # what's under test).
+    sql["edit_join"] = """
+    with s as (select doc_id, substr(lower(text), 1, 24) as v from documents)
+    select a.doc_id as id_a, b.doc_id as id_b,
+           cast(levenshtein(a.v, b.v) as int) as dist
+    from s a join s b
+      on a.doc_id < b.doc_id
+     and abs(length(a.v) - length(b.v)) <= 2
+    where levenshtein(a.v, b.v) <= 2
     """
 
     # rule cascade (C2-C12): CASE-WHEN twin of operators/classify.py

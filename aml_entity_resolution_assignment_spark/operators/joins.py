@@ -24,6 +24,21 @@ Both are compositions of existing DataFrame ops chosen for the
   cartesian per key — quadratic death at scale; with it, cost is
   O(points + intervals * spans) with spans = interval width /
   bucket_width.
+
+* edit_distance_self_join — the threshold string-similarity join
+  (all pairs with Levenshtein distance <= d, NO pre-existing
+  blocking key), via the PassJoin pigeonhole (Li, Deng, Wang, Feng,
+  "PASS-JOIN: A Partition-based Method for Similarity Joins",
+  VLDB 2012 — public paper): split every string into d+1 segments;
+  any string within d edits must contain at least one segment as an
+  EXACT substring, start-shifted by at most d. Candidates therefore
+  meet in a plain equi-join on (segment text, segment index, source
+  length) between per-string segment keys and a bounded set of
+  probe substrings — no cartesian product anywhere — and a JVM
+  `levenshtein` filter verifies. The reference's fuzzy matching
+  always runs behind blocking keys (reference blocking/matching
+  stages); this operator is the key-free form a cleanup pass needs
+  when no blocking attribute exists.
 """
 
 from __future__ import annotations
@@ -131,4 +146,116 @@ def range_join_points_intervals(
             & (F.col(point_col) <= F.col(end_col))
         )
         .drop("_b")
+    )
+
+
+def _segments(v, length, k: int):
+    """Segment keys for the PassJoin index side: string `v` of `length`
+    splits into k near-equal parts — part i has length
+    base + (i < rem ? 1 : 0) and 0-based start i*base + min(i, rem),
+    with base = length div k, rem = length mod k. Both join sides must
+    use exactly this convention."""
+    base = F.floor(length / k).cast("int")
+    rem = (length % k).cast("int")
+    i = F.col("_i")
+    slen = base + F.when(i < rem, 1).otherwise(0)
+    sstart = i * base + F.least(i, rem)
+    return sstart, slen
+
+
+def edit_distance_self_join(
+    df: DataFrame,
+    id_col: str = "id",
+    str_col: str = "s",
+    max_dist: int = 2,
+) -> DataFrame:
+    """All unordered pairs (id_a < id_b) whose `str_col` values are
+    within `max_dist` Levenshtein edits — exact, no blocking key
+    required. Returns (id_a, id_b, dist).
+
+    Plan shape for 10^12 rows: index side explodes to d+1 segment
+    keys per string; probe side to O(d^2) candidate substrings per
+    string (75 rows/string at d=2) — both linear. The only shuffle
+    is the equi-join on (length, segment index, segment text) plus
+    one distinct on surviving pairs; verification is codegen'd JVM
+    `levenshtein`. Skew note: a segment shared by f strings yields
+    O(f^2) candidates on that key (e.g. a boilerplate prefix) —
+    exactness forbids dropping them, so normalize the join column
+    (strip boilerplate, slice past common prefixes) rather than
+    capping here; AQE skew-join splits the reducers.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    d, k = max_dist, max_dist + 1
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(str_col).cast("string").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+
+    # Index side: the d+1 segments of every string, keyed by the
+    # string's own length so probes only meet strings in their band.
+    idx = base.withColumn("_l", F.length("_v").cast("int")).withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.lit(d)))
+    )
+    sstart, slen = _segments(F.col("_v"), F.col("_l"), k)
+    idx = idx.select(
+        F.col("_id").alias("_id_x"),
+        F.col("_v").alias("_v_x"),
+        "_l",
+        "_i",
+        F.col("_v").substr(sstart + 1, slen).alias("_seg"),
+    )
+
+    # Probe side: for every length l2 the string could pair with
+    # (|m - l2| <= d) and every segment index, all substrings of the
+    # probe whose start is within +-d of that segment's start in a
+    # length-l2 string. The pigeonhole lemma guarantees a true pair
+    # meets the index entry of its untouched segment here.
+    prb = base.withColumn("_m", F.length("_v").cast("int")).withColumn(
+        "_l", F.explode(F.sequence(F.greatest(F.col("_m") - d, F.lit(0)), F.col("_m") + d))
+    ).withColumn("_l", F.col("_l").cast("int")).withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.lit(d)))
+    )
+    sstart, slen = _segments(F.col("_v"), F.col("_l"), k)
+    plo = F.greatest(sstart - d, F.lit(0))
+    phi = F.least(sstart + d, F.col("_m") - slen)
+    prb = (
+        prb.withColumn("_slen", slen)
+        .withColumn(
+            "_p",
+            F.explode(
+                F.when(phi >= plo, F.sequence(plo, phi)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ),
+        )
+        .select(
+            F.col("_id").alias("_id_p"),
+            F.col("_v").alias("_v_p"),
+            "_l",
+            "_i",
+            F.col("_v").substr(F.col("_p") + 1, F.col("_slen")).alias("_seg"),
+        )
+    )
+
+    cand = (
+        prb.join(idx, ["_l", "_i", "_seg"])
+        .where(F.col("_id_p") != F.col("_id_x"))
+        .select(
+            F.least("_id_p", "_id_x").alias("id_a"),
+            F.greatest("_id_p", "_id_x").alias("id_b"),
+            F.when(F.col("_id_p") < F.col("_id_x"), F.col("_v_p"))
+            .otherwise(F.col("_v_x"))
+            .alias("_va"),
+            F.when(F.col("_id_p") < F.col("_id_x"), F.col("_v_x"))
+            .otherwise(F.col("_v_p"))
+            .alias("_vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("_va", "_vb"))
+        .where(F.col("dist") <= d)
+        .select("id_a", "id_b", "dist")
     )

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "dedup_substring",
     "dedup_ngram",  # merged entry: plain + capped n-gram Jaccard
     "dedup_prefix",  # AllPairs/PPJoin exact set-sim join: rarest-first prefixes
+    "edit_join",  # PassJoin key-free threshold Levenshtein self-join
     "dedup_minhash",
     "dedup_simhash",  # merged entry: md5 oracle twin + production SipHash path
     "dedup_keep_min",

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from aml_entity_resolution_assignment_spark.operators.joins import (
     as_of_join,
+    edit_distance_self_join,
     range_join_points_intervals,
 )
 
@@ -96,3 +97,78 @@ def test_range_join_no_nested_loop_in_plan(spark):
     )
     plan = range_join_points_intervals(p, iv, "x", "s", "e")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- edit join
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+@pytest.mark.parametrize("max_dist", [0, 1, 2, 3])
+def test_edit_join_matches_bruteforce(spark, max_dist):
+    """PassJoin == exact all-pairs Levenshtein, including empty strings,
+    strings shorter than d+1 (zero-length segments), and exact dups."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    strs = []
+    for _ in range(120):
+        base = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10)))
+        strs.append(base)
+        mut = list(base)
+        for _ in range(rng.randint(0, 3)):
+            op = rng.choice("ids")
+            if op == "i":
+                mut.insert(rng.randint(0, len(mut)), rng.choice("abcd"))
+            elif mut:
+                p = rng.randint(0, len(mut) - 1)
+                if op == "d":
+                    del mut[p]
+                else:
+                    mut[p] = rng.choice("abcd")
+        strs.append("".join(mut))
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_self_join(df, "id", "s", max_dist).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _lev(a, b) <= max_dist
+    }
+    assert got == want and len(want) > 0
+
+
+def test_edit_join_no_cartesian_in_plan(spark):
+    df = spark.range(50).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("doc"), F.col("id")).alias("s"),
+    )
+    plan = (
+        edit_distance_self_join(df, "id", "s", 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edit_join_null_and_unicode(spark):
+    rows = [(0, None), (1, "héllo"), (2, "hello"), (3, "héllo!")]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_self_join(df, "id", "s", 1).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 1)}

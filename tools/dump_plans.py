@@ -336,6 +336,13 @@ SECTIONS = [
         "m-1 hash joins keyed on (doc_id, pos - offset); only "
         "query-term postings reach a shuffle.",
     ),
+    (
+        "edit_join",
+        "PassJoin threshold Levenshtein self-join: d+1 segment keys vs "
+        "bounded probe substrings meet in ONE hash equi-join on "
+        "(length, segment index, segment text); JVM levenshtein "
+        "verify. No cartesian, no nested-loop, no UDF.",
+    ),
 ]
 
 
