@@ -132,3 +132,61 @@ def test_apng_full_frame_roundtrip(seed, n, h, w, rgba):
         assert np.array_equal(out[i, :, :, :3], f[:, :, :3])
         exp_a = f[:, :, 3] if rgba else np.full((h, w), 255, np.uint8)
         assert np.array_equal(out[i, :, :, 3], exp_a)
+
+
+# ------------------------------------------------------- edit join lemma
+
+def _edit_seg(l, k, i):
+    """Segment convention mirror (operators/joins.py:_segments)."""
+    base, rem = l // k, l % k
+    slen = base + (1 if i < rem else 0)
+    sstart = i * base + min(i, rem)
+    return sstart, slen
+
+
+def _edit_index_keys(s, d):
+    k = d + 1
+    return {
+        (len(s), i) + (s[st : st + ln],)
+        for i in range(k)
+        for st, ln in [_edit_seg(len(s), k, i)]
+    }
+
+
+def _edit_probe_keys(r, d):
+    k, m, out = d + 1, len(r), set()
+    for l2 in range(max(m - d, 0), m + d + 1):
+        for i in range(k):
+            sstart, slen = _edit_seg(l2, k, i)
+            plo, phi = max(sstart - d, 0), min(sstart + d, m - slen)
+            for p in range(plo, phi + 1):
+                out.add((l2, i, r[p : p + slen]))
+    return out
+
+
+@given(
+    base=st.text(alphabet="abc", max_size=24),
+    d=st.integers(min_value=0, max_value=3),
+    data=st.data(),
+)
+@settings(**_common)
+def test_edit_join_pigeonhole_never_misses(base, d, data):
+    """PassJoin completeness (operators/joins.py:edit_distance_self_join):
+    apply at most d random edits to `base`; the probe keys of either
+    string MUST intersect the index keys of the other — the pair meets
+    in the equi-join before the levenshtein verify ever runs."""
+    s = list(base)
+    n_edits = data.draw(st.integers(min_value=0, max_value=d))
+    for _ in range(n_edits):
+        op = data.draw(st.sampled_from("ids"))
+        if op == "i":
+            s.insert(data.draw(st.integers(0, len(s))), data.draw(st.sampled_from("abc")))
+        elif s:
+            p = data.draw(st.integers(0, len(s) - 1))
+            if op == "d":
+                del s[p]
+            else:
+                s[p] = data.draw(st.sampled_from("abc"))
+    other = "".join(s)
+    assert _edit_probe_keys(other, d) & _edit_index_keys(base, d)
+    assert _edit_probe_keys(base, d) & _edit_index_keys(other, d)
