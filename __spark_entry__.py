@@ -47,6 +47,7 @@ from aml_entity_resolution_assignment_spark.operators import (
     cluster as G,
     dedup as D,
     evaluate as E,
+    fellegi as FS,
     quality as Q,
 )
 
@@ -301,6 +302,45 @@ def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", "match_type",
         F.round("confidence_score", 6).alias("confidence_score"),
+    )
+
+
+_FS_FIELDS = ["g_prefix", "g_lang", "g_source", "g_hash"]
+_FS_ITERS = 10
+
+
+def _fs_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary agreement vector over the deterministic pair features
+    (the gamma of the Fellegi-Sunter model)."""
+    feats = q_pair_features(spark, sf_dir)
+    return feats.select(
+        "id_a",
+        "id_b",
+        (F.col("prefix_score") >= 0.6).cast("int").alias("g_prefix"),
+        F.col("lang_match").cast("int").alias("g_lang"),
+        F.col("source_match").cast("int").alias("g_source"),
+        (F.pmod(F.col("id_a") * 31 + F.col("id_b"), F.lit(100)) >= 50)
+        .cast("int")
+        .alias("g_hash"),
+    )
+
+
+def q_fellegi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage fitted by EM: one groupBy
+    reduces all pairs to <=2^4 agreement patterns, EM runs closed-form
+    on that table, and per-pair log2 match weights + posteriors come
+    back via a broadcast pattern join (operators/fellegi.py; the
+    statistical counterpart of the reference's hand-tuned cascade,
+    src/matching.py thresholds)."""
+    out = FS.fellegi_sunter(
+        _fs_flagged(spark, sf_dir), _FS_FIELDS, iters=_FS_ITERS
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        *_FS_FIELDS,
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("posterior", 6).alias("posterior"),
     )
 
 
@@ -4220,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_edit": q_pair_edit,
         "edit_join": q_edit_join,
         "rule_cascade": q_rule_cascade,
+        "fellegi": q_fellegi,
         "ml_prob": q_ml_prob,
         "connected_components": q_connected_components,
         "cc_incremental": q_cc_incremental,
@@ -4468,6 +4509,31 @@ def oracle_sql() -> dict[str, str]:
                    case when v5 then 0.55 else 0 end)
            else ml_prob end, 6) as confidence_score
     from c
+    """
+
+    # Fellegi-Sunter twin: the same agreement flags over _feats, then
+    # the EM loop UNROLLED as chained materialized CTEs (one weights +
+    # one params CTE per iteration over the <=2^k pattern rows, with
+    # the identical per-iteration PARAM_DECIMALS rounding —
+    # operators/fellegi.py:fs_oracle_cte generates it from the same
+    # constants, so Spark and DuckDB run the same trajectory).
+    _fs_cte = FS.fs_oracle_cte(_FS_FIELDS, "fglobal", iters=_FS_ITERS)
+    sql["fellegi"] = f"""
+    with f0 as ({_feats}),
+    fglobal as (
+      select id_a, id_b,
+             (prefix_score >= 0.6)::int as g_prefix,
+             lang_match::int as g_lang,
+             source_match::int as g_source,
+             ((id_a * 31 + id_b) % 100 >= 50)::int as g_hash
+      from f0
+    ),
+    {_fs_cte}
+    select f.id_a, f.id_b, f.g_prefix, f.g_lang, f.g_source, f.g_hash,
+           round(s.match_weight, 6) as match_weight,
+           round(s.posterior, 6) as posterior
+    from fglobal f
+    join fs_scores s using (g_prefix, g_lang, g_source, g_hash)
     """
 
     # A1-A4 twin: candidate lookup (shared-key count cap) -> features ->

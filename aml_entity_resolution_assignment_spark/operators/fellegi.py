@@ -1,0 +1,248 @@
+"""Fellegi-Sunter probabilistic record linkage with EM parameter fitting.
+
+The classical statistical model behind the reference's heuristic rule
+cascade (reference: src/matching.py classify thresholds — the cascade
+IS a hand-tuned decision rule over the same agreement evidence; F-S
+replaces the hand-tuning with maximum-likelihood m/u probabilities, the
+approach production linkers such as Splink use on Spark).
+
+Model (Fellegi & Sunter 1969, binary independent comparison fields):
+for each candidate pair, a k-bit agreement vector gamma; two latent
+classes M (match) and U (non-match) with
+
+    P(gamma | M) = prod_k m_k^g_k (1-m_k)^(1-g_k)
+    P(gamma | U) = prod_k u_k^g_k (1-u_k)^(1-g_k)
+
+EM estimates (lambda, m, u) from UNLABELED pairs.  The scale shape is
+the whole point of this implementation:
+
+  * ONE distributed pass — groupBy over the agreement columns — reduces
+    N pairs (10^12-scale) to at most 2^k pattern rows with counts.
+    Map-side combine applies; the shuffle moves <= 2^k rows per task.
+  * EM then iterates on that <= 2^k-row table DRIVER-SIDE in closed
+    form (the same aggregate-sized-collect policy as class weights,
+    ml/model.py).  No per-iteration cluster job, no driver loop over
+    big data — iteration cost is O(2^k * iters) scalar math.
+  * Scoring joins the fitted per-pattern weights back by a broadcast
+    join on the pattern key — the big pair table shuffles zero times
+    beyond the one groupBy.
+
+Determinism: EM starts from fixed inits and every M-step rounds the
+parameters to PARAM_DECIMALS decimals, pinning the float trajectory so
+an external twin (the DuckDB oracle unrolls the same iterations as
+chained CTEs) reproduces it bit-for-bit after round(, 6) on outputs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Per-iteration parameter rounding (both here and in any SQL twin):
+# 10 decimals is far below any statistical meaning but pins the
+# trajectory against summation-order float drift.
+PARAM_DECIMALS = 10
+
+DEFAULT_INIT = {"lam": 0.1, "m": 0.9, "u": 0.1}
+
+
+def pattern_counts(pairs: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """Aggregate pairs to agreement-pattern counts (the one big pass).
+
+    `fields` are 0/1 (or boolean) columns on `pairs`.  Output: one row
+    per observed pattern with its count `n` — at most 2^k rows.
+    """
+    cols = [F.col(f).cast("int").alias(f) for f in fields]
+    return pairs.select(*cols).groupBy(*fields).agg(F.count("*").alias("n"))
+
+
+def fs_em(
+    patterns: list[tuple[tuple[int, ...], int]],
+    k: int,
+    iters: int = 10,
+    init: dict | None = None,
+) -> tuple[float, list[float], list[float]]:
+    """Closed-form EM over pattern counts (driver-side, <= 2^k rows).
+
+    patterns: [(gamma_tuple, count), ...].  Returns (lambda, m[k], u[k])
+    after `iters` iterations, each M-step rounded to PARAM_DECIMALS.
+    """
+    ini = init or DEFAULT_INIT
+    lam = float(ini["lam"])
+    m = [float(ini["m"])] * k
+    u = [float(ini["u"])] * k
+    # clamp guards: keep probabilities in (eps, 1-eps) so log-weights
+    # stay finite when a field agrees on every pair (degenerate data)
+    eps = 1e-9
+
+    for _ in range(iters):
+        sw = 0.0  # sum n*w
+        sn = 0.0  # sum n
+        swg = [0.0] * k  # sum n*w*g_k
+        svg = [0.0] * k  # sum n*(1-w)*g_k
+        for g, n in patterns:
+            pm, pu = lam, 1.0 - lam
+            for j in range(k):
+                pm *= m[j] if g[j] else (1.0 - m[j])
+                pu *= u[j] if g[j] else (1.0 - u[j])
+            w = pm / (pm + pu) if (pm + pu) > 0 else 0.0
+            sw += n * w
+            sn += n
+            for j in range(k):
+                if g[j]:
+                    swg[j] += n * w
+                    svg[j] += n * (1.0 - w)
+        lam = round(min(max(sw / sn, eps), 1 - eps), PARAM_DECIMALS)
+        for j in range(k):
+            m[j] = round(min(max(swg[j] / sw, eps), 1 - eps), PARAM_DECIMALS)
+            u[j] = round(
+                min(max(svg[j] / (sn - sw), eps), 1 - eps), PARAM_DECIMALS
+            )
+    return lam, m, u
+
+
+def fellegi_sunter(
+    pairs: DataFrame,
+    fields: Sequence[str],
+    iters: int = 10,
+    init: dict | None = None,
+) -> DataFrame:
+    """Fit F-S by EM and score every pair.
+
+    Adds `match_weight` (sum over fields of log2(m/u) when the field
+    agrees, log2((1-m)/(1-u)) when it disagrees) and `posterior`
+    (P(M | gamma) under the fitted model).  One groupBy + one broadcast
+    join; see module docstring for the scale argument.
+    """
+    k = len(fields)
+    pat_df = pattern_counts(pairs, fields)
+    rows = pat_df.collect()  # <= 2^k rows — aggregate-sized collect
+    pats = [
+        (tuple(int(r[f]) for f in fields), int(r["n"])) for r in rows
+    ]
+    lam, m, u = fs_em(pats, k, iters=iters, init=init)
+
+    # score each observed pattern once, broadcast-join back by pattern
+    scored = []
+    for g, _n in pats:
+        wlog = 0.0
+        pm, pu = lam, 1.0 - lam
+        for j in range(k):
+            if g[j]:
+                wlog += math.log2(m[j] / u[j])
+                pm *= m[j]
+                pu *= u[j]
+            else:
+                wlog += math.log2((1.0 - m[j]) / (1.0 - u[j]))
+                pm *= 1.0 - m[j]
+                pu *= 1.0 - u[j]
+        post = pm / (pm + pu)
+        scored.append(tuple(g) + (float(wlog), float(post)))
+    spark = pairs.sparkSession
+    schema = (
+        ", ".join(f"{f} int" for f in fields)
+        + ", match_weight double, posterior double"
+    )
+    weights = spark.createDataFrame(scored, schema)
+
+    keyed = pairs.select(
+        "*", *[F.col(f).cast("int").alias(f"_g_{f}") for f in fields]
+    )
+    w = weights.select(
+        *[F.col(f).alias(f"_g_{f}") for f in fields],
+        "match_weight",
+        "posterior",
+    )
+    return keyed.join(
+        F.broadcast(w), [f"_g_{f}" for f in fields], "left"
+    ).drop(*[f"_g_{f}" for f in fields])
+
+
+def fs_oracle_cte(
+    fields: Sequence[str],
+    pairs_cte: str,
+    iters: int = 10,
+    init: dict | None = None,
+) -> str:
+    """Emit the DuckDB twin of pattern_counts + fs_em + scoring as SQL.
+
+    `pairs_cte` must be the name of an in-scope CTE/view with the 0/1
+    agreement columns.  The EM loop is unrolled: each iteration is one
+    weights CTE + one single-row params CTE over the <= 2^k pattern
+    rows (MATERIALIZED, per the DuckDB-iteration-twin convention), with
+    the identical PARAM_DECIMALS rounding.  Returns SQL whose final
+    SELECT yields (fields..., match_weight, posterior) per pattern —
+    join it back to pairs in the caller for per-pair output.
+    """
+    ini = init or DEFAULT_INIT
+    k = len(fields)
+    gl = ", ".join(fields)
+    parts = [
+        f"pats as materialized (select {gl}, count(*)::double as n "
+        f"from {pairs_cte} group by {gl})"
+    ]
+    m0 = ", ".join(
+        f"{ini['m']}::double as m{j}, {ini['u']}::double as u{j}"
+        for j in range(k)
+    )
+    parts.append(
+        f"par0 as materialized (select {ini['lam']}::double as lam, {m0})"
+    )
+    for i in range(1, iters + 1):
+        p = f"par{i - 1}"
+        pm = " * ".join(
+            f"(case when {fields[j]} = 1 then {p}.m{j} else 1 - {p}.m{j} end)"
+            for j in range(k)
+        )
+        pu = " * ".join(
+            f"(case when {fields[j]} = 1 then {p}.u{j} else 1 - {p}.u{j} end)"
+            for j in range(k)
+        )
+        parts.append(
+            f"e{i} as materialized (select pats.*, "
+            f"{p}.lam * {pm} as pm, (1 - {p}.lam) * {pu} as pu "
+            f"from pats, {p})"
+        )
+        parts.append(
+            f"w{i} as materialized (select *, "
+            f"case when pm + pu > 0 then pm / (pm + pu) else 0 end as w "
+            f"from e{i})"
+        )
+        upd = ", ".join(
+            f"round(least(greatest("
+            f"sum(n * w * {fields[j]}) / sum(n * w), 1e-9), 1 - 1e-9), "
+            f"{PARAM_DECIMALS}) as m{j}, "
+            f"round(least(greatest("
+            f"sum(n * (1 - w) * {fields[j]}) / sum(n * (1 - w)), 1e-9), "
+            f"1 - 1e-9), {PARAM_DECIMALS}) as u{j}"
+            for j in range(k)
+        )
+        parts.append(
+            f"par{i} as materialized (select "
+            f"round(least(greatest(sum(n * w) / sum(n), 1e-9), 1 - 1e-9), "
+            f"{PARAM_DECIMALS}) as lam, {upd} from w{i})"
+        )
+    p = f"par{iters}"
+    wsum = " + ".join(
+        f"(case when {fields[j]} = 1 then log2({p}.m{j} / {p}.u{j}) "
+        f"else log2((1 - {p}.m{j}) / (1 - {p}.u{j})) end)"
+        for j in range(k)
+    )
+    pm = " * ".join(
+        f"(case when {fields[j]} = 1 then {p}.m{j} else 1 - {p}.m{j} end)"
+        for j in range(k)
+    )
+    pu = " * ".join(
+        f"(case when {fields[j]} = 1 then {p}.u{j} else 1 - {p}.u{j} end)"
+        for j in range(k)
+    )
+    parts.append(
+        f"fs_scores as materialized (select {gl}, "
+        f"{wsum} as match_weight, "
+        f"({p}.lam * {pm}) / ({p}.lam * {pm} + (1 - {p}.lam) * {pu}) "
+        f"as posterior from pats, {p})"
+    )
+    return ",\n".join(parts)

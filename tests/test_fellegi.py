@@ -1,0 +1,135 @@
+"""Fellegi-Sunter EM linkage (operators/fellegi.py).
+
+Covers: EM parameter recovery on data generated from known (lam, m, u);
+pattern-count reduction; weight/posterior algebra; determinism across
+partitionings; the broadcast scoring plan.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from aml_entity_resolution_assignment_spark.operators import fellegi as FS
+
+FIELDS = ["g1", "g2", "g3"]
+
+
+def _synth_pairs(spark, n=4000, lam=0.2, m=(0.95, 0.9, 0.8), u=(0.1, 0.2, 0.05), seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        is_match = rng.random() < lam
+        probs = m if is_match else u
+        g = tuple(1 if rng.random() < p else 0 for p in probs)
+        rows.append((i, i + n) + g)
+    return spark.createDataFrame(
+        rows, "id_a long, id_b long, g1 int, g2 int, g3 int"
+    )
+
+
+def test_pattern_counts_bounded(spark):
+    df = _synth_pairs(spark)
+    pats = FS.pattern_counts(df, FIELDS)
+    rows = pats.collect()
+    assert len(rows) <= 2 ** len(FIELDS)
+    assert sum(r["n"] for r in rows) == df.count()
+
+
+def test_em_recovers_parameters(spark):
+    df = _synth_pairs(spark, n=20000)
+    pats = [
+        (tuple(int(r[f]) for f in FIELDS), int(r["n"]))
+        for r in FS.pattern_counts(df, FIELDS).collect()
+    ]
+    lam, m, u = FS.fs_em(pats, len(FIELDS), iters=60)
+    assert abs(lam - 0.2) < 0.05
+    for est, true in zip(m, (0.95, 0.9, 0.8)):
+        assert abs(est - true) < 0.05
+    for est, true in zip(u, (0.1, 0.2, 0.05)):
+        assert abs(est - true) < 0.05
+
+
+def test_weight_and_posterior_algebra(spark):
+    """match_weight must equal sum of per-field log2 ratios under the
+    fitted params, and posterior the Bayes combination — recomputed
+    here independently from the model's own EM output."""
+    df = _synth_pairs(spark, n=5000)
+    out = FS.fellegi_sunter(df, FIELDS, iters=10)
+    pats = [
+        (tuple(int(r[f]) for f in FIELDS), int(r["n"]))
+        for r in FS.pattern_counts(df, FIELDS).collect()
+    ]
+    lam, m, u = FS.fs_em(pats, len(FIELDS), iters=10)
+    sample = out.limit(200).collect()
+    assert sample
+    for r in sample:
+        w, pm, pu = 0.0, lam, 1.0 - lam
+        for j, f in enumerate(FIELDS):
+            if r[f]:
+                w += math.log2(m[j] / u[j])
+                pm *= m[j]
+                pu *= u[j]
+            else:
+                w += math.log2((1 - m[j]) / (1 - u[j]))
+                pm *= 1 - m[j]
+                pu *= 1 - u[j]
+        assert r["match_weight"] == pytest.approx(w, abs=1e-9)
+        assert r["posterior"] == pytest.approx(pm / (pm + pu), abs=1e-9)
+
+
+def test_matches_score_above_nonmatches(spark):
+    df = _synth_pairs(spark, n=10000)
+    out = FS.fellegi_sunter(df, FIELDS, iters=30)
+    agg = out.select(
+        F.avg(F.when((F.col("g1") + F.col("g2") + F.col("g3")) == 3, F.col("posterior"))).alias("hi"),
+        F.avg(F.when((F.col("g1") + F.col("g2") + F.col("g3")) == 0, F.col("posterior"))).alias("lo"),
+    ).collect()[0]
+    assert agg["hi"] > 0.9 > 0.1 > agg["lo"]
+
+
+def test_partitioning_invariant(spark):
+    df = _synth_pairs(spark, n=3000)
+    a = FS.fellegi_sunter(df, FIELDS, iters=10)
+    b = FS.fellegi_sunter(df.repartition(13), FIELDS, iters=10)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_scoring_join_is_broadcast(spark):
+    df = _synth_pairs(spark, n=1000)
+    plan = FS.fellegi_sunter(df, FIELDS, iters=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_oracle_cte_matches_python_em(spark):
+    """The unrolled-SQL twin generator must reproduce fs_em's params
+    and scores on the same pattern table (DuckDB, standalone)."""
+    duckdb = pytest.importorskip("duckdb")
+    df = _synth_pairs(spark, n=4000)
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("pairs_tbl", pdf)
+    cte = FS.fs_oracle_cte(FIELDS, "pairs_tbl", iters=10)
+    got = con.execute(
+        f"with {cte} select * from fs_scores order by g1, g2, g3"
+    ).fetchall()
+    pats = [
+        (tuple(int(r[f]) for f in FIELDS), int(r["n"]))
+        for r in FS.pattern_counts(df, FIELDS).collect()
+    ]
+    lam, m, u = FS.fs_em(pats, len(FIELDS), iters=10)
+    for row in got:
+        g = tuple(int(x) for x in row[:3])
+        w, pm, pu = 0.0, lam, 1.0 - lam
+        for j in range(3):
+            if g[j]:
+                w += math.log2(m[j] / u[j])
+                pm *= m[j]
+                pu *= u[j]
+            else:
+                w += math.log2((1 - m[j]) / (1 - u[j]))
+                pm *= 1 - m[j]
+                pu *= 1 - u[j]
+        assert row[3] == pytest.approx(w, abs=1e-9)
+        assert row[4] == pytest.approx(pm / (pm + pu), abs=1e-9)
