@@ -193,6 +193,17 @@ def q_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): pairs within a
+    5-record sliding window over the text-prefix sort order, via the
+    distributed two-phase global rank + offset equi-join (no
+    single-reducer window) — operators/blocking.py."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring(F.lower(F.trim("text")), 1, 12).alias("k")
+    )
+    return B.sorted_neighborhood_pairs(d, "k", "doc_id", window=5)
+
+
 def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2+J3: union-dedup of two exact-key self-joins, id_a < id_b."""
     d = q_blocking_keys(spark, sf_dir)
@@ -4168,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_keys": q_blocking_keys,
         "key_coverage": q_key_coverage,
         "block_stats": q_block_stats,
+        "snm_pairs": q_snm_pairs,
         "lang_id": q_lang_id,
         "text_metrics": q_text_metrics,
         "gopher_rules": q_gopher_rules,
@@ -4395,6 +4407,22 @@ def oracle_sql() -> dict[str, str]:
       select *, row_number() over (partition by key order by cnt desc, block_value) as rnk
       from u) t
     where rnk <= 3
+    """
+
+    # SNM twin: definitional row_number over the total (key, id) order,
+    # self-join on rank distance 1..window-1.
+    sql["snm_pairs"] = """
+    with s as (
+      select doc_id, substr(lower(trim(text)), 1, 12) as k from documents
+    ),
+    r as (
+      select doc_id, row_number() over (order by k, doc_id) as rn
+      from s where k is not null
+    )
+    select least(a.doc_id, b.doc_id) as id_a,
+           greatest(a.doc_id, b.doc_id) as id_b,
+           cast(b.rn - a.rn as int) as gap
+    from r a join r b on b.rn > a.rn and b.rn <= a.rn + 4
     """
 
     _pairs = f"""

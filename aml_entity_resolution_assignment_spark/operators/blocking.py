@@ -166,3 +166,90 @@ def blocking_health(keyed: DataFrame, n_pairs: int) -> dict[str, float]:
         "reduction_ratio": 1.0 - (n_pairs / total_possible) if total_possible else 0.0,
         "pairs_per_record": (n_pairs / n) if n else 0.0,
     }
+
+
+def _global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Dense global row rank (1-based) in `order_cols` order WITHOUT a
+    single-reducer global window.
+
+    Two-phase, same shape as packing._with_global_offsets: range
+    repartition on the order columns (ascending partition ids preserve
+    global order across partitions), per-partition row_number, then one
+    #partitions-row collect for the cumulative bases. Partitioning-
+    invariant as long as `order_cols` is a total order (callers include
+    a unique id as the final column)."""
+    from aml_entity_resolution_assignment_spark.operators.candidates import (
+        _PERSISTED,
+    )
+    from pyspark.sql.window import Window
+
+    cols = [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(*cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.persist()  # pin partition assignment between the two reads
+    _PERSISTED.append(d)  # released via candidates.release_persisted()
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    totals = sorted(
+        d.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    bases, acc = [], 0
+    for r in totals:
+        bases.append((r["_pid"], acc))
+        acc += r["count"]
+    base_df = df.sparkSession.createDataFrame(bases, "_pid int, _base long")
+    return (
+        d.withColumn("_local", F.row_number().over(w))
+        .join(F.broadcast(base_df), "_pid")
+        .withColumn("rank", (F.col("_base") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_base")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): sort all
+    records by `key_col` and emit every pair whose positions are within
+    a sliding window of `window` records.
+
+    The classic complement to exact-key blocking (SURVEY §2.3 B1-B5):
+    typo'd keys that land in DIFFERENT exact blocks still sort near
+    each other, so SNM recovers them at O(N*w) pairs with no quadratic
+    block risk — there are exactly (N - w/2)*(w-1) candidate pairs
+    regardless of key skew, which is the property that makes it safe at
+    10^12 records where a hot exact key needs salt/drop caps.
+
+    Plan: distributed global rank (two-phase, no single-reducer
+    window), then offsets d in 1..window-1 explode (factor w-1) and ONE
+    equi-join on rank+d — rank keys are unique so the join is perfectly
+    balanced. Output: (id_a, id_b, gap) with id_a < id_b, gap = rank
+    distance. Multi-pass SNM = union over calls with different keys
+    (compose with candidates-style union-dedup).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    base = df.select(
+        F.col(key_col).alias("_snk"), F.col(id_col).alias("_sni")
+    ).where(F.col("_snk").isNotNull())
+    ranked = _global_rank(base, ["_snk", "_sni"])
+    offsets = F.array(*[F.lit(d) for d in range(1, window)])
+    left = ranked.select(
+        F.col("_sni").alias("_ida"),
+        F.explode(offsets).alias("gap"),
+        F.col("rank"),
+    ).withColumn("_rb", F.col("rank") + F.col("gap")).drop("rank")
+    right = ranked.select(
+        F.col("_sni").alias("_idb"), F.col("rank").alias("_rb")
+    )
+    return (
+        left.join(right, "_rb")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            F.col("gap").cast("int").alias("gap"),
+        )
+    )
