@@ -48,6 +48,7 @@ from aml_entity_resolution_assignment_spark.operators import (
     dedup as D,
     evaluate as E,
     fellegi as FS,
+    metablocking as MB,
     quality as Q,
 )
 
@@ -191,6 +192,40 @@ def q_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(k).alias("key"), "block_value", "cnt", F.col("rnk").cast("long").alias("rnk"))
         )
     return parts[0].unionByName(parts[1])
+
+
+def q_metablocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking (Papadakis): weight every candidate pair by the
+    blocks it co-occurs in (CBS/ARCS/ECBS) and WEP-prune below the
+    mean CBS — the pre-scoring candidate cut (operators/
+    metablocking.py). Blocks = the three namespaced blocking keys."""
+    d = q_blocking_keys(spark, sf_dir)
+    eb = (
+        d.select(
+            "doc_id",
+            F.concat(F.lit("p:"), "bk_prefix").alias("block_key"),
+        )
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.concat(F.lit("s:"), "bk_source").alias("block_key"),
+            )
+        )
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.concat(F.lit("l:"), "bk_lang_size").alias("block_key"),
+            )
+        )
+    )
+    out = MB.metablock_pairs(eb, "doc_id", "block_key", purge_cap=50)
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("cbs").cast("long"),
+        F.round("arcs", 6).alias("arcs"),
+        F.round("ecbs", 6).alias("ecbs"),
+    )
 
 
 def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4180,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_coverage": q_key_coverage,
         "block_stats": q_block_stats,
         "snm_pairs": q_snm_pairs,
+        "metablocking": q_metablocking,
         "lang_id": q_lang_id,
         "text_metrics": q_text_metrics,
         "gopher_rules": q_gopher_rules,
@@ -4407,6 +4443,42 @@ def oracle_sql() -> dict[str, str]:
       select *, row_number() over (partition by key order by cnt desc, block_value) as rnk
       from u) t
     where rnk <= 3
+    """
+
+    # Meta-blocking twin: same block namespaces, purge, weights, WEP.
+    sql["metablocking"] = f"""
+    with bk as ({_bk}),
+    eb as (
+      select distinct doc_id as eid, block_key as bk from (
+        select doc_id, 'p:' || bk_prefix as block_key from bk
+        union all
+        select doc_id, 's:' || bk_source from bk
+        union all
+        select doc_id, 'l:' || bk_lang_size from bk
+      ) where block_key is not null
+    ),
+    kept as (
+      select bk, count(*) as bsize from eb group by bk
+      having count(*) >= 2 and count(*) <= 50
+    ),
+    ebk as (select eb.eid, eb.bk, kept.bsize from eb join kept using (bk)),
+    degrees as (select eid, count(*) as deg from ebk group by eid),
+    nb as (select count(*)::double as nb from kept),
+    pair_w as (
+      select a.eid as id_a, b.eid as id_b,
+             count(*) as cbs,
+             sum(2.0 / (a.bsize * (a.bsize - 1))) as arcs
+      from ebk a join ebk b on a.bk = b.bk and a.eid < b.eid
+      group by a.eid, b.eid
+    ),
+    mean_w as (select sum(cbs)::double / count(*) as mean_cbs from pair_w)
+    select p.id_a, p.id_b, p.cbs,
+           round(p.arcs, 6) as arcs,
+           round(p.cbs * ln(nb.nb / da.deg) * ln(nb.nb / db.deg), 6) as ecbs
+    from pair_w p
+    join degrees da on p.id_a = da.eid
+    join degrees db on p.id_b = db.eid, nb, mean_w
+    where p.cbs >= mean_w.mean_cbs
     """
 
     # SNM twin: definitional row_number over the total (key, id) order,
