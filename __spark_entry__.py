@@ -308,6 +308,29 @@ _DL = F.pandas_udf(
     lambda a, b: SIM.batch_edit_score(a, b, damerau=True), DoubleType()
 )
 
+_ME = F.pandas_udf(lambda a, b: SIM.batch_monge_elkan(a, b), DoubleType())
+
+
+def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monge-Elkan hybrid similarity (mean-of-best JW over token sets,
+    A -> B directional) on the first 5 text tokens of each candidate
+    pair — the standard multi-token field comparator
+    (functions/similarity.py:batch_monge_elkan, one vectorized JW call
+    per Arrow batch). Twin: DuckDB nested list lambdas over its
+    jaro_winkler_similarity."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 5).alias("toks"),
+    )
+    pairs = q_candidate_pairs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(_ME("ta", "tb"), 6).alias("me_score"))
+    )
+
 
 def q_pair_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: unrestricted Damerau-Levenshtein normalized score (the
@@ -4306,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_pairs": q_candidate_pairs,
         "pair_features": q_pair_features,
         "pair_edit": q_pair_edit,
+        "monge_elkan": q_monge_elkan,
         "edit_join": q_edit_join,
         "rule_cascade": q_rule_cascade,
         "fellegi": q_fellegi,
@@ -4525,6 +4549,22 @@ def oracle_sql() -> dict[str, str]:
       join d db on p.id_b = db.doc_id
     """
     sql["pair_features"] = f"select * from ({_feats})"
+
+    sql["monge_elkan"] = f"""
+    with pairs as ({_pairs}),
+    d as (select doc_id,
+                 (regexp_split_to_array(lower(trim(text)), '\\s+'))[1:5] as toks
+          from documents)
+    select p.id_a, p.id_b,
+           round(case when len(da.toks) = 0 or len(db.toks) = 0 then 0.0
+             else list_aggregate(list_transform(da.toks,
+                    t -> list_max(list_transform(db.toks,
+                           s -> jaro_winkler_similarity(t, s)))), 'avg')
+           end, 6) as me_score
+    from pairs p
+    join d da on p.id_a = da.doc_id
+    join d db on p.id_b = db.doc_id
+    """
 
     sql["pair_edit"] = f"""
     with pairs as ({_pairs}),

@@ -612,3 +612,53 @@ def batch_signature_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
         ya = np.asarray(y, dtype=np.int64)
         out[i] = float(np.mean(xa == ya))
     return pd.Series(out, index=a.index, dtype="float64")
+
+
+def monge_elkan(tokens_a: list, tokens_b: list) -> float:
+    """Scalar Monge-Elkan: mean over tokens of A of the best
+    Jaro-Winkler match in B (directional, A -> B). 0.0 when either
+    side is empty."""
+    if not tokens_a or not tokens_b:
+        return 0.0
+    total = 0.0
+    for ta in tokens_a:
+        total += max(jaro_winkler_similarity(ta, tb) for tb in tokens_b)
+    return total / len(tokens_a)
+
+
+def batch_monge_elkan(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Monge-Elkan over token-array columns.
+
+    Monge & Elkan 1996: ME(A, B) = mean_{t in A} max_{s in B} jw(t, s)
+    — the standard hybrid (token-level + character-level) similarity
+    for multi-token fields (names, addresses, titles) where token
+    order and count differ between true matches.
+
+    Vectorization: the batch's (row, a-token, b-token) cross products
+    flatten into TWO flat string arrays scored by the SAME vectorized
+    JW kernel as batch_jaro_winkler in one call, then segment-max over
+    b-tokens and segment-mean over a-tokens via pandas groupby. Cost is
+    O(sum |A_i| * |B_i|) — callers bound token counts (slice the
+    arrays) the same way the JW kernel caps cell products.
+    """
+    out = np.zeros(len(a), dtype=np.float64)
+    rows_r, rows_ai, flat_a, flat_b = [], [], [], []
+    for i, (ta, tb) in enumerate(zip(a, b)):
+        if ta is None or tb is None or len(ta) == 0 or len(tb) == 0:
+            continue
+        for j, t in enumerate(ta):
+            for s in tb:
+                rows_r.append(i)
+                rows_ai.append(j)
+                flat_a.append(t)
+                flat_b.append(s)
+    if not flat_a:
+        return pd.Series(out, index=a.index, dtype="float64")
+    sims = batch_jaro_winkler(
+        pd.Series(flat_a, dtype=object), pd.Series(flat_b, dtype=object)
+    ).to_numpy()
+    frame = pd.DataFrame({"r": rows_r, "ai": rows_ai, "s": sims})
+    best = frame.groupby(["r", "ai"], sort=False)["s"].max()
+    me = best.groupby(level="r", sort=False).mean()
+    out[me.index.to_numpy()] = me.to_numpy()
+    return pd.Series(out, index=a.index, dtype="float64")
