@@ -660,6 +660,27 @@ def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rand / adjusted-Rand / NMI between the chain-CC clustering and
+    the `source` labeling — contingency-table sums only
+    (operators/evaluate.py:clustering_agreement)."""
+    from aml_entity_resolution_assignment_spark.operators.evaluate import (
+        clustering_agreement,
+    )
+
+    pred = q_connected_components(spark, sf_dir)
+    truth = _docs(spark, sf_dir).select("doc_id", "source")
+    out = clustering_agreement(
+        pred, truth, id_col="doc_id", pred_col="component", true_col="source"
+    )
+    return out.select(
+        F.col("n_records").cast("long"),
+        F.round("rand_index", 6).alias("rand_index"),
+        F.round("adjusted_rand", 6).alias("adjusted_rand"),
+        F.round("nmi", 6).alias("nmi"),
+    )
+
+
 def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CC (round 4): assignments from the base chain graph
     (docs adjacent by id within a lang), then a delta batch — skip-2
@@ -4341,6 +4362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "review_credit": q_review_credit,
         "eval_prf": q_eval_prf,
         "bcubed": q_bcubed,
+        "cluster_agreement": q_cluster_agreement,
         "rep_signals": q_rep_signals,
         "decontaminate": q_decontaminate,
         "dedup_minhash": q_dedup_minhash,
@@ -5218,6 +5240,59 @@ def oracle_sql() -> dict[str, str]:
            round(sr / n, 6) as b3_recall,
            round(2 * (sp/n) * (sr/n) / ((sp/n) + (sr/n)), 6) as b3_f1
     from agg
+    """
+
+    # Rand/ARI/NMI twin over the same chain-CC contingency table
+    sql["cluster_agreement"] = """
+    with recursive edges as (
+      select a.doc_id as u, b.doc_id as v
+      from documents a join documents b
+        on b.doc_id = a.doc_id + 1 and a.lang = b.lang
+    ),
+    sym as (select u, v from edges union select v, u from edges),
+    reach(id, r) as (
+      select doc_id, doc_id from documents
+      union
+      select s.v, reach.r from reach join sym s on s.u = reach.id
+      where reach.r < s.v
+    ),
+    pred as (select id as doc_id, min(r) as p from reach group by id),
+    j as (
+      select pred.p, d.source as t
+      from pred join documents d on d.doc_id = pred.doc_id
+    ),
+    cells as (select p, t, count(*)::double as n_pt from j group by p, t),
+    cs as (select sum(n_pt*(n_pt-1)/2.0) as s_cells,
+                  sum(n_pt*ln(n_pt)) as nlogn_cells,
+                  sum(n_pt) as n from cells),
+    rs as (select sum(n_p*(n_p-1)/2.0) as s_rows,
+                  sum(n_p*ln(n_p)) as nlogn_rows
+           from (select sum(n_pt) as n_p from cells group by p)),
+    ts as (select sum(n_t*(n_t-1)/2.0) as s_cols,
+                  sum(n_t*ln(n_t)) as nlogn_cols
+           from (select sum(n_pt) as n_t from cells group by t)),
+    s as (select * from cs, rs, ts),
+    f as (
+      select n,
+             1.0 - (s_rows + s_cols - 2*s_cells) / (n*(n-1)/2.0) as ri,
+             case when abs((s_rows + s_cols)/2.0
+                           - s_rows*s_cols/(n*(n-1)/2.0)) > 1e-12
+               then (s_cells - s_rows*s_cols/(n*(n-1)/2.0))
+                    / ((s_rows + s_cols)/2.0 - s_rows*s_cols/(n*(n-1)/2.0))
+               else 1.0 end as ari,
+             ln(n) - nlogn_rows / n as h_p,
+             ln(n) - nlogn_cols / n as h_t,
+             ln(n) + (nlogn_cells - nlogn_rows - nlogn_cols) / n as mi
+      from s
+    )
+    select cast(n as bigint) as n_records,
+           round(ri, 6) as rand_index,
+           round(ari, 6) as adjusted_rand,
+           round(case when h_p > 1e-12 and h_t > 1e-12
+                   then mi / sqrt(h_p * h_t)
+                   when h_p <= 1e-12 and h_t <= 1e-12 then 1.0
+                   else 0.0 end, 6) as nmi
+    from f
     """
 
     # full recompute over base UNION delta — the incremental path must

@@ -239,3 +239,100 @@ def bcubed(
             / ((F.col("sp") / F.col("n")) + (F.col("sr") / F.col("n")))
         ).alias("b3_f1"),
     )
+
+
+def clustering_agreement(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "predicted_entity_id",
+    true_col: str = "entity_id",
+) -> DataFrame:
+    """Rand index, adjusted Rand index (Hubert & Arabie 1985), and
+    normalized mutual information between two clusterings — the
+    pair-counting and information-theoretic complements to bcubed().
+
+    Everything derives from the contingency table: one equi-join on id
+    then three groupBys (cell sizes n_pt, row sums n_p, column sums
+    n_t). With comb(x) = x*(x-1)/2:
+
+        ARI = (Σ comb(n_pt) - E) / (½(Σ comb(n_p) + Σ comb(n_t)) - E),
+              E = Σ comb(n_p) * Σ comb(n_t) / comb(N)
+        RI  = 1 - (Σ comb(n_p) + Σ comb(n_t) - 2 Σ comb(n_pt)) / comb(N)
+        NMI = I(P;T) / sqrt(H(P) * H(T))   (log base e, 0/0 -> 1 when
+              both clusterings are single-cluster trivial)
+
+    All aggregations are key-grouped sums — no cluster materialization,
+    scale-safe at 10^12 records. Returns one row:
+    (n_records, rand_index, adjusted_rand, nmi).
+    """
+    joined = (
+        predicted.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_p"))
+        .join(
+            truth.select(F.col(id_col).alias("_id"), F.col(true_col).alias("_t")),
+            "_id",
+        )
+    )
+    cells = joined.groupBy("_p", "_t").agg(F.count("*").alias("n_pt"))
+    comb = lambda c: (F.col(c) * (F.col(c) - 1) / 2.0)  # noqa: E731
+
+    cell_stats = cells.agg(
+        F.sum(comb("n_pt")).alias("s_cells"),
+        F.sum(F.col("n_pt") * F.log("n_pt")).alias("nlogn_cells"),
+        F.sum("n_pt").alias("n"),
+    )
+    row_stats = (
+        cells.groupBy("_p")
+        .agg(F.sum("n_pt").alias("n_p"))
+        .agg(
+            F.sum(comb("n_p")).alias("s_rows"),
+            F.sum(F.col("n_p") * F.log("n_p")).alias("nlogn_rows"),
+        )
+    )
+    col_stats = (
+        cells.groupBy("_t")
+        .agg(F.sum("n_pt").alias("n_t"))
+        .agg(
+            F.sum(comb("n_t")).alias("s_cols"),
+            F.sum(F.col("n_t") * F.log("n_t")).alias("nlogn_cols"),
+        )
+    )
+    s = (
+        cell_stats.crossJoin(F.broadcast(row_stats))
+        .crossJoin(F.broadcast(col_stats))
+    )
+    n = F.col("n")
+    comb_n = n * (n - 1) / 2.0
+    expected = F.col("s_rows") * F.col("s_cols") / comb_n
+    max_idx = (F.col("s_rows") + F.col("s_cols")) / 2.0
+    # entropies via the n*log(n) sums: H(P) = log N - (1/N) Σ n_p log n_p
+    h_p = F.log(n) - F.col("nlogn_rows") / n
+    h_t = F.log(n) - F.col("nlogn_cols") / n
+    # I(P;T) = (1/N) Σ n_pt log(N n_pt / (n_p n_t))
+    #        = log N + (1/N)(Σ n_pt log n_pt - Σ n_p log n_p - Σ n_t log n_t)
+    mi = (
+        F.log(n)
+        + (F.col("nlogn_cells") - F.col("nlogn_rows") - F.col("nlogn_cols")) / n
+    )
+    nmi = F.when(
+        (h_p > 1e-12) & (h_t > 1e-12), mi / F.sqrt(h_p * h_t)
+    ).otherwise(
+        # degenerate: one (or both) clustering is a single cluster —
+        # identical trivial clusterings agree perfectly
+        F.when((h_p <= 1e-12) & (h_t <= 1e-12), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    ari = F.when(
+        F.abs(max_idx - expected) > 1e-12,
+        (F.col("s_cells") - expected) / (max_idx - expected),
+    ).otherwise(F.lit(1.0))
+    ri = F.when(
+        comb_n > 0,
+        1.0
+        - (F.col("s_rows") + F.col("s_cols") - 2 * F.col("s_cells")) / comb_n,
+    ).otherwise(F.lit(1.0))
+    return s.select(
+        n.cast("long").alias("n_records"),
+        ri.alias("rand_index"),
+        ari.alias("adjusted_rand"),
+        nmi.alias("nmi"),
+    )
