@@ -413,6 +413,32 @@ def q_fellegi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fellegi_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency-adjusted F-S weights (the Splink refinement) on
+    the g_source agreement field: agreeing on a COMMON source value is
+    weaker evidence, so the agreement weight shifts by
+    log2(u_global / u_value) — operators/fellegi.py:tf_adjusted_weights."""
+    flagged = _fs_flagged(spark, sf_dir)
+    scored = FS.fellegi_sunter(flagged, _FS_FIELDS, iters=_FS_ITERS)
+    _lam, _m, u = FS.fit_params(flagged, _FS_FIELDS, iters=_FS_ITERS)
+    recs = _docs(spark, sf_dir).select("doc_id", "source")
+    out = FS.tf_adjusted_weights(
+        scored,
+        recs,
+        id_col="doc_id",
+        value_col="source",
+        g_col="g_source",
+        u_global=u[_FS_FIELDS.index("g_source")],
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "g_source",
+        F.round("tf_adj", 6).alias("tf_adj"),
+        F.round("match_weight_tf", 6).alias("match_weight_tf"),
+    )
+
+
 def q_pairs_from_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: all intra-cluster pairs for a labeling (label = source)."""
     d = _docs(spark, sf_dir).select(F.col("doc_id"), F.col("source"))
@@ -4354,6 +4380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_join": q_edit_join,
         "rule_cascade": q_rule_cascade,
         "fellegi": q_fellegi,
+        "fellegi_tf": q_fellegi_tf,
         "ml_prob": q_ml_prob,
         "connected_components": q_connected_components,
         "cc_incremental": q_cc_incremental,
@@ -4696,6 +4723,45 @@ def oracle_sql() -> dict[str, str]:
            round(s.posterior, 6) as posterior
     from fglobal f
     join fs_scores s using (g_prefix, g_lang, g_source, g_hash)
+    """
+
+    # TF-adjusted F-S twin: same unrolled EM, then the value-frequency
+    # shift log2(u_global / u_v) on agreeing pairs (u_global = the
+    # fitted u for g_source, i.e. par10.u2 in field order).
+    _gsrc_idx = _FS_FIELDS.index("g_source")
+    sql["fellegi_tf"] = f"""
+    with f0 as ({_feats}),
+    fglobal as (
+      select id_a, id_b,
+             (prefix_score >= 0.6)::int as g_prefix,
+             lang_match::int as g_lang,
+             source_match::int as g_source,
+             ((id_a * 31 + id_b) % 100 >= 50)::int as g_hash
+      from f0
+    ),
+    {_fs_cte},
+    freq as (select source, count(*)::double as vcnt
+             from documents group by source),
+    tot as (select count(*)::double as vtot from documents),
+    share as (select source, vcnt / vtot as u_v from freq, tot),
+    vals as (select doc_id, source from documents),
+    scored as (
+      select f.id_a, f.id_b, f.g_source, s.match_weight
+      from fglobal f
+      join fs_scores s using (g_prefix, g_lang, g_source, g_hash)
+    )
+    select sc.id_a, sc.id_b, sc.g_source,
+           round(case when sc.g_source = 1
+             then log2(par{_FS_ITERS}.u{_gsrc_idx}
+                       / coalesce(sh.u_v, 1e-9))
+             else 0.0 end, 6) as tf_adj,
+           round(sc.match_weight + case when sc.g_source = 1
+             then log2(par{_FS_ITERS}.u{_gsrc_idx}
+                       / coalesce(sh.u_v, 1e-9))
+             else 0.0 end, 6) as match_weight_tf
+    from scored sc
+    join vals va on sc.id_a = va.doc_id
+    left join share sh on va.source = sh.source, par{_FS_ITERS}
     """
 
     # A1-A4 twin: candidate lookup (shared-key count cap) -> features ->

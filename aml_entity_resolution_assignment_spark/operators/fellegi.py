@@ -104,6 +104,19 @@ def fs_em(
     return lam, m, u
 
 
+def fit_params(
+    pairs: DataFrame,
+    fields: Sequence[str],
+    iters: int = 10,
+    init: dict | None = None,
+) -> tuple[float, list[float], list[float]]:
+    """Run the one distributed pattern-count pass + driver EM and
+    return the fitted (lambda, m, u)."""
+    rows = pattern_counts(pairs, fields).collect()
+    pats = [(tuple(int(r[f]) for f in fields), int(r["n"])) for r in rows]
+    return fs_em(pats, len(fields), iters=iters, init=init)
+
+
 def fellegi_sunter(
     pairs: DataFrame,
     fields: Sequence[str],
@@ -246,3 +259,57 @@ def fs_oracle_cte(
         f"as posterior from pats, {p})"
     )
     return ",\n".join(parts)
+
+
+def tf_adjusted_weights(
+    scored: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    value_col: str,
+    g_col: str,
+    u_global: float,
+    min_u: float = 1e-9,
+) -> DataFrame:
+    """Term-frequency adjustment for an exact-agreement field (the
+    Splink refinement of F-S): the fitted u is an AVERAGE collision
+    probability, but agreeing on a common value ('gmail.com') is far
+    weaker evidence than agreeing on a rare one. For the value v the
+    pair agrees on, the value-specific collision probability is v's
+    share of records, so the agreement weight shifts by
+
+        tf_adj = log2(u_global / u_v),   u_v = freq(v) / N
+
+    (positive for rare values, negative for stop-value collisions);
+    disagreeing pairs are untouched.
+
+    Plan: one groupBy(value) frequency table + scalar total (broadcast
+    crossJoin), one hydration join of the pair's side-a value (equal to
+    side-b whenever the flag is 1, so one side suffices), one equi-join
+    on value. All shuffle keys are the value or the pair id — no new
+    skew beyond the value distribution itself, which is exactly what
+    the adjustment measures.
+
+    Adds: tf_adj, match_weight_tf = match_weight + tf_adj.
+    """
+    freq = records.groupBy(value_col).agg(F.count("*").alias("_vcnt"))
+    tot = records.agg(F.count("*").alias("_vtot"))
+    share = (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(value_col).alias("_val_a"),
+            (F.col("_vcnt") / F.col("_vtot")).alias("_u_v"),
+        )
+    )
+    a_val = records.select(
+        F.col(id_col).alias("id_a"), F.col(value_col).alias("_val_a")
+    )
+    out = scored.join(a_val, "id_a").join(share, "_val_a", "left")
+    adj = F.when(
+        F.col(g_col) == 1,
+        F.log2(F.lit(u_global) / F.coalesce(F.col("_u_v"), F.lit(min_u))),
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("tf_adj", adj)
+        .withColumn("match_weight_tf", F.col("match_weight") + F.col("tf_adj"))
+        .drop("_val_a", "_u_v")
+    )

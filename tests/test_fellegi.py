@@ -133,3 +133,43 @@ def test_oracle_cte_matches_python_em(spark):
                 pu *= 1 - u[j]
         assert row[3] == pytest.approx(w, abs=1e-9)
         assert row[4] == pytest.approx(pm / (pm + pu), abs=1e-9)
+
+
+def test_tf_adjustment(spark):
+    """Rare-value agreements gain weight, common-value agreements lose
+    it, disagreements are untouched; tf_adj = log2(u_global / u_v)."""
+    import math as _math
+
+    recs = spark.createDataFrame(
+        [(i, "common" if i < 90 else "rare") for i in range(100)],
+        "id long, v string",
+    )
+    scored = spark.createDataFrame(
+        [(1, 2, 1, 5.0), (95, 96, 1, 5.0), (1, 95, 0, -3.0)],
+        "id_a long, id_b long, g int, match_weight double",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in FS.tf_adjusted_weights(
+            scored, recs, id_col="id", value_col="v", g_col="g",
+            u_global=0.5,
+        ).collect()
+    }
+    assert out[(1, 2)]["tf_adj"] == pytest.approx(_math.log2(0.5 / 0.9))
+    assert out[(95, 96)]["tf_adj"] == pytest.approx(_math.log2(0.5 / 0.1))
+    assert out[(1, 95)]["tf_adj"] == 0.0
+    assert out[(95, 96)]["match_weight_tf"] == pytest.approx(
+        5.0 + _math.log2(5.0)
+    )
+    # rare agreement must now outweigh common agreement
+    assert out[(95, 96)]["match_weight_tf"] > out[(1, 2)]["match_weight_tf"]
+
+
+def test_fit_params_matches_inline_em(spark):
+    df = _synth_pairs(spark, n=3000)
+    direct = FS.fit_params(df, FIELDS, iters=10)
+    pats = [
+        (tuple(int(r[f]) for f in FIELDS), int(r["n"]))
+        for r in FS.pattern_counts(df, FIELDS).collect()
+    ]
+    assert direct == FS.fs_em(pats, len(FIELDS), iters=10)
