@@ -120,6 +120,13 @@ BENCH_QUERIES = [
     "mp4_meta",  # box-tree metadata: moov-only reads, mdat untouched
     "id3_meta",  # ID3v1/v2 tag fields, all text encodings
     "mp3_stats",  # frame-header walk: duration/bitrate with zero decode
+    # round-5 second wave: classical ER additions
+    "fellegi",  # F-S EM linkage: one pattern groupBy + broadcast score join
+    "fellegi_tf",  # Splink-style term-frequency weight adjustment
+    "snm_pairs",  # sorted-neighborhood: two-phase rank + offset equi-join
+    "metablocking",  # CBS/ARCS/ECBS pair weighting + WEP prune
+    "monge_elkan",  # token-set mean-best-JW, one vectorized kernel call
+    "cluster_agreement",  # Rand/ARI/NMI from contingency sums
 ]
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "8000"))
 # scaling evidence needs a compute-dominated run: big enough that the

@@ -343,6 +343,37 @@ SECTIONS = [
         "(length, segment index, segment text); JVM levenshtein "
         "verify. No cartesian, no nested-loop, no UDF.",
     ),
+    (
+        "fellegi",
+        "Fellegi-Sunter EM: ONE hash aggregate collapses all pairs to "
+        "<=2^k agreement patterns (map-side combine); fitted weights "
+        "return via a BroadcastHashJoin on the pattern key — the pair "
+        "table shuffles exactly once.",
+    ),
+    (
+        "snm_pairs",
+        "Sorted-neighborhood: RangePartitioning + per-partition "
+        "row_number (partitionBy _pid — NO Exchange SinglePartition), "
+        "offset explode, one balanced equi-join on unique ranks.",
+    ),
+    (
+        "metablocking",
+        "Meta-blocking: purge-capped per-block self-join, one pair "
+        "groupBy for CBS/ARCS, degree equi-joins (AQE may broadcast at "
+        "this scale), 1-row broadcast mean for the WEP cut.",
+    ),
+    (
+        "monge_elkan",
+        "Monge-Elkan: hydration joins then ONE ArrowEvalPython "
+        "projection (the vectorized JW kernel over flattened token "
+        "products) — no BatchEvalPython, no per-row Python.",
+    ),
+    (
+        "cluster_agreement",
+        "Rand/ARI/NMI: contingency cells -> three key-grouped "
+        "aggregates -> 1-row broadcast combine; no cluster "
+        "materialization anywhere.",
+    ),
 ]
 
 
@@ -383,7 +414,15 @@ def main() -> None:
         # trigram_lm joins a BROADCAST 1-row totals scalar (N, V) and
         # skew_report cross-joins its BROADCAST 1-row stats summary —
         # BroadcastNestedLoopJoins over one row, not plan smells
-        if name not in ("ann_rank", "trigram_lm", "skew_report"):
+        # metablocking and cluster_agreement cross-join BROADCAST 1-row
+        # scalar aggregates (mean / total counts) — same one-row shape
+        if name not in (
+            "ann_rank",
+            "trigram_lm",
+            "skew_report",
+            "metablocking",
+            "cluster_agreement",
+        ):
             bad = [
                 m for m in ("BroadcastNestedLoopJoin", "CartesianProduct")
                 if m in plan
