@@ -219,3 +219,93 @@ def classify(features: DataFrame, thresholds: RuleThresholds | None = None) -> D
 def classification_counts(classified: DataFrame) -> DataFrame:
     """C12 status counts (matching.py:565-568) -> metrics."""
     return classified.groupBy("match_type").agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Unsupervised alternative: Fellegi-Sunter EM over binarized features
+# ---------------------------------------------------------------------------
+
+# Grouped agreement signals for the F-S gamma. The binary-independence
+# model requires (approximately) conditionally independent comparisons,
+# and the raw feature set violates that in two correlated families —
+# host_score/url_score/host_match all say "same site" and
+# jaccard/minhash/simhash all say "same body text". The standard F-S
+# practice is to COLLAPSE each correlated family into one comparison
+# (any strong signal fires the group); EM then learns the worth of the
+# four roughly independent signals: site, body, title, language.
+# Thresholds sit at the cascade's own strong-evidence levels.
+FS_SIGNALS = {
+    "g_site": (
+        ("host_score", 0.90),
+        ("url_score", 0.90),
+        ("host_match", 1.0),
+    ),
+    "g_body": (
+        ("jaccard_score", 0.50),
+        ("minhash_sim", 0.60),
+        ("simhash_sim", 0.90),
+    ),
+    "g_title": (("title_score", 0.85),),
+    "g_lang": (("lang_match", 1.0),),
+}
+
+
+def _fs_binarize(df: DataFrame) -> tuple[DataFrame, list]:
+    gcols = []
+    for g, members in FS_SIGNALS.items():
+        have = [(c, t) for c, t in members if c in df.columns]
+        if not have:
+            continue
+        cond = None
+        for c, t in have:
+            this = F.col(c) >= F.lit(t)
+            cond = this if cond is None else (cond | this)
+        df = df.withColumn(g, cond.cast("int"))
+        gcols.append(g)
+    return df, gcols
+
+
+def classify_fs(
+    features: DataFrame,
+    iters: int = 30,
+    match_posterior: float = 0.85,
+    review_posterior: float = 0.4,
+) -> DataFrame:
+    """Unsupervised F-S classifier: collapse the feature columns into
+    the grouped agreement vector (FS_SIGNALS), fit m/u/lambda by EM
+    (operators/fellegi.py — one groupBy + driver EM + broadcast score
+    join), and cut on the fitted posterior. Output schema matches
+    classify(): match_type / confidence_score / is_match, so the
+    clustering and evaluation stages compose unchanged.
+
+    EM runs FREE (both classes fitted on the candidate pairs): the
+    grouped gamma keeps the two latent classes aligned with true
+    match/non-match — with the raw correlated fields instead, the
+    triple site-disagreement of legitimate cross-host matches outvotes
+    their body agreement and free EM locks onto the wrong modes (and
+    anchoring u to random-pair estimates overshoots the other way:
+    EVERY blocked candidate is unlike a random pair, so lambda -> 1;
+    see fellegi.fs_em(fix_u=...) for when that anchor is the right
+    tool — match-poor, loosely blocked pair pools).
+
+    No labels, no hand-tuned rule weights: the only domain inputs are
+    WHICH comparisons exist and where "agreement" starts. The e2e test
+    pins pairwise F1 >= 0.99 on the synthetic corpus — the same gate
+    the rule cascade passes (north_rule metric).
+    """
+    from .fellegi import fellegi_sunter
+
+    df, gcols = _fs_binarize(features)
+    if not gcols:
+        raise ValueError("no known feature columns to binarize")
+
+    scored = fellegi_sunter(df, gcols, iters=iters)
+    out = scored.withColumn(
+        "match_type",
+        F.when(F.col("posterior") >= match_posterior, F.lit("match"))
+        .when(F.col("posterior") >= review_posterior, F.lit("review"))
+        .otherwise(F.lit("no_match")),
+    ).withColumn("confidence_score", F.col("posterior"))
+    return out.withColumn(
+        "is_match", (F.col("match_type") == "match").cast("int")
+    ).drop(*gcols)

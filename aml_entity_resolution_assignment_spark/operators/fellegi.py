@@ -64,16 +64,25 @@ def fs_em(
     k: int,
     iters: int = 10,
     init: dict | None = None,
+    fix_u: list[float] | None = None,
 ) -> tuple[float, list[float], list[float]]:
     """Closed-form EM over pattern counts (driver-side, <= 2^k rows).
 
     patterns: [(gamma_tuple, count), ...].  Returns (lambda, m[k], u[k])
     after `iters` iterations, each M-step rounded to PARAM_DECIMALS.
+
+    fix_u: hold the u-probabilities at these externally estimated
+    values and update only (lambda, m). This is the standard guard
+    (Splink's fix-u EM) against the match-rich-candidates degeneracy:
+    blocked candidate sets are mostly matches, so free EM can lock the
+    "non-match" class onto the partial-agreement MATCH modes; u
+    estimated from random record pairs (almost all true non-matches)
+    keeps the classes anchored.
     """
     ini = init or DEFAULT_INIT
     lam = float(ini["lam"])
     m = [float(ini["m"])] * k
-    u = [float(ini["u"])] * k
+    u = list(fix_u) if fix_u is not None else [float(ini["u"])] * k
     # clamp guards: keep probabilities in (eps, 1-eps) so log-weights
     # stay finite when a field agrees on every pair (degenerate data)
     eps = 1e-9
@@ -98,9 +107,11 @@ def fs_em(
         lam = round(min(max(sw / sn, eps), 1 - eps), PARAM_DECIMALS)
         for j in range(k):
             m[j] = round(min(max(swg[j] / sw, eps), 1 - eps), PARAM_DECIMALS)
-            u[j] = round(
-                min(max(svg[j] / (sn - sw), eps), 1 - eps), PARAM_DECIMALS
-            )
+            if fix_u is None:
+                u[j] = round(
+                    min(max(svg[j] / (sn - sw), eps), 1 - eps),
+                    PARAM_DECIMALS,
+                )
     return lam, m, u
 
 
@@ -122,13 +133,15 @@ def fellegi_sunter(
     fields: Sequence[str],
     iters: int = 10,
     init: dict | None = None,
+    fix_u: list[float] | None = None,
 ) -> DataFrame:
     """Fit F-S by EM and score every pair.
 
     Adds `match_weight` (sum over fields of log2(m/u) when the field
     agrees, log2((1-m)/(1-u)) when it disagrees) and `posterior`
     (P(M | gamma) under the fitted model).  One groupBy + one broadcast
-    join; see module docstring for the scale argument.
+    join; see module docstring for the scale argument.  fix_u: see
+    fs_em.
     """
     k = len(fields)
     pat_df = pattern_counts(pairs, fields)
@@ -136,7 +149,7 @@ def fellegi_sunter(
     pats = [
         (tuple(int(r[f]) for f in fields), int(r["n"])) for r in rows
     ]
-    lam, m, u = fs_em(pats, k, iters=iters, init=init)
+    lam, m, u = fs_em(pats, k, iters=iters, init=init, fix_u=fix_u)
 
     # score each observed pattern once, broadcast-join back by pattern
     scored = []
@@ -313,3 +326,46 @@ def tf_adjusted_weights(
         .withColumn("match_weight_tf", F.col("match_weight") + F.col("tf_adj"))
         .drop("_val_a", "_u_v")
     )
+
+
+def pseudo_random_pairs(records: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic pseudo-random disjoint record pairs for
+    u-estimation: rank records by xxhash64(id) (a fixed, seedless
+    scramble of any id ordering) and pair rank r with rank r + N//2.
+    At web scale the same-entity hit rate of such pairs is ~cluster
+    size / N — statistically negligible, exactly the Splink
+    random-sampling assumption. Output: floor(N/2) (id_a, id_b) rows.
+
+    Uses the distributed two-phase global rank (no single-reducer
+    window); one extra equi-join pairs the halves.
+    """
+    from .blocking import _global_rank
+
+    base = records.select(
+        F.col(id_col).alias("_pri"),
+        F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+    )
+    ranked = _global_rank(base, ["_h", "_pri"])
+    n = ranked.count()
+    half = n // 2
+    a = ranked.where(F.col("rank") <= half).select(
+        F.col("_pri").alias("id_a"), F.col("rank").alias("_r")
+    )
+    b = ranked.where(
+        (F.col("rank") > half) & (F.col("rank") <= 2 * half)
+    ).select(F.col("_pri").alias("id_b"), (F.col("rank") - half).alias("_r"))
+    return a.join(b, "_r").drop("_r")
+
+
+def estimate_u_from_flags(flagged: DataFrame, fields: Sequence[str]) -> list[float]:
+    """u_k = P(field k agrees | random pair) — the per-field mean of
+    the 0/1 flags over (pseudo-)random pairs, clamped away from {0,1}
+    and rounded like every other EM parameter."""
+    row = flagged.agg(
+        *[F.avg(F.col(f).cast("double")).alias(f) for f in fields]
+    ).collect()[0]
+    eps = 1e-6
+    return [
+        round(min(max(float(row[f] or 0.0), eps), 1 - eps), PARAM_DECIMALS)
+        for f in fields
+    ]

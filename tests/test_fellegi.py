@@ -173,3 +173,42 @@ def test_fit_params_matches_inline_em(spark):
         for r in FS.pattern_counts(df, FIELDS).collect()
     ]
     assert direct == FS.fs_em(pats, len(FIELDS), iters=10)
+
+
+def test_pseudo_random_pairs_disjoint_and_deterministic(spark):
+    from aml_entity_resolution_assignment_spark.operators.candidates import (
+        release_persisted,
+    )
+
+    recs = spark.createDataFrame([(f"u{i}",) for i in range(101)], "url string")
+    try:
+        p1 = sorted(map(tuple, FS.pseudo_random_pairs(recs, "url").collect()))
+        p2 = sorted(
+            map(tuple, FS.pseudo_random_pairs(recs.repartition(7), "url").collect())
+        )
+    finally:
+        release_persisted()
+    assert p1 == p2  # deterministic + partitioning-invariant
+    assert len(p1) == 50  # floor(N/2) pairs
+    used = [x for ab in p1 for x in ab]
+    assert len(used) == len(set(used))  # disjoint
+
+
+def test_estimate_u_and_fix_u_em(spark):
+    flagged = spark.createDataFrame(
+        [(1, 0, 1), (0, 0, 1), (0, 0, 1), (1, 0, 1)], "g1 int, g2 int, g3 int"
+    )
+    u = FS.estimate_u_from_flags(flagged, ["g1", "g2", "g3"])
+    assert u[0] == pytest.approx(0.5)
+    assert u[1] == pytest.approx(1e-6)  # clamped away from 0
+    assert u[2] == pytest.approx(1 - 1e-6)  # clamped away from 1
+    # fix_u holds u across EM while m/lambda still move
+    df = _synth_pairs(spark, n=3000)
+    pats = [
+        (tuple(int(r[f]) for f in FIELDS), int(r["n"]))
+        for r in FS.pattern_counts(df, FIELDS).collect()
+    ]
+    fixed = [0.1, 0.2, 0.05]
+    lam, m, u2 = FS.fs_em(pats, 3, iters=20, fix_u=fixed)
+    assert u2 == fixed
+    assert abs(lam - 0.2) < 0.1
