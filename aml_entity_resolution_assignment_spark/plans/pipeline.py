@@ -37,6 +37,10 @@ class PipelineConfig:
     # the title's first two tokens joins the exact-key set end-to-end
     # (keyed stage column + candidate self-join key + key coverage)
     soundex_title_key: bool = False
+    # 'cascade' (reference rule cascade, default) or 'fs' (unsupervised
+    # Fellegi-Sunter EM over grouped agreement signals —
+    # classify.classify_fs; same output schema, no labels/thresholds)
+    classifier: str = "cascade"
     resume: bool = True
     pair_partitions: int | None = None
     extra: dict = field(default_factory=dict)
@@ -59,6 +63,7 @@ class PipelineConfig:
                 "salt_cap": self.salt_cap,
                 "drop_cap": self.drop_cap,
                 "soundex_title_key": self.soundex_title_key,
+                "classifier": self.classifier,
                 "thresholds": None
                 if self.thresholds is None
                 else sorted(vars(self.thresholds).items()),
@@ -217,6 +222,13 @@ def run_pipeline(
     )
 
     def _classify() -> DataFrame:
+        if cfg.classifier == "fs":
+            return classify.classify_fs(feats)
+        if cfg.classifier != "cascade":
+            raise ValueError(
+                f"unknown classifier {cfg.classifier!r} "
+                "(expected 'cascade' or 'fs')"
+            )
         scored = feats
         if cfg.model_path:
             from ..ml.model import score_with_model

@@ -70,3 +70,28 @@ def test_posterior_is_confidence(fs_classified):
         (F.col("match_type") == "match") & (F.col("confidence_score") < 0.85)
     ).count()
     assert bad == 0
+
+
+def test_pipeline_config_fs_classifier(spark, tmp_path):
+    """classifier='fs' wires classify_fs through run_pipeline end to
+    end (checkpointed stages, clustering, metrics) and still passes
+    the F1 gate; the config hash must differ from the cascade's."""
+    from aml_entity_resolution_assignment_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    gen = generate_pages(spark, n_entities=120, seed=7).cache()
+    pages = gen.drop("entity_id")
+    truth = gen.select("url", "entity_id")
+    cfg = PipelineConfig(work_dir=str(tmp_path), classifier="fs")
+    assert cfg.fingerprint() != PipelineConfig(
+        work_dir=str(tmp_path)
+    ).fingerprint()
+    out = run_pipeline(spark, pages, cfg, input_fingerprint="fs:120:7")
+    m = evaluate_labeled_pairs(out["classified"], truth)
+    assert m.f1 >= 0.99, m
+    assert out["entity_map"].count() == gen.count()
+    with pytest.raises(ValueError, match="unknown classifier"):
+        bad = PipelineConfig(work_dir=str(tmp_path), classifier="nope")
+        run_pipeline(spark, pages, bad, input_fingerprint="x:120:7")
