@@ -194,6 +194,24 @@ def q_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs completeness / pairs quality / reduction ratio of the
+    candidate blocking vs the source labeling
+    (operators/evaluate.py:blocking_quality — Christen's trio)."""
+    cand = q_candidate_pairs(spark, sf_dir)
+    true = q_pairs_from_clusters(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    out = E.blocking_quality(cand, true, n)
+    return out.select(
+        "n_candidates",
+        "n_true",
+        "n_overlap",
+        F.round("pairs_completeness", 6).alias("pairs_completeness"),
+        F.round("pairs_quality", 6).alias("pairs_quality"),
+        F.round("reduction_ratio", 6).alias("reduction_ratio"),
+    )
+
+
 def q_metablocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-blocking (Papadakis): weight every candidate pair by the
     blocks it co-occurs in (CBS/ARCS/ECBS) and WEP-prune below the
@@ -4286,6 +4304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_stats": q_block_stats,
         "snm_pairs": q_snm_pairs,
         "metablocking": q_metablocking,
+        "blocking_quality": q_blocking_quality,
         "lang_id": q_lang_id,
         "text_metrics": q_text_metrics,
         "gopher_rules": q_gopher_rules,
@@ -4581,6 +4600,32 @@ def oracle_sql() -> dict[str, str]:
       where a.bk_lang_size is not null and a.doc_id < b.doc_id
     """
     sql["candidate_pairs"] = f"select * from ({_pairs})"
+
+    # Blocking-quality twin: candidate pairs vs same-source truth pairs
+    sql["blocking_quality"] = f"""
+    with cand as ({_pairs}),
+    truth as (
+      select a.doc_id as id_a, b.doc_id as id_b
+      from documents a join documents b
+        on a.source = b.source and a.doc_id < b.doc_id
+    ),
+    s as (
+      select (select count(*) from cand) as n_candidates,
+             (select count(*) from truth) as n_true,
+             (select count(*) from cand
+               where exists (select 1 from truth t
+                             where t.id_a = cand.id_a
+                               and t.id_b = cand.id_b)) as n_overlap,
+             (select count(*) from documents) as n
+    )
+    select n_candidates, n_true, n_overlap,
+           round(n_overlap / n_true::double, 6) as pairs_completeness,
+           round(n_overlap / n_candidates::double, 6) as pairs_quality,
+           round(1.0 - n_candidates / (n * (n - 1) / 2.0), 6)
+             as reduction_ratio
+    from s
+    """
+
 
     _feats = f"""
       with pairs as ({_pairs}),

@@ -336,3 +336,42 @@ def clustering_agreement(
         ari.alias("adjusted_rand"),
         nmi.alias("nmi"),
     )
+
+
+def blocking_quality(
+    candidate_pairs: DataFrame,
+    true_pairs: DataFrame,
+    n_records: int,
+) -> DataFrame:
+    """The standard blocking-evaluation trio (Christen 2012) given
+    ground truth:
+
+      pairs_completeness = |cand ∩ true| / |true|   (blocking recall —
+          matches the blocking scheme still has a chance to find)
+      pairs_quality      = |cand ∩ true| / |cand|   (match density of
+          the candidate set the scorer must pay for)
+      reduction_ratio    = 1 - |cand| / C(n,2)      (how much of the
+          quadratic space blocking eliminated)
+
+    Complements blocking_health (E7: sizes only, no truth). Both pair
+    inputs are (id_a, id_b) with the same canonical ordering; counts
+    come from one semi-join + two counts — no materialized cross
+    space. Returns one row."""
+    n_cand = candidate_pairs.count()
+    n_true = true_pairs.count()
+    tp = candidate_pairs.join(true_pairs, ["id_a", "id_b"], "left_semi").count()
+    total = n_records * (n_records - 1) / 2.0
+    spark = candidate_pairs.sparkSession
+    return spark.createDataFrame(
+        [(
+            int(n_cand),
+            int(n_true),
+            int(tp),
+            (tp / n_true) if n_true else 0.0,
+            (tp / n_cand) if n_cand else 0.0,
+            (1.0 - n_cand / total) if total else 0.0,
+        )],
+        "n_candidates long, n_true long, n_overlap long, "
+        "pairs_completeness double, pairs_quality double, "
+        "reduction_ratio double",
+    )

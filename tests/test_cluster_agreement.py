@@ -96,3 +96,34 @@ def test_single_cluster_degenerate(spark):
     r = _run(spark, [("a", "x"), ("a", "y"), ("a", "x")])
     assert r["nmi"] == pytest.approx(0.0)
     assert r["adjusted_rand"] == pytest.approx(0.0)
+
+
+def test_blocking_quality_hand_computed(spark):
+    from aml_entity_resolution_assignment_spark.operators.evaluate import (
+        blocking_quality,
+    )
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    true = spark.createDataFrame(
+        [(1, 2), (4, 5), (6, 7), (8, 9)], "id_a long, id_b long"
+    )
+    r = blocking_quality(cand, true, n_records=10).collect()[0]
+    assert r["n_candidates"] == 3 and r["n_true"] == 4 and r["n_overlap"] == 2
+    assert r["pairs_completeness"] == 0.5  # 2/4
+    assert r["pairs_quality"] == pytest.approx(2 / 3)
+    assert r["reduction_ratio"] == pytest.approx(1 - 3 / 45)
+
+
+def test_blocking_quality_empty_candidates(spark):
+    from aml_entity_resolution_assignment_spark.operators.evaluate import (
+        blocking_quality,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    true = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = blocking_quality(empty, true, n_records=5).collect()[0]
+    assert r["pairs_completeness"] == 0.0
+    assert r["pairs_quality"] == 0.0
+    assert r["reduction_ratio"] == 1.0
