@@ -725,6 +725,41 @@ def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over the chain-CC clusters: mode
+    (most frequent, ties -> greatest) for lang/source, longest text,
+    max n_chars — one melt chain for all mode fields
+    (operators/golden.py)."""
+    from aml_entity_resolution_assignment_spark.operators.golden import (
+        golden_record,
+    )
+
+    pred = q_connected_components(spark, sf_dir)
+    recs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = golden_record(
+        recs,
+        pred,
+        rules={
+            "lang": "mode",
+            "source": "mode",
+            "text": "longest",
+            "n_chars": "max",
+        },
+        id_col="doc_id",
+        entity_col="component",
+    )
+    return out.select(
+        F.col("component").cast("long"),
+        F.col("n_members").cast("long"),
+        "lang",
+        "source",
+        F.substring("text", 1, 40).alias("text_prefix"),
+        F.col("n_chars").cast("long"),
+    )
+
+
 def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CC (round 4): assignments from the base chain graph
     (docs adjacent by id within a lang), then a delta batch — skip-2
@@ -4409,6 +4444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_prf": q_eval_prf,
         "bcubed": q_bcubed,
         "cluster_agreement": q_cluster_agreement,
+        "golden_record": q_golden_record,
         "rep_signals": q_rep_signals,
         "decontaminate": q_decontaminate,
         "dedup_minhash": q_dedup_minhash,
@@ -5351,6 +5387,57 @@ def oracle_sql() -> dict[str, str]:
            round(sr / n, 6) as b3_recall,
            round(2 * (sp/n) * (sr/n) / ((sp/n) + (sr/n)), 6) as b3_f1
     from agg
+    """
+
+    # Golden-record twin: same chain CC, then per-field survivorship
+    # (mode = count desc, value desc; longest = length desc, text desc)
+    sql["golden_record"] = """
+    with recursive edges as (
+      select a.doc_id as u, b.doc_id as v
+      from documents a join documents b
+        on b.doc_id = a.doc_id + 1 and a.lang = b.lang
+    ),
+    sym as (select u, v from edges union select v, u from edges),
+    reach(id, r) as (
+      select doc_id, doc_id from documents
+      union
+      select s.v, reach.r from reach join sym s on s.u = reach.id
+      where reach.r < s.v
+    ),
+    pred as (select id as doc_id, min(r) as p from reach group by id),
+    j as (
+      select pred.p, d.text, d.lang, d.source, d.n_chars
+      from pred join documents d using (doc_id)
+    ),
+    base as (select p, count(*) as n_members from j group by p),
+    lang_pick as (
+      select p, lang from (
+        select p, lang, row_number() over (
+          partition by p order by count(*) desc, lang desc) as rn
+        from j where lang is not null group by p, lang) where rn = 1
+    ),
+    source_pick as (
+      select p, source from (
+        select p, source, row_number() over (
+          partition by p order by count(*) desc, source desc) as rn
+        from j where source is not null group by p, source) where rn = 1
+    ),
+    text_pick as (
+      select p, text from (
+        select p, text, row_number() over (
+          partition by p order by length(text) desc, text desc) as rn
+        from j where text is not null) where rn = 1
+    ),
+    chars_pick as (select p, max(n_chars) as n_chars from j group by p)
+    select base.p as component, base.n_members,
+           lang_pick.lang, source_pick.source,
+           substr(text_pick.text, 1, 40) as text_prefix,
+           chars_pick.n_chars
+    from base
+    left join lang_pick using (p)
+    left join source_pick using (p)
+    left join text_pick using (p)
+    left join chars_pick using (p)
     """
 
     # Rand/ARI/NMI twin over the same chain-CC contingency table
