@@ -398,8 +398,23 @@ _FS_ITERS = 10
 
 def _fs_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary agreement vector over the deterministic pair features
-    (the gamma of the Fellegi-Sunter model)."""
+    (the gamma of the Fellegi-Sunter model). Persisted (released by
+    the harness via candidates.release_persisted) because the F-S
+    queries traverse it 2-3x: pattern-count collect, scoring join,
+    and the TF variant's u fit — without the persist each traversal
+    re-derives the candidate self-joins."""
+    from aml_entity_resolution_assignment_spark.operators.candidates import (
+        _PERSISTED,
+    )
+
     feats = q_pair_features(spark, sf_dir)
+    flagged = _flag_select(feats)
+    flagged = flagged.persist()
+    _PERSISTED.append(flagged)
+    return flagged
+
+
+def _flag_select(feats: DataFrame) -> DataFrame:
     return feats.select(
         "id_a",
         "id_b",
