@@ -329,6 +329,32 @@ _DL = F.pandas_udf(
 _ME = F.pandas_udf(lambda a, b: SIM.batch_monge_elkan(a, b), DoubleType())
 
 
+def q_pprl_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving linkage: CLK Bloom encodings (Schnell;
+    md5-low64 double hashing, m=256, k=4 over padded bigrams of the
+    24-char text prefix) compared by pure-JVM Dice — functions/pprl.py.
+    The oracle recomputes every Bloom position with md5_number_lower
+    and intersects position sets."""
+    from aml_entity_resolution_assignment_spark.functions import pprl as PP
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring(F.lower(F.trim("text")), 1, 24).alias("v")
+    )
+    enc = d.select("doc_id", PP.clk_encode(F.col("v")).alias("clk"))
+    pairs = q_candidate_pairs(spark, sf_dir)
+    a = enc.select(F.col("doc_id").alias("id_a"), F.col("clk").alias("ca"))
+    b = enc.select(F.col("doc_id").alias("id_b"), F.col("clk").alias("cb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(PP.dice(F.col("ca"), F.col("cb")), 6).alias("dice"),
+        )
+    )
+
+
 def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monge-Elkan hybrid similarity (mean-of-best JW over token sets,
     A -> B directional) on the first 5 text tokens of each candidate
@@ -4446,6 +4472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_features": q_pair_features,
         "pair_edit": q_pair_edit,
         "monge_elkan": q_monge_elkan,
+        "pprl_dice": q_pprl_dice,
         "edit_join": q_edit_join,
         "rule_cascade": q_rule_cascade,
         "fellegi": q_fellegi,
@@ -4694,6 +4721,39 @@ def oracle_sql() -> dict[str, str]:
       join d db on p.id_b = db.doc_id
     """
     sql["pair_features"] = f"select * from ({_feats})"
+
+    # PPRL twin: every Bloom position recomputed via md5_number_lower
+    # double hashing; Dice from position-set sizes and intersection.
+    sql["pprl_dice"] = f"""
+    with pairs as ({_pairs}),
+    d as (select doc_id,
+                 '_' || coalesce(substr(lower(trim(text)), 1, 24), '') || '_' as s
+          from documents),
+    grams as (
+      select doc_id, substr(s, i, 2) as g
+      from d, unnest(generate_series(1, length(s) - 1)) as t(i)
+    ),
+    pos as (
+      select distinct doc_id,
+             ((md5_number_lower(g || '|1')::hugeint
+               + j.k * md5_number_lower(g || '|2')::hugeint) % 256)::int as p
+      from grams, unnest([0, 1, 2, 3]) as j(k)
+    ),
+    sizes as (select doc_id, count(*) as c from pos group by doc_id),
+    inter as (
+      select pr.id_a, pr.id_b, count(*) as i
+      from pairs pr
+      join pos pa on pa.doc_id = pr.id_a
+      join pos pb on pb.doc_id = pr.id_b and pb.p = pa.p
+      group by pr.id_a, pr.id_b
+    )
+    select pr.id_a, pr.id_b,
+           round(coalesce(2.0 * inter.i, 0.0) / (sa.c + sb.c), 6) as dice
+    from pairs pr
+    join sizes sa on sa.doc_id = pr.id_a
+    join sizes sb on sb.doc_id = pr.id_b
+    left join inter on inter.id_a = pr.id_a and inter.id_b = pr.id_b
+    """
 
     sql["monge_elkan"] = f"""
     with pairs as ({_pairs}),
