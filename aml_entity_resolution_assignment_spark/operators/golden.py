@@ -9,10 +9,11 @@ R-Swoosh), the result is deterministic and partitioning-invariant by
 construction — the distributed-safe fragment of merge-based ER.
 
 Rules (per field):
-  mode    — most frequent value; ties -> lexicographically greatest
-            (then the count): implemented for ALL mode fields in ONE
-            shuffle chain via a melt -> (entity, field, value) count ->
-            max_by -> pivot, instead of one groupBy per field.
+  mode    — most frequent value; count ties broken by the
+            lexicographically greatest value. Implemented for ALL mode
+            fields in ONE shuffle chain via a melt -> (entity, field,
+            value) count -> max_by -> pivot, instead of one groupBy
+            per field.
   longest — longest string; ties -> lexicographically greatest.
   min/max — plain extrema.
 
