@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "metablocking",  # CBS/ARCS/ECBS pair weighting + WEP prune
     "monge_elkan",  # token-set mean-best-JW, one vectorized kernel call
     "cluster_agreement",  # Rand/ARI/NMI from contingency sums
+    "blocking_quality",  # PC/PQ/RR vs truth: one semi-join + counts
+    "golden_record",  # survivorship: one melt chain + extrema aggs
+    "pprl_dice",  # CLK Bloom encode (Arrow) + pure-JVM Dice compare
 ]
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "8000"))
 # scaling evidence needs a compute-dominated run: big enough that the

@@ -374,6 +374,18 @@ SECTIONS = [
         "aggregates -> 1-row broadcast combine; no cluster "
         "materialization anywhere.",
     ),
+    (
+        "golden_record",
+        "Survivorship: ALL mode fields ride one melt -> count -> "
+        "max_by -> pivot shuffle chain; extrema fields one keyed agg; "
+        "every key is the entity id (map-side combine).",
+    ),
+    (
+        "pprl_dice",
+        "CLK: ONE ArrowEvalPython encode projection; the Dice compare "
+        "is zip_with/bit_count/aggregate inside codegen — no Python "
+        "in the pairwise stage.",
+    ),
 ]
 
 
