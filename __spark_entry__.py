@@ -766,6 +766,27 @@ def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals of event_type per user (gaps-and-
+    islands: null-safe change flag -> running-sum island -> one keyed
+    groupBy -> lead(valid_from)) — operators/scd.py. Both windows are
+    entity-partitioned; no global window."""
+    from aml_entity_resolution_assignment_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    e = _events(spark, sf_dir)
+    out = scd2_intervals(e, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        F.col("user_id").cast("long"),
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("n_events").cast("long"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
 def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-record survivorship over the chain-CC clusters: mode
     (most frequent, ties -> greatest) for lang/source, longest text,
@@ -4487,6 +4508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed": q_bcubed,
         "cluster_agreement": q_cluster_agreement,
         "golden_record": q_golden_record,
+        "scd2": q_scd2,
         "rep_signals": q_rep_signals,
         "decontaminate": q_decontaminate,
         "dedup_minhash": q_dedup_minhash,
@@ -5462,6 +5484,36 @@ def oracle_sql() -> dict[str, str]:
            round(sr / n, 6) as b3_recall,
            round(2 * (sp/n) * (sr/n) / ((sp/n) + (sr/n)), 6) as b3_f1
     from agg
+    """
+
+    # SCD2 twin: identical gaps-and-islands over (ts, event_id) order
+    sql["scd2"] = """
+    with w1 as (
+      select user_id, event_type, ts, event_id,
+             case when lag(ts) over w is null
+                    or event_type is distinct from lag(event_type) over w
+                  then 1 else 0 end as chg
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    isl as (
+      select *, sum(chg) over (partition by user_id order by ts, event_id
+                               rows unbounded preceding) as g
+      from w1
+    ),
+    grp as (
+      select user_id, g, min(event_type) as event_type,
+             min(ts) as valid_from, count(*) as n_events
+      from isl group by user_id, g
+    )
+    select user_id, event_type, valid_from,
+           lead(valid_from) over (partition by user_id
+                                  order by valid_from, g) as valid_to,
+           n_events,
+           (lead(valid_from) over (partition by user_id
+                                   order by valid_from, g) is null)::int
+             as is_current
+    from grp
     """
 
     # Golden-record twin: same chain CC, then per-field survivorship
