@@ -498,6 +498,24 @@ def q_fellegi_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clerical-review queue by uncertainty sampling: the 100 pairs
+    whose F-S posterior sits nearest 0.5 — the active-learning step of
+    a production linkage loop (operators/fellegi.py:review_queue;
+    orderBy+limit compiles to TakeOrderedAndProject, a per-partition
+    top-k then k-row merge, never a global sort)."""
+    scored = FS.fellegi_sunter(
+        _fs_flagged(spark, sf_dir), _FS_FIELDS, iters=_FS_ITERS
+    )
+    out = FS.review_queue(scored, k=100)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("posterior", 6).alias("posterior"),
+        "uncertainty",
+    )
+
+
 def q_pairs_from_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: all intra-cluster pairs for a labeling (label = source)."""
     d = _docs(spark, sf_dir).select(F.col("doc_id"), F.col("source"))
@@ -4498,6 +4516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cascade": q_rule_cascade,
         "fellegi": q_fellegi,
         "fellegi_tf": q_fellegi_tf,
+        "fs_review_queue": q_fs_review_queue,
         "ml_prob": q_ml_prob,
         "connected_components": q_connected_components,
         "cc_incremental": q_cc_incremental,
@@ -4940,6 +4959,30 @@ def oracle_sql() -> dict[str, str]:
     from scored sc
     join vals va on sc.id_a = va.doc_id
     left join share sh on va.source = sh.source, par{_FS_ITERS}
+    """
+
+    # Review-queue twin: the same unrolled EM trajectory, then top-100
+    # by round(|posterior - 0.5|, 6) with (id_a, id_b) tiebreak — both
+    # engines order on the ROUNDED uncertainty so the selected set is
+    # identical despite float-summation differences below 1e-6.
+    sql["fs_review_queue"] = f"""
+    with f0 as ({_feats}),
+    fglobal as (
+      select id_a, id_b,
+             (prefix_score >= 0.6)::int as g_prefix,
+             lang_match::int as g_lang,
+             source_match::int as g_source,
+             ((id_a * 31 + id_b) % 100 >= 50)::int as g_hash
+      from f0
+    ),
+    {_fs_cte}
+    select f.id_a, f.id_b,
+           round(s.posterior, 6) as posterior,
+           round(abs(s.posterior - 0.5), 6) as uncertainty
+    from fglobal f
+    join fs_scores s using (g_prefix, g_lang, g_source, g_hash)
+    order by uncertainty asc, f.id_a, f.id_b
+    limit 100
     """
 
     # A1-A4 twin: candidate lookup (shared-key count cap) -> features ->

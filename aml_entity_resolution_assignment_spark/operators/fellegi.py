@@ -369,3 +369,23 @@ def estimate_u_from_flags(flagged: DataFrame, fields: Sequence[str]) -> list[flo
         round(min(max(float(row[f] or 0.0), eps), 1 - eps), PARAM_DECIMALS)
         for f in fields
     ]
+
+
+def review_queue(
+    scored: DataFrame,
+    k: int = 100,
+    posterior_col: str = "posterior",
+) -> DataFrame:
+    """Clerical-review prioritization by uncertainty sampling: the k
+    pairs whose posterior sits closest to 0.5 — reviewing these buys
+    the most model improvement per human label (the active-learning
+    step of every production linkage loop). orderBy + limit compiles
+    to TakeOrderedAndProject: per-partition top-k then a k-row merge,
+    never a global sort. Ties (patterns share posteriors — there are
+    at most 2^k distinct values) break on (id_a, id_b)."""
+    unc = F.round(F.abs(F.col(posterior_col) - 0.5), 6).alias("uncertainty")
+    return (
+        scored.select("*", unc)
+        .orderBy(F.col("uncertainty").asc(), "id_a", "id_b")
+        .limit(k)
+    )

@@ -212,3 +212,29 @@ def test_estimate_u_and_fix_u_em(spark):
     lam, m, u2 = FS.fs_em(pats, 3, iters=20, fix_u=fixed)
     assert u2 == fixed
     assert abs(lam - 0.2) < 0.1
+
+
+def test_review_queue_uncertainty_topk(spark):
+    """review_queue returns the k pairs nearest posterior 0.5, ties on
+    ids, and compiles to TakeOrderedAndProject (per-partition top-k
+    merge, never a global sort)."""
+    scored = spark.createDataFrame(
+        [
+            (1, 10, 0.51),  # |0.01|
+            (2, 20, 0.10),  # |0.40|
+            (3, 30, 0.49),  # |0.01| tie with row 1 -> id order
+            (4, 40, 0.95),  # |0.45|
+            (5, 50, 0.60),  # |0.10|
+        ],
+        "id_a long, id_b long, posterior double",
+    )
+    out = FS.review_queue(scored, k=3).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 10), (3, 30), (5, 50)]
+    assert out[0].uncertainty == pytest.approx(0.01)
+    plan = (
+        FS.review_queue(scored, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
