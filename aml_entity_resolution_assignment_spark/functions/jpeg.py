@@ -937,13 +937,22 @@ def _prog_ac_refine_block(st: _ProgScanState, band_coefs, al: int, se_rel: int) 
         if v == 0:
             r += 1
             continue
-        if v > 1:
-            st.pending.append(v & 1)
-            continue
+        # Emit any owed ZRLs on arrival at ANY nonzero coefficient —
+        # BEFORE buffering its correction bit (T.81 G.1.2.3 order, as
+        # libjpeg's encode_mcu_AC_refine does): the decoder's ZRL walk
+        # consumes exactly 16 zero-HISTORY positions and reads the
+        # correction bits it passes, so a bit belonging to a
+        # coefficient beyond that span must ride with the NEXT symbol,
+        # not with this ZRL. Deferring the ZRL to the next newly-
+        # significant coefficient (the old shape) dumped such bits one
+        # symbol early and desynchronized the decoder's bit stream.
         while r > 15:
             st.emit_sym(0xF0)
             st.dump_pending()
             r -= 16
+        if v > 1:
+            st.pending.append(v & 1)
+            continue
         st.emit_sym((r << 4) | 1)
         st.bw.write(1 if band_coefs[i] > 0 else 0, 1)
         st.dump_pending()

@@ -4,7 +4,7 @@ property is a strict equality roundtrip — the codecs are lossless
 (JPEG excluded: DCT quantization is lossy by design)."""
 
 import numpy as np
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from aml_entity_resolution_assignment_spark.functions.gif import (
@@ -185,6 +185,11 @@ def test_vp8_decode_equals_encoder_reconstruction(h, w, qi, flevel, ftype, seed)
     color=st.booleans(),
     seed=_seeds,
 )
+# pinned: a ZRL whose 16-zero span is interleaved with an already-
+# significant (history > 1) coefficient — the refinement encoder used
+# to dump that coefficient's correction bit with the ZRL instead of
+# the next symbol, desynchronizing the decoder's bit stream
+@example(h=9, w=2, color=True, seed=17044)
 def test_progressive_jpeg_equals_baseline(h, w, color, seed):
     """Progressive and baseline streams of the same image carry the
     same quantized coefficients -> bit-identical decodes."""
