@@ -516,6 +516,99 @@ def q_fs_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 sweep over every distinct F-S posterior
+    threshold, truth = same-source pairs (operators/evaluate.py:
+    pr_curve — one groupBy to <=2^k rows, windows on the aggregate)."""
+    scored = FS.fellegi_sunter(
+        _fs_flagged(spark, sf_dir), _FS_FIELDS, iters=_FS_ITERS
+    )
+    return E.pr_curve(scored, score_col="posterior", truth_col="g_source")
+
+
+def q_fs_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE of F-S posteriors against same-source
+    truth (operators/evaluate.py:calibration_bins): are the fitted
+    posteriors usable as probabilities or only as a ranking?"""
+    scored = FS.fellegi_sunter(
+        _fs_flagged(spark, sf_dir), _FS_FIELDS, iters=_FS_ITERS
+    )
+    return E.calibration_bins(
+        scored, score_col="posterior", truth_col="g_source", bins=10
+    )
+
+
+def q_fs_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field match-weight waterfall (Splink's explainability view):
+    each pair's log2 contribution per comparison field plus the total
+    (operators/fellegi.py:explain_weights — a pure literal-branch
+    projection, zero shuffles beyond the fit's one pattern pass)."""
+    flagged = _fs_flagged(spark, sf_dir)
+    _lam, m, u = FS.fit_params(flagged, _FS_FIELDS, iters=_FS_ITERS)
+    out = FS.explain_weights(flagged, _FS_FIELDS, m, u)
+    return out.select(
+        "id_a",
+        "id_b",
+        *[f"w_{f}" for f in _FS_FIELDS],
+        "match_weight_sum",
+    )
+
+
+def q_classifier_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tabulation of the two classifiers — the hand-tuned rule
+    cascade vs the EM-fitted F-S posterior (>= 0.5): the disagreement
+    cells are where active review effort goes first. One equi-join on
+    the pair key + one aggregate."""
+    rc = q_rule_cascade(spark, sf_dir).select("id_a", "id_b", "match_type")
+    fs = q_fellegi(spark, sf_dir).select(
+        "id_a", "id_b", (F.col("posterior") >= 0.5).cast("int").alias("fs_match")
+    )
+    return (
+        rc.join(fs, ["id_a", "id_b"])
+        .groupBy("match_type", "fs_match")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source 1:1 linkage via symmetric best match: documents are
+    split into two sources (doc_id mod 3), candidates block on
+    (lang, first prefix char), pairs score by Jaro-Winkler on the
+    20-char prefix, and a pair survives iff each record is the other's
+    best candidate (operators/joins.py:mutual_best_match — two ranking
+    windows, two hash exchanges, no global order). Ranking runs on the
+    ROUNDED score so the selected set is float-drift-proof."""
+    from aml_entity_resolution_assignment_spark.operators.joins import (
+        mutual_best_match,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.substring(F.lower(F.trim("text")), 1, 20).alias("prefix"),
+    ).withColumn("b", F.substring("prefix", 1, 1))
+    left = d.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("left_id"),
+        "lang",
+        "b",
+        F.col("prefix").alias("pl"),
+    )
+    right = d.where(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("right_id"),
+        "lang",
+        "b",
+        F.col("prefix").alias("pr"),
+    )
+    scored = left.join(right, ["lang", "b"]).select(
+        "left_id",
+        "right_id",
+        F.round(_JW("pl", "pr"), 6).alias("score"),
+    )
+    return mutual_best_match(
+        scored, left_id="left_id", right_id="right_id", score_col="score"
+    )
+
+
 def q_pairs_from_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: all intra-cluster pairs for a labeling (label = source)."""
     d = _docs(spark, sf_dir).select(F.col("doc_id"), F.col("source"))
@@ -4517,6 +4610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fellegi": q_fellegi,
         "fellegi_tf": q_fellegi_tf,
         "fs_review_queue": q_fs_review_queue,
+        "fs_pr_curve": q_fs_pr_curve,
+        "fs_calibration": q_fs_calibration,
+        "fs_explain": q_fs_explain,
+        "classifier_disagreement": q_classifier_disagreement,
+        "mutual_best": q_mutual_best,
         "ml_prob": q_ml_prob,
         "connected_components": q_connected_components,
         "cc_incremental": q_cc_incremental,
@@ -4983,6 +5081,153 @@ def oracle_sql() -> dict[str, str]:
     join fs_scores s using (g_prefix, g_lang, g_source, g_hash)
     order by uncertainty asc, f.id_a, f.id_b
     limit 100
+    """
+
+    # the agreement-vector CTE the F-S eval twins share
+    _fglobal = """
+    fglobal as (
+      select id_a, id_b,
+             (prefix_score >= 0.6)::int as g_prefix,
+             lang_match::int as g_lang,
+             source_match::int as g_source,
+             ((id_a * 31 + id_b) % 100 >= 50)::int as g_hash
+      from f0
+    )"""
+
+    # PR-curve twin: per-pair posteriors -> distinct rounded thresholds
+    # -> cumulative TP/pred windows, f1 from the unrounded p/r (the
+    # Spark operator rounds only at output).
+    sql["fs_pr_curve"] = f"""
+    with f0 as ({_feats}),
+    {_fglobal},
+    {_fs_cte},
+    sc as (
+      select round(s.posterior, 6) as threshold, f.g_source as _t
+      from fglobal f
+      join fs_scores s using (g_prefix, g_lang, g_source, g_hash)
+    ),
+    agg as (
+      select threshold, count(*) as _n, sum(_t) as _tp
+      from sc group by threshold
+    ),
+    base as (
+      select threshold,
+             sum(_n) over w as pred_pairs,
+             sum(_tp) over w as tp,
+             sum(_tp) over () as pos
+      from agg
+      window w as (order by threshold desc
+                   rows between unbounded preceding and current row)
+    ),
+    pr as (
+      select threshold, pred_pairs, tp,
+             tp / pred_pairs::double as p,
+             case when pos > 0 then tp / pos::double else 0.0 end as r
+      from base
+    )
+    select threshold,
+           pred_pairs::bigint as pred_pairs,
+           tp::bigint as tp,
+           round(p, 6) as precision,
+           round(r, 6) as recall,
+           round(case when p + r > 0 then 2 * p * r / (p + r)
+                 else 0.0 end, 6) as f1
+    from pr
+    """
+
+    # Calibration twin: equal-width posterior bins, mean predicted vs
+    # empirical rate, ECE as the bin-size-weighted mean |gap| (from
+    # unrounded per-bin aggregates, like the Spark operator).
+    sql["fs_calibration"] = f"""
+    with f0 as ({_feats}),
+    {_fglobal},
+    {_fs_cte},
+    sc as (
+      select s.posterior as _s, f.g_source as _t
+      from fglobal f
+      join fs_scores s using (g_prefix, g_lang, g_source, g_hash)
+    ),
+    agg as (
+      select least(floor(_s * 10), 9)::int as bin,
+             count(*) as n, avg(_s) as avg_s, avg(_t::double) as frac
+      from sc group by 1
+    ),
+    tot as (
+      select *,
+             sum(abs(avg_s - frac) * n) over () / sum(n) over () as ece
+      from agg
+    )
+    select bin, n::bigint as n,
+           round(avg_s, 6) as avg_score,
+           round(frac, 6) as frac_true,
+           round(abs(avg_s - frac), 6) as gap,
+           round(ece, 6) as ece
+    from tot
+    """
+
+    # Explain twin: per-field log2 terms straight from the fitted
+    # par{{iters}} row; total summed unrounded then rounded, matching
+    # explain_weights' literal-branch projection.
+    _expl_terms = ",\n           ".join(
+        f"round(case when f.{f} = 1 then log2(p.m{j} / p.u{j}) "
+        f"else log2((1 - p.m{j}) / (1 - p.u{j})) end, 6) as w_{f}"
+        for j, f in enumerate(_FS_FIELDS)
+    )
+    _expl_sum = " + ".join(
+        f"(case when f.{f} = 1 then log2(p.m{j} / p.u{j}) "
+        f"else log2((1 - p.m{j}) / (1 - p.u{j})) end)"
+        for j, f in enumerate(_FS_FIELDS)
+    )
+    sql["fs_explain"] = f"""
+    with f0 as ({_feats}),
+    {_fglobal},
+    {_fs_cte}
+    select f.id_a, f.id_b,
+           {_expl_terms},
+           round({_expl_sum}, 6) as match_weight_sum
+    from fglobal f, par{_FS_ITERS} p
+    """
+
+    # Cross-tab twin: the cascade twin joined to the F-S twin on the
+    # pair key, counted by (match_type, posterior >= 0.5).
+    sql["classifier_disagreement"] = f"""
+    with rc as ({sql["rule_cascade"]}),
+    fsq as ({sql["fellegi"]})
+    select rc.match_type,
+           (fsq.posterior >= 0.5)::int as fs_match,
+           count(*) as n
+    from rc
+    join fsq on rc.id_a = fsq.id_a and rc.id_b = fsq.id_b
+    group by rc.match_type, fs_match
+    """
+
+    # Mutual-best twin: same split / blocks / rounded-JW scoring, then
+    # the two row_number windows with identical tiebreaks.
+    sql["mutual_best"] = """
+    with d as (
+      select doc_id, lang,
+             substr(lower(trim(text)), 1, 20) as prefix,
+             substr(lower(trim(text)), 1, 1) as b
+      from documents
+    ),
+    l as (select doc_id as left_id, lang, b, prefix as pl
+          from d where doc_id % 3 = 0),
+    r as (select doc_id as right_id, lang, b, prefix as pr
+          from d where doc_id % 3 <> 0),
+    sc as (
+      select l.left_id, r.right_id,
+             round(jaro_winkler_similarity(l.pl, r.pr), 6) as score
+      from l join r on l.lang = r.lang and l.b = r.b
+    ),
+    rk as (
+      select *,
+             row_number() over (partition by left_id
+                                order by score desc, right_id) as rl,
+             row_number() over (partition by right_id
+                                order by score desc, left_id) as rr
+      from sc
+    )
+    select left_id, right_id, score from rk where rl = 1 and rr = 1
     """
 
     # A1-A4 twin: candidate lookup (shared-key count cap) -> features ->

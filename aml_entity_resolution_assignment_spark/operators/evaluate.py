@@ -375,3 +375,114 @@ def blocking_quality(
         "pairs_completeness double, pairs_quality double, "
         "reduction_ratio double",
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str = "posterior",
+    truth_col: str = "is_match",
+    decimals: int = 6,
+) -> DataFrame:
+    """Precision/recall/F1 at every distinct score threshold (the
+    operating-characteristic sweep behind threshold selection — the
+    reference picks its cascade thresholds by hand; this measures what
+    each choice would buy).
+
+    Scale shape: ONE distributed groupBy reduces N scored pairs
+    (10^12-scale) to the distinct rounded score values — for a
+    pattern-based scorer such as Fellegi-Sunter that is at most 2^k
+    rows, and `decimals` bounds it for continuous scorers. The
+    cumulative windows then run on that aggregate-sized table; the
+    single-partition Exchange they imply moves only the tiny
+    aggregate, never pair-scale rows (same policy as the EM collect,
+    fellegi.py).
+
+    Rows ordered by threshold descending, one per distinct score:
+    predicting MATCH for score >= threshold yields the reported
+    (pred_pairs, tp, precision, recall, f1).
+    """
+    from pyspark.sql import Window
+
+    agg = (
+        scored.select(
+            F.round(F.col(score_col), decimals).alias("threshold"),
+            F.col(truth_col).cast("int").alias("_t"),
+        )
+        .groupBy("threshold")
+        .agg(F.count("*").alias("_n"), F.sum("_t").alias("_tp"))
+    )
+    cum = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    out = agg.select(
+        "threshold",
+        F.sum("_n").over(cum).alias("pred_pairs"),
+        F.sum("_tp").over(cum).alias("tp"),
+        F.sum("_tp").over(tot).alias("_pos"),
+    )
+    p = F.col("tp") / F.col("pred_pairs")
+    r = F.when(F.col("_pos") > 0, F.col("tp") / F.col("_pos")).otherwise(
+        F.lit(0.0)
+    )
+    return out.select(
+        "threshold",
+        "pred_pairs",
+        "tp",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(
+            F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)), 6
+        ).alias("f1"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "posterior",
+    truth_col: str = "is_match",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error: equal-width
+    score bins, each reporting mean predicted probability vs empirical
+    match rate; `ece` (constant across rows) is the bin-size-weighted
+    mean absolute gap. A probability-calibrated classifier has
+    frac_true ~= avg_score per bin — the check that decides whether
+    F-S posteriors (or ML probabilities) can be thresholded AS
+    probabilities or only ranked.
+
+    One groupBy to `bins` rows; the ECE window runs on that
+    aggregate-sized table (same single-partition-of-a-tiny-aggregate
+    policy as pr_curve)."""
+    from pyspark.sql import Window
+
+    b = F.least(
+        F.floor(F.col(score_col) * bins).cast("int"), F.lit(bins - 1)
+    ).alias("bin")
+    agg = (
+        scored.select(
+            b,
+            F.col(score_col).alias("_s"),
+            F.col(truth_col).cast("int").alias("_t"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("_s").alias("_avg_s"),
+            F.avg("_t").alias("_frac"),
+        )
+    )
+    tot = Window.partitionBy()
+    gap = F.abs(F.col("_avg_s") - F.col("_frac"))
+    out = agg.withColumn(
+        "_ece",
+        F.sum(gap * F.col("n")).over(tot) / F.sum("n").over(tot),
+    )
+    return out.select(
+        "bin",
+        "n",
+        F.round("_avg_s", 6).alias("avg_score"),
+        F.round("_frac", 6).alias("frac_true"),
+        F.round(gap, 6).alias("gap"),
+        F.round("_ece", 6).alias("ece"),
+    )

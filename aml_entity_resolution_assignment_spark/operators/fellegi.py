@@ -389,3 +389,33 @@ def review_queue(
         .orderBy(F.col("uncertainty").asc(), "id_a", "id_b")
         .limit(k)
     )
+
+
+def explain_weights(
+    pairs: DataFrame,
+    fields: Sequence[str],
+    m: Sequence[float],
+    u: Sequence[float],
+) -> DataFrame:
+    """Per-field match-weight waterfall (the explainability view
+    production linkers expose per pair — Splink's waterfall chart):
+    each field contributes log2(m/u) when it agrees and
+    log2((1-m)/(1-u)) when it disagrees; the total is the pair's
+    match_weight. The fitted (m, u) arrive as plain floats (from
+    fit_params), so this compiles to a pure literal-branch projection
+    — zero shuffles, whole-stage codegen, no join at all (the <=2^k
+    broadcast in fellegi_sunter exists to attach posteriors; a
+    waterfall needs only the per-field terms)."""
+    cols = []
+    total = F.lit(0.0)
+    for j, f in enumerate(fields):
+        wa = math.log2(m[j] / u[j])
+        wd = math.log2((1.0 - m[j]) / (1.0 - u[j]))
+        term = F.when(F.col(f).cast("int") == 1, F.lit(wa)).otherwise(
+            F.lit(wd)
+        )
+        cols.append(F.round(term, 6).alias(f"w_{f}"))
+        total = total + term
+    return pairs.select(
+        "*", *cols, F.round(total, 6).alias("match_weight_sum")
+    )

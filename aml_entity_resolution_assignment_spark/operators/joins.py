@@ -259,3 +259,39 @@ def edit_distance_self_join(
         .where(F.col("dist") <= d)
         .select("id_a", "id_b", "dist")
     )
+
+
+def mutual_best_match(
+    scored: DataFrame,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    score_col: str = "score",
+) -> DataFrame:
+    """1:1 two-source linkage by SYMMETRIC BEST MATCH: keep (l, r) iff
+    r is l's highest-scoring candidate AND l is r's. The distributed
+    relaxation of greedy weight-ordered 1:1 assignment (which is
+    inherently sequential — each acceptance invalidates later
+    candidates globally): mutual-best needs no global order, never
+    produces a worse-than-greedy pair for either endpoint it keeps,
+    and is the standard deterministic-linkage / embedding-alignment
+    primitive.
+
+    Scale shape: two ranking windows, each partitioned by one side's
+    id — two hash exchanges of the candidate table and nothing else;
+    no driver state, no iteration. Skew is the per-record candidate
+    count, already bounded upstream by blocking caps. Ties break on
+    the partner id ascending, so output is deterministic and
+    partitioning-invariant.
+    """
+    wl = Window.partitionBy(left_id).orderBy(
+        F.col(score_col).desc(), F.col(right_id)
+    )
+    wr = Window.partitionBy(right_id).orderBy(
+        F.col(score_col).desc(), F.col(left_id)
+    )
+    return (
+        scored.withColumn("_rl", F.row_number().over(wl))
+        .withColumn("_rr", F.row_number().over(wr))
+        .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+        .drop("_rl", "_rr")
+    )

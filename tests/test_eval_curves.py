@@ -1,0 +1,92 @@
+"""PR-curve and calibration operators (operators/evaluate.py) and the
+mutual-best 1:1 linkage join (operators/joins.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aml_entity_resolution_assignment_spark.operators.evaluate import (
+    calibration_bins,
+    pr_curve,
+)
+from aml_entity_resolution_assignment_spark.operators.joins import (
+    mutual_best_match,
+)
+
+
+def _scored(spark):
+    # 6 pairs, two distinct scores: 0.9 (2 true, 1 false), 0.2 (1 true, 2 false)
+    rows = [
+        (1, 2, 0.9, 1), (3, 4, 0.9, 1), (5, 6, 0.9, 0),
+        (7, 8, 0.2, 1), (9, 10, 0.2, 0), (11, 12, 0.2, 0),
+    ]
+    return spark.createDataFrame(
+        rows, "id_a long, id_b long, posterior double, is_match int"
+    )
+
+
+def test_pr_curve_values(spark):
+    out = {r.threshold: r for r in pr_curve(_scored(spark)).collect()}
+    assert set(out) == {0.9, 0.2}
+    hi, lo = out[0.9], out[0.2]
+    assert (hi.pred_pairs, hi.tp) == (3, 2)
+    assert hi.precision == pytest.approx(round(2 / 3, 6))
+    assert hi.recall == pytest.approx(round(2 / 3, 6))
+    assert hi.f1 == pytest.approx(round(2 / 3, 6))
+    assert (lo.pred_pairs, lo.tp) == (6, 3)
+    assert lo.precision == pytest.approx(0.5)
+    assert lo.recall == pytest.approx(1.0)
+    assert lo.f1 == pytest.approx(round(2 * 0.5 / 1.5, 6))
+
+
+def test_pr_curve_no_positives(spark):
+    df = _scored(spark).withColumn("is_match", F.lit(0))
+    rows = pr_curve(df).collect()
+    assert all(r.recall == 0.0 and r.f1 == 0.0 for r in rows)
+
+
+def test_calibration_bins_and_ece(spark):
+    out = {r.bin: r for r in calibration_bins(_scored(spark)).collect()}
+    assert set(out) == {9, 2}
+    b9, b2 = out[9], out[2]
+    assert b9.n == 3 and b9.avg_score == pytest.approx(0.9)
+    assert b9.frac_true == pytest.approx(round(2 / 3, 6))
+    assert b2.n == 3 and b2.frac_true == pytest.approx(round(1 / 3, 6))
+    # ece = (3*|0.9-2/3| + 3*|0.2-1/3|) / 6, identical on every row
+    ece = (3 * abs(0.9 - 2 / 3) + 3 * abs(0.2 - 1 / 3)) / 6
+    assert b9.ece == b2.ece == pytest.approx(round(ece, 6))
+
+
+def test_calibration_top_edge_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 1.0, 1)], "id_a long, id_b long, posterior double, is_match int"
+    )
+    (row,) = calibration_bins(df).collect()
+    assert row.bin == 9  # score 1.0 clamps into the last bin
+
+
+def test_mutual_best_match(spark):
+    # l1's best is r1 and vice versa -> kept; l2 prefers r1 (taken,
+    # r1 prefers l1) and r2 prefers l1 (taken) -> l2/r2 NOT matched
+    # even though they are each other's second choice (mutual-best is
+    # the non-cascading relaxation of greedy assignment).
+    rows = [
+        ("l1", "r1", 0.9), ("l1", "r2", 0.8),
+        ("l2", "r1", 0.85), ("l2", "r2", 0.7),
+    ]
+    df = spark.createDataFrame(rows, "id_a string, id_b string, score double")
+    out = sorted(
+        (r.id_a, r.id_b) for r in mutual_best_match(df).collect()
+    )
+    assert out == [("l1", "r1")]
+
+
+def test_mutual_best_tiebreak_deterministic(spark):
+    rows = [("l1", "r2", 0.5), ("l1", "r1", 0.5)]
+    df = spark.createDataFrame(rows, "id_a string, id_b string, score double")
+    out = [(r.id_a, r.id_b) for r in mutual_best_match(df).collect()]
+    assert out == [("l1", "r1")]  # ties break on partner id ascending
+    out2 = [
+        (r.id_a, r.id_b)
+        for r in mutual_best_match(df.repartition(7)).collect()
+    ]
+    assert out2 == out
