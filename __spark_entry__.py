@@ -376,6 +376,25 @@ def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft TF-IDF hybrid pair similarity (Cohen-Ravikumar-Fienberg):
+    idf-weighted best-JW token matching over the first 5 text tokens
+    of each candidate pair (operators/features.py:soft_tfidf_pairs).
+    Complements monge_elkan (unweighted mean-best) with the
+    corpus-frequency weighting that made softTFIDF the secondstring
+    benchmark winner."""
+    from aml_entity_resolution_assignment_spark.operators.features import (
+        soft_tfidf_pairs,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 5).alias("toks"),
+    )
+    pairs = q_candidate_pairs(spark, sf_dir)
+    return soft_tfidf_pairs(pairs, d, id_col="doc_id", tokens_col="toks")
+
+
 def q_pair_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: unrestricted Damerau-Levenshtein normalized score (the
     reference's nid_score kernel, matching.py:263-270) vs DuckDB's
@@ -4604,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_features": q_pair_features,
         "pair_edit": q_pair_edit,
         "monge_elkan": q_monge_elkan,
+        "soft_tfidf": q_soft_tfidf,
         "pprl_dice": q_pprl_dice,
         "edit_join": q_edit_join,
         "rule_cascade": q_rule_cascade,
@@ -4908,6 +4928,47 @@ def oracle_sql() -> dict[str, str]:
     from pairs p
     join d da on p.id_a = da.doc_id
     join d db on p.id_b = db.doc_id
+    """
+
+    # Soft TF-IDF twin: same distinct first-5 tokens, ln(1+N/df) idf,
+    # per-doc L2 norm, best-JW partner per (pair, a-token) with the
+    # identical (rounded-jw desc, tb asc) ranking and theta filter.
+    sql["soft_tfidf"] = f"""
+    with pairs as ({_pairs}),
+    d as (select doc_id,
+                 list_distinct(
+                   (regexp_split_to_array(lower(trim(text)), '\\s+'))[1:5]
+                 ) as toks
+          from documents),
+    n as (select count(*)::double as nd from d),
+    tok as (select doc_id, unnest(toks) as tok from d),
+    idf as (select tok, ln(1 + n.nd / count(*)) as idf
+            from tok, n group by tok, n.nd),
+    w as (select tok.doc_id, tok.tok, idf.idf from tok join idf using (tok)),
+    nrm as (select doc_id, sqrt(sum(idf * idf)) as nrm from w group by doc_id),
+    v as (select w.doc_id, w.tok, w.idf / nrm.nrm as v
+          from w join nrm using (doc_id)),
+    cand as (
+      select p.id_a, p.id_b, va.tok as ta, va.v as va,
+             vb.tok as tb, vb.v as vb,
+             round(jaro_winkler_similarity(va.tok, vb.tok), 6) as jw
+      from pairs p
+      join v va on va.doc_id = p.id_a
+      join v vb on vb.doc_id = p.id_b
+    ),
+    rk as (
+      select *, row_number() over (partition by id_a, id_b, ta
+                                   order by jw desc, tb) as rn
+      from cand
+    ),
+    sc as (
+      select id_a, id_b, round(sum(va * vb * jw), 6) as soft_tfidf
+      from rk where rn = 1 and jw > 0.9
+      group by id_a, id_b
+    )
+    select p.id_a, p.id_b, coalesce(sc.soft_tfidf, 0.0) as soft_tfidf
+    from pairs p
+    left join sc on sc.id_a = p.id_a and sc.id_b = p.id_b
     """
 
     sql["pair_edit"] = f"""

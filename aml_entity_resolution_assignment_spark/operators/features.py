@@ -151,3 +151,82 @@ def compute_features(
 
 def pair_features(pairs: DataFrame, keyed: DataFrame, **kw) -> DataFrame:
     return compute_features(hydrate_pairs(pairs, keyed, **kw))
+
+
+def soft_tfidf_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    theta: float = 0.9,
+) -> DataFrame:
+    """Soft TF-IDF pair similarity (Cohen, Ravikumar & Fienberg 2003
+    — the hybrid comparator that beat both pure-edit and pure-token
+    measures in their secondstring evaluation): tokens of A that have
+    a CLOSE partner in B (best Jaro-Winkler > theta) contribute
+    V(a,A) * V(b*,B) * JW(a,b*), where V is the L2-normalized
+    idf weight ln(1 + N/df).
+
+    Distributed shape, in corpus-scale order:
+      1. token explode + df groupBy (map-side combine),
+      2. idf join back on token — vocabulary-keyed shuffle; the head
+         of the Zipf curve is skewed but those tokens carry the
+         LOWEST idf, and AQE's skew handling covers the join,
+      3. per-doc L2 norm (one keyed agg),
+      4. pair hydration joins fan each pair out to |A| x |B| token
+         pairs (bounded: callers pass capped token lists), the JW
+         kernel runs one Arrow batch per partition, and best-partner
+         selection is a (pair, token)-keyed window.
+    JW is rounded to 6 BEFORE ranking and the theta filter, so the
+    contributing set — and hence the score at round(6) — is identical
+    under any partitioning and in the DuckDB twin; ties for best
+    partner break on the partner token ascending. Pairs with no close
+    token pair score 0.0 (kept via the final left join).
+    """
+    from pyspark.sql import Window
+
+    n_docs = float(docs.count())
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens_col)).alias("tok"),
+    )
+    idf = tok.groupBy("tok").agg(
+        F.log(F.lit(1.0) + F.lit(n_docs) / F.count("*")).alias("_idf")
+    )
+    w = tok.join(idf, "tok")
+    nrm = w.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_idf") * F.col("_idf"))).alias("_nrm")
+    )
+    v = w.join(nrm, "_id").select(
+        "_id", "tok", (F.col("_idf") / F.col("_nrm")).alias("_v")
+    )
+    wa = v.select(
+        F.col("_id").alias("id_a"), F.col("tok").alias("_ta"),
+        F.col("_v").alias("_va"),
+    )
+    wb = v.select(
+        F.col("_id").alias("id_b"), F.col("tok").alias("_tb"),
+        F.col("_v").alias("_vb"),
+    )
+    cand = (
+        pairs.select("id_a", "id_b")
+        .join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("_jw", F.round(_jw_udf("_ta", "_tb"), 6))
+    )
+    win = Window.partitionBy("id_a", "id_b", "_ta").orderBy(
+        F.col("_jw").desc(), F.col("_tb")
+    )
+    best = cand.withColumn("_rn", F.row_number().over(win)).where(
+        (F.col("_rn") == 1) & (F.col("_jw") > theta)
+    )
+    sc = best.groupBy("id_a", "id_b").agg(
+        F.round(
+            F.sum(F.col("_va") * F.col("_vb") * F.col("_jw")), 6
+        ).alias("soft_tfidf")
+    )
+    return pairs.select("id_a", "id_b").join(sc, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.coalesce("soft_tfidf", F.lit(0.0)).alias("soft_tfidf"),
+    )

@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "blocking_quality",  # PC/PQ/RR vs truth: one semi-join + counts
     "golden_record",  # survivorship: one melt chain + extrema aggs
     "pprl_dice",  # CLK Bloom encode (Arrow) + pure-JVM Dice compare
+    # round-5 third wave: history + linkage-evaluation plan shapes
+    "scd2",  # SCD type-2 intervals: gaps-and-islands, entity-local windows
+    "mutual_best",  # symmetric-best 1:1 linkage: JW block join + dual ranking
+    "soft_tfidf",  # idf-weighted best-JW token match (vocab joins + window)
 ]
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "8000"))
 # scaling evidence needs a compute-dominated run: big enough that the

@@ -90,3 +90,67 @@ def test_mutual_best_tiebreak_deterministic(spark):
         for r in mutual_best_match(df.repartition(7)).collect()
     ]
     assert out2 == out
+
+
+def test_soft_tfidf_matches_bruteforce(spark):
+    import math
+
+    from aml_entity_resolution_assignment_spark.functions.similarity import (
+        jaro_winkler_similarity as jw,
+    )
+    from aml_entity_resolution_assignment_spark.operators.features import (
+        soft_tfidf_pairs,
+    )
+
+    corpus = {
+        1: ["apple", "banana"],
+        2: ["appel", "banana"],
+        3: ["cherry"],
+        4: ["apple", "cherry"],
+    }
+    pairs = [(1, 2), (1, 3), (1, 4), (3, 4)]
+
+    def brute(a, b):
+        n = len(corpus)
+        df = {}
+        for toks in corpus.values():
+            for t in set(toks):
+                df[t] = df.get(t, 0) + 1
+        idf = {t: math.log(1 + n / d) for t, d in df.items()}
+
+        def v(tok, doc):
+            nrm = math.sqrt(sum(idf[t] ** 2 for t in set(corpus[doc])))
+            return idf[tok] / nrm
+
+        s = 0.0
+        for ta in set(corpus[a]):
+            # operator tiebreak: max jw, then SMALLEST partner token
+            best = min(
+                set(corpus[b]),
+                key=lambda tb: (-round(jw(ta, tb), 6), tb),
+            )
+            j = round(jw(ta, best), 6)
+            if j > 0.9:
+                s += v(ta, a) * v(best, b) * j
+        return round(s, 6)
+
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, toks array<string>"
+    )
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): r.soft_tfidf
+        for r in soft_tfidf_pairs(pdf, docs).collect()
+    }
+    assert set(got) == set(pairs)
+    for a, b in pairs:
+        assert got[(a, b)] == pytest.approx(brute(a, b), abs=1e-6), (a, b)
+    assert got[(1, 3)] == 0.0  # no close tokens -> kept at 0
+    # partitioning invariance
+    got2 = {
+        (r.id_a, r.id_b): r.soft_tfidf
+        for r in soft_tfidf_pairs(
+            pdf.repartition(5), docs.repartition(3)
+        ).collect()
+    }
+    assert got2 == got
