@@ -667,6 +667,61 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quality diagnostics over the CC components
+    (operators/cluster.py:cluster_cohesion): size, internal edge
+    count/strength, density, and boundary edges. Edge set = adjacent
+    doc ids scored by prefix similarity — same-lang edges are the CC
+    input (intra), cross-lang adjacency lands on component boundaries
+    (out_edges)."""
+    labels = q_connected_components(spark, sf_dir).withColumnRenamed(
+        "component", "cluster"
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.lower(F.trim("text")), 1, 24).alias("prefix"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    score = F.when(
+        (F.col("pa") == "") | (F.col("pb") == ""), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            1.0
+            - F.levenshtein("pa", "pb")
+            / F.greatest(F.length("pa"), F.length("pb")).cast("double"),
+            6,
+        )
+    )
+    edges = a.join(b, F.col("id_b") == F.col("id_a") + 1).select(
+        "id_a", "id_b", score.alias("score")
+    )
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        cluster_cohesion,
+    )
+
+    return cluster_cohesion(labels, edges)
+
+
+def q_cluster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-churn transition table between two clusterings of the
+    same docs — blocking-key entities (bk_lang_size) vs source truth
+    (operators/cluster.py:cluster_diff): each (cluster_a, cluster_b)
+    cell with its record count and stable/split/merge/rearranged
+    fate."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        cluster_diff,
+    )
+
+    la = q_blocking_keys(spark, sf_dir).select(
+        "doc_id", F.col("bk_lang_size").alias("cluster")
+    )
+    lb = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("cluster")
+    )
+    return cluster_diff(la, lb)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup representative selection: near-dup groups
     (2-token-prefix key, star pairs through the CC operator) keep the
@@ -4638,6 +4693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_prob": q_ml_prob,
         "connected_components": q_connected_components,
         "cc_incremental": q_cc_incremental,
+        "cluster_cohesion": q_cluster_cohesion,
+        "cluster_diff": q_cluster_diff,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
         "review_credit": q_review_credit,
@@ -5539,6 +5596,88 @@ def oracle_sql() -> dict[str, str]:
       where reach.r < s.v  -- only propagate smaller roots
     )
     select id as doc_id, min(r) as component from reach group by id
+    """
+
+    # Cohesion twin: the CC twin as the labeling, the full adjacency
+    # (any lang) as the scored edge set; identical algebra — intra
+    # metrics, both-sides boundary counts, size join, density 1.0 for
+    # singletons, boundary_ratio 0 when edgeless.
+    sql["cluster_cohesion"] = f"""
+    with lab as ({sql["connected_components"]}),
+    d as (select doc_id, substr(lower(trim(text)), 1, 24) as prefix
+          from documents),
+    edges as (
+      select da.doc_id as id_a, db.doc_id as id_b,
+             case when da.prefix = '' or db.prefix = '' then 0.0
+                  else round(1.0 - levenshtein(da.prefix, db.prefix)
+                       / cast(greatest(length(da.prefix), length(db.prefix))
+                              as double), 6)
+             end as score
+      from d da
+      join d db on db.doc_id = da.doc_id + 1
+    ),
+    e as (
+      select ed.*, la.component as ca, lb.component as cb
+      from edges ed
+      join lab la on la.doc_id = ed.id_a
+      join lab lb on lb.doc_id = ed.id_b
+    ),
+    intra as (
+      select ca as cluster, count(*) as n_edges,
+             avg(score) as avg_s, min(score) as min_s
+      from e where ca = cb group by ca
+    ),
+    outc as (
+      select cluster, count(*) as out_edges from (
+        select ca as cluster from e where ca <> cb
+        union all
+        select cb as cluster from e where ca <> cb
+      ) group by cluster
+    ),
+    sizes as (select component as cluster, count(*) as n_nodes
+              from lab group by component),
+    fullt as (
+      select s.cluster, s.n_nodes,
+             coalesce(i.n_edges, 0) as n_edges,
+             round(coalesce(i.avg_s, 0.0), 6) as avg_score,
+             round(coalesce(i.min_s, 0.0), 6) as min_score,
+             coalesce(o.out_edges, 0) as out_edges
+      from sizes s
+      left join intra i on i.cluster = s.cluster
+      left join outc o on o.cluster = s.cluster
+    )
+    select cluster, n_nodes, n_edges::bigint as n_edges, avg_score,
+           min_score, out_edges::bigint as out_edges,
+           round(case when n_nodes = 1 then 1.0
+                 else n_edges / (n_nodes * (n_nodes - 1) / 2.0) end,
+                 6) as density,
+           round(case when n_edges + out_edges > 0
+                 then out_edges / (n_edges + out_edges)::double
+                 else 0.0 end, 6) as boundary_ratio
+    from fullt
+    """
+
+    # Diff twin: blocking-key labeling vs source labeling, cells +
+    # row/column degrees, the same fate decision table.
+    sql["cluster_diff"] = f"""
+    with bk as ({sql["blocking_keys"]}),
+    la as (select doc_id, bk_lang_size as cluster_a from bk),
+    lb as (select doc_id, source as cluster_b from documents),
+    cells as (
+      select la.cluster_a, lb.cluster_b, count(*) as n
+      from la join lb using (doc_id)
+      group by la.cluster_a, lb.cluster_b
+    ),
+    da as (select cluster_a, count(*) as deg_a from cells group by cluster_a),
+    db as (select cluster_b, count(*) as deg_b from cells group by cluster_b)
+    select c.cluster_a, c.cluster_b, c.n::bigint as n,
+           case when da.deg_a = 1 and db.deg_b = 1 then 'stable'
+                when da.deg_a > 1 and db.deg_b = 1 then 'split'
+                when da.deg_a = 1 and db.deg_b > 1 then 'merge'
+                else 'rearranged' end as fate
+    from cells c
+    join da using (cluster_a)
+    join db using (cluster_b)
     """
 
     sql["dedup_keep_best"] = """

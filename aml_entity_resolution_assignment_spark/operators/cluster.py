@@ -332,3 +332,134 @@ def resolve_entities(
     vertices = every record (singletons included)."""
     edges = classified.where(F.col("is_match") == 1).select("id_a", "id_b")
     return connected_components(edges, vertices=keyed, id_col=id_col)
+
+
+def cluster_cohesion(
+    labels: DataFrame,
+    scored_edges: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "cluster",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-cluster quality diagnostics — the monitoring table an ER
+    deployment watches to catch over-merging before users do: for each
+    cluster, its size, internal edge count/strength (avg + weakest
+    edge — a low min_score flags a bridge edge gluing two real
+    entities), internal density vs the complete graph, and how many
+    scored edges cross the cluster boundary (boundary_ratio ~ 0 means
+    well-separated).
+
+    Scale shape: two hydration joins label the edge endpoints, one
+    groupBy per side for the boundary counts, one for the intra
+    metrics, one for sizes — all shuffles keyed by cluster id, the
+    same key AND cardinality as the clustering output itself. No
+    per-cluster iteration, no collect; singleton clusters (no edges)
+    survive via the left joins with density 1.0 by convention.
+    """
+    la = labels.select(
+        F.col(id_col).alias("id_a"), F.col(label_col).alias("_ca")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("id_b"), F.col(label_col).alias("_cb")
+    )
+    e = scored_edges.join(la, "id_a").join(lb, "id_b")
+
+    intra = (
+        e.where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias(label_col))
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.avg(score_col).alias("_avg"),
+            F.min(score_col).alias("_min"),
+        )
+    )
+    # a crossing edge is a boundary edge of BOTH endpoint clusters
+    cross = e.where(F.col("_ca") != F.col("_cb"))
+    out = (
+        cross.select(F.col("_ca").alias(label_col))
+        .unionAll(cross.select(F.col("_cb").alias(label_col)))
+        .groupBy(label_col)
+        .agg(F.count("*").alias("out_edges"))
+    )
+    sizes = labels.groupBy(
+        F.col(label_col).alias(label_col)
+    ).agg(F.count("*").alias("n_nodes"))
+
+    full = (
+        sizes.join(intra, label_col, "left")
+        .join(out, label_col, "left")
+        .select(
+            label_col,
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.round(F.coalesce("_avg", F.lit(0.0)), 6).alias("avg_score"),
+            F.round(F.coalesce("_min", F.lit(0.0)), 6).alias("min_score"),
+            F.coalesce("out_edges", F.lit(0)).alias("out_edges"),
+        )
+    )
+    possible = (F.col("n_nodes") * (F.col("n_nodes") - 1)) / 2.0
+    density = F.when(F.col("n_nodes") == 1, F.lit(1.0)).otherwise(
+        F.col("n_edges") / possible
+    )
+    denom = F.col("n_edges") + F.col("out_edges")
+    return full.select(
+        "*",
+        F.round(density, 6).alias("density"),
+        F.round(
+            F.when(denom > 0, F.col("out_edges") / denom).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("boundary_ratio"),
+    )
+
+
+def cluster_diff(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "cluster",
+) -> DataFrame:
+    """Transition table between two clusterings of the same records —
+    the entity-churn report between resolution runs (what re-blocking,
+    a model update, or new data DID to the entities): each
+    (cluster_a, cluster_b) cell carries its record count and a fate
+    classified from the cell's row/column degree:
+
+      stable      — a maps to exactly one b and vice versa
+      split       — a fans out to several b (entity broke apart)
+      merge       — several a collapse into one b
+      rearranged  — both (records moved between entities)
+
+    One inner join on the record id + one groupBy to the transition
+    cells + two degree aggregates joined back — every shuffle is keyed
+    by cluster id; cells, not records, flow after the first groupBy.
+    """
+    a = labels_a.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("cluster_a")
+    )
+    b = labels_b.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("cluster_b")
+    )
+    cells = (
+        a.join(b, "_id")
+        .groupBy("cluster_a", "cluster_b")
+        .agg(F.count("*").alias("n"))
+    )
+    deg_a = cells.groupBy("cluster_a").agg(
+        F.count("*").alias("_deg_a")
+    )
+    deg_b = cells.groupBy("cluster_b").agg(
+        F.count("*").alias("_deg_b")
+    )
+    fate = (
+        F.when((F.col("_deg_a") == 1) & (F.col("_deg_b") == 1), "stable")
+        .when((F.col("_deg_a") > 1) & (F.col("_deg_b") == 1), "split")
+        .when((F.col("_deg_a") == 1) & (F.col("_deg_b") > 1), "merge")
+        .otherwise("rearranged")
+    )
+    return (
+        cells.join(deg_a, "cluster_a")
+        .join(deg_b, "cluster_b")
+        .select("cluster_a", "cluster_b", "n", fate.alias("fate"))
+    )

@@ -157,3 +157,55 @@ def test_incremental_cc_merge_chain_through_batch(spark):
         for r in incremental_connected_components(assignments, delta).collect()
     }
     assert got == {v: "a1" for v in ["a1", "a2", "b1", "b2", "c1", "c2"]}
+
+
+def test_cluster_cohesion_metrics(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        cluster_cohesion,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "C")],
+        "doc_id long, cluster string",
+    )
+    # A: edges 1-2 (0.9), 2-3 (0.5); boundary 3-4; B-C boundary 4-5;
+    # C singleton otherwise
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.5), (3, 4, 0.4), (4, 5, 0.3)],
+        "id_a long, id_b long, score double",
+    )
+    out = {r.cluster: r for r in cluster_cohesion(labels, edges).collect()}
+    a, b, c = out["A"], out["B"], out["C"]
+    assert (a.n_nodes, a.n_edges, a.out_edges) == (3, 2, 1)
+    assert a.avg_score == 0.7 and a.min_score == 0.5
+    assert a.density == round(2 / 3, 6)
+    assert a.boundary_ratio == round(1 / 3, 6)
+    assert (b.n_nodes, b.n_edges, b.out_edges) == (1, 0, 2)
+    assert b.density == 1.0 and b.boundary_ratio == 1.0
+    assert (c.n_nodes, c.n_edges, c.out_edges) == (1, 0, 1)
+
+
+def test_cluster_diff_fates(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        cluster_diff,
+    )
+
+    # a1 stable->b1; a2 splits into b2+b3; a3+a4 merge into b4;
+    # a5/a6 <-> b5/b6 rearranged
+    la = [(1, "a1"), (2, "a2"), (3, "a2"), (4, "a3"), (5, "a4"),
+          (6, "a5"), (7, "a5"), (8, "a6"), (9, "a6")]
+    lb = [(1, "b1"), (2, "b2"), (3, "b3"), (4, "b4"), (5, "b4"),
+          (6, "b5"), (7, "b6"), (8, "b5"), (9, "b6")]
+    A = spark.createDataFrame(la, "doc_id long, cluster string")
+    B = spark.createDataFrame(lb, "doc_id long, cluster string")
+    out = {
+        (r.cluster_a, r.cluster_b): (r.n, r.fate)
+        for r in cluster_diff(A, B).collect()
+    }
+    assert out[("a1", "b1")] == (1, "stable")
+    assert out[("a2", "b2")] == (1, "split")
+    assert out[("a2", "b3")] == (1, "split")
+    assert out[("a3", "b4")] == (1, "merge")
+    assert out[("a4", "b4")] == (1, "merge")
+    for cell in [("a5", "b5"), ("a5", "b6"), ("a6", "b5"), ("a6", "b6")]:
+        assert out[cell] == (1, "rearranged")
