@@ -535,6 +535,62 @@ def q_fs_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FS_ML_FIELDS = ["g_prefix3", "g_lang", "g_source"]
+_FS_ML_LEVELS = [3, 2, 2]
+
+
+def _fs_ml_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level agreement vectors: a 3-level prefix comparison
+    (exact-ish / close / disagree), binary lang, and a source flag
+    with deterministic injected missingness ((id_a+id_b) % 7 == 0 —
+    the 'field not collected' case the multilevel model must ignore).
+    Persisted like _fs_flagged (pattern pass + scoring join)."""
+    from aml_entity_resolution_assignment_spark.operators.candidates import (
+        _PERSISTED,
+    )
+
+    feats = q_pair_features(spark, sf_dir)
+    flagged = feats.select(
+        "id_a",
+        "id_b",
+        F.when(F.col("prefix_score") >= 0.9, 2)
+        .when(F.col("prefix_score") >= 0.6, 1)
+        .otherwise(0)
+        .alias("g_prefix3"),
+        F.col("lang_match").cast("int").alias("g_lang"),
+        F.when(
+            F.pmod(F.col("id_a") + F.col("id_b"), F.lit(7)) == 0,
+            F.lit(None).cast("int"),
+        )
+        .otherwise(F.col("source_match").cast("int"))
+        .alias("g_source"),
+    ).persist()
+    _PERSISTED.append(flagged)
+    return flagged
+
+
+def q_fellegi_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level missing-aware Fellegi-Sunter (the Splink model):
+    categorical comparison levels per field, NULL comparisons carry
+    zero evidence and are excluded from that field's m/u normalizer
+    (operators/fellegi.py:fellegi_sunter_multilevel — one groupBy to
+    <= prod(levels+1) patterns, closed-form EM driver-side, broadcast
+    score join)."""
+    out = FS.fellegi_sunter_multilevel(
+        _fs_ml_flagged(spark, sf_dir),
+        _FS_ML_FIELDS,
+        _FS_ML_LEVELS,
+        iters=_FS_ITERS,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        *_FS_ML_FIELDS,
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("posterior", 6).alias("posterior"),
+    )
+
+
 def q_fs_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall/F1 sweep over every distinct F-S posterior
     threshold, truth = same-source pairs (operators/evaluate.py:
@@ -4684,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cascade": q_rule_cascade,
         "fellegi": q_fellegi,
         "fellegi_tf": q_fellegi_tf,
+        "fellegi_ml": q_fellegi_ml,
         "fs_review_queue": q_fs_review_queue,
         "fs_pr_curve": q_fs_pr_curve,
         "fs_calibration": q_fs_calibration,
@@ -5199,6 +5256,36 @@ def oracle_sql() -> dict[str, str]:
     join fs_scores s using (g_prefix, g_lang, g_source, g_hash)
     order by uncertainty asc, f.id_a, f.id_b
     limit 100
+    """
+
+    # Multi-level twin: 3-level prefix / binary lang / missing-injected
+    # source gammas, then the unrolled multilevel EM (per-(field,level)
+    # m/u columns, missing excluded from normalizers) — generated by
+    # the same fs_ml_oracle_cte the unit twin test pins.
+    _fs_ml_cte = FS.fs_ml_oracle_cte(
+        _FS_ML_FIELDS, _FS_ML_LEVELS, "fml", iters=_FS_ITERS
+    )
+    _ml_join = " and ".join(
+        f"coalesce(f.{f}, -1) = s.{f}" for f in _FS_ML_FIELDS
+    )
+    sql["fellegi_ml"] = f"""
+    with f0 as ({_feats}),
+    fml as (
+      select id_a, id_b,
+             case when prefix_score >= 0.9 then 2
+                  when prefix_score >= 0.6 then 1
+                  else 0 end as g_prefix3,
+             lang_match::int as g_lang,
+             case when (id_a + id_b) % 7 = 0 then null
+                  else source_match::int end as g_source
+      from f0
+    ),
+    {_fs_ml_cte}
+    select f.id_a, f.id_b, f.g_prefix3, f.g_lang, f.g_source,
+           round(s.match_weight, 6) as match_weight,
+           round(s.posterior, 6) as posterior
+    from fml f
+    join fs_scores s on {_ml_join}
     """
 
     # the agreement-vector CTE the F-S eval twins share

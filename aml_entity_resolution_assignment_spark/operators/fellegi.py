@@ -419,3 +419,241 @@ def explain_weights(
     return pairs.select(
         "*", *cols, F.round(total, 6).alias("match_weight_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level gamma F-S with missing-data handling (the Splink model)
+# ---------------------------------------------------------------------------
+#
+# Production linkers compare fields at CATEGORICAL levels (exact /
+# close / disagree ...) rather than binary agree/disagree, and treat a
+# NULL comparison (field not collected on either side) as NO EVIDENCE:
+# the pair's likelihood simply omits that field, and the field's
+# m/u estimation normalizes over observed pairs only. Same scale shape
+# as the binary model: one groupBy reduces N pairs to at most
+# prod(levels_j + 1) pattern rows (missing is one extra symbol), EM
+# iterates driver-side in closed form, scoring is a broadcast join.
+
+MISSING = -1
+
+
+def multilevel_init(levels: int) -> tuple[list[float], list[float]]:
+    """Deterministic symmetry-breaking init for one field: m puts
+    geometric mass on HIGH (more-agreeing) levels, u the mirror image
+    — m_l ~ 2^l, u_l ~ 2^(L-1-l), each normalized and rounded to
+    PARAM_DECIMALS so a SQL twin can interpolate the exact literals."""
+    wm = [2.0 ** l for l in range(levels)]
+    s = sum(wm)
+    m = [round(x / s, PARAM_DECIMALS) for x in wm]
+    return m, list(reversed(m))
+
+
+def fs_em_multilevel(
+    patterns: list[tuple[tuple[int, ...], int]],
+    levels: Sequence[int],
+    iters: int = 10,
+    lam0: float = 0.1,
+) -> tuple[float, list[list[float]], list[list[float]]]:
+    """Closed-form EM over multi-level pattern counts (driver-side).
+
+    patterns: [(gamma_tuple, count)] with gamma_j in {MISSING, 0, ...,
+    levels[j]-1}.  Returns (lambda, m[j][l], u[j][l]); missing entries
+    contribute neither to the E-step likelihood nor to the field's
+    M-step normalizer.  Every M-step rounds to PARAM_DECIMALS (same
+    trajectory-pinning contract as fs_em).
+    """
+    k = len(levels)
+    inits = [multilevel_init(levels_j) for levels_j in levels]
+    m = [list(mi) for mi, _ in inits]
+    u = [list(ui) for _, ui in inits]
+    lam = float(lam0)
+    eps = 1e-9
+
+    for _ in range(iters):
+        sw = 0.0
+        sn = 0.0
+        smg = [[0.0] * levels[j] for j in range(k)]
+        sug = [[0.0] * levels[j] for j in range(k)]
+        obs_m = [0.0] * k  # sum n*w over patterns with field observed
+        obs_u = [0.0] * k
+        for g, n in patterns:
+            pm, pu = lam, 1.0 - lam
+            for j in range(k):
+                if g[j] != MISSING:
+                    pm *= m[j][g[j]]
+                    pu *= u[j][g[j]]
+            w = pm / (pm + pu) if (pm + pu) > 0 else 0.0
+            sw += n * w
+            sn += n
+            for j in range(k):
+                if g[j] != MISSING:
+                    smg[j][g[j]] += n * w
+                    sug[j][g[j]] += n * (1.0 - w)
+                    obs_m[j] += n * w
+                    obs_u[j] += n * (1.0 - w)
+        lam = round(min(max(sw / sn, eps), 1 - eps), PARAM_DECIMALS)
+        for j in range(k):
+            for lv in range(levels[j]):
+                m[j][lv] = round(
+                    min(max(smg[j][lv] / obs_m[j], eps), 1 - eps),
+                    PARAM_DECIMALS,
+                )
+                u[j][lv] = round(
+                    min(max(sug[j][lv] / obs_u[j], eps), 1 - eps),
+                    PARAM_DECIMALS,
+                )
+    return lam, m, u
+
+
+def fellegi_sunter_multilevel(
+    pairs: DataFrame,
+    fields: Sequence[str],
+    levels: Sequence[int],
+    iters: int = 10,
+    lam0: float = 0.1,
+) -> DataFrame:
+    """Fit the multi-level missing-aware F-S model by EM and score
+    every pair: adds `match_weight` (sum over OBSERVED fields of
+    log2(m_l/u_l); missing fields add 0) and `posterior`.  NULL field
+    values mark the comparison as missing.  One groupBy + one
+    broadcast join, exactly like the binary fellegi_sunter."""
+    k = len(fields)
+    key = [
+        F.coalesce(F.col(f).cast("int"), F.lit(MISSING)).alias(f)
+        for f in fields
+    ]
+    pat_df = pairs.select(*key).groupBy(*fields).agg(
+        F.count("*").alias("n")
+    )
+    rows = pat_df.collect()  # <= prod(levels+1) rows
+    pats = [
+        (tuple(int(r[f]) for f in fields), int(r["n"])) for r in rows
+    ]
+    lam, m, u = fs_em_multilevel(pats, levels, iters=iters, lam0=lam0)
+
+    scored = []
+    for g, _n in pats:
+        wlog = 0.0
+        pm, pu = lam, 1.0 - lam
+        for j in range(k):
+            if g[j] != MISSING:
+                wlog += math.log2(m[j][g[j]] / u[j][g[j]])
+                pm *= m[j][g[j]]
+                pu *= u[j][g[j]]
+        scored.append(tuple(g) + (float(wlog), float(pm / (pm + pu))))
+    spark = pairs.sparkSession
+    schema = (
+        ", ".join(f"{f} int" for f in fields)
+        + ", match_weight double, posterior double"
+    )
+    weights = spark.createDataFrame(scored, schema)
+
+    keyed = pairs.select(
+        "*",
+        *[
+            F.coalesce(F.col(f).cast("int"), F.lit(MISSING)).alias(
+                f"_g_{f}"
+            )
+            for f in fields
+        ],
+    )
+    w = weights.select(
+        *[F.col(f).alias(f"_g_{f}") for f in fields],
+        "match_weight",
+        "posterior",
+    )
+    return keyed.join(
+        F.broadcast(w), [f"_g_{f}" for f in fields], "left"
+    ).drop(*[f"_g_{f}" for f in fields])
+
+
+def fs_ml_oracle_cte(
+    fields: Sequence[str],
+    levels: Sequence[int],
+    pairs_cte: str,
+    iters: int = 10,
+    lam0: float = 0.1,
+) -> str:
+    """DuckDB twin of the multi-level EM + scoring, unrolled like
+    fs_oracle_cte: gamma columns of `pairs_cte` may be NULL (missing);
+    pats coalesces to -1; each iteration is one weights CTE + one
+    params CTE with per-(field, level) m{j}_{l}/u{j}_{l} columns and
+    the identical PARAM_DECIMALS rounding; final fs_scores yields
+    (fields..., match_weight, posterior) per pattern."""
+    k = len(fields)
+    gl = ", ".join(f"coalesce({f}, -1) as {f}" for f in fields)
+    names = ", ".join(fields)
+    parts = [
+        f"pats as materialized (select {gl}, count(*)::double as n "
+        f"from {pairs_cte} group by all)"
+    ]
+    init_cols = []
+    for j in range(k):
+        mi, ui = multilevel_init(levels[j])
+        for lv in range(levels[j]):
+            init_cols.append(f"{mi[lv]!r}::double as m{j}_{lv}")
+            init_cols.append(f"{ui[lv]!r}::double as u{j}_{lv}")
+    parts.append(
+        f"par0 as materialized (select {lam0!r}::double as lam, "
+        + ", ".join(init_cols)
+        + ")"
+    )
+
+    def _prob(p: str, which: str) -> str:
+        terms = []
+        for j, f in enumerate(fields):
+            case = " ".join(
+                f"when {lv} then {p}.{which}{j}_{lv}"
+                for lv in range(levels[j])
+            )
+            terms.append(f"(case {f} {case} else 1.0 end)")
+        return " * ".join(terms)
+
+    for i in range(1, iters + 1):
+        p = f"par{i - 1}"
+        parts.append(
+            f"e{i} as materialized (select pats.*, "
+            f"{p}.lam * {_prob(p, 'm')} as pm, "
+            f"(1 - {p}.lam) * {_prob(p, 'u')} as pu from pats, {p})"
+        )
+        parts.append(
+            f"w{i} as materialized (select *, "
+            f"case when pm + pu > 0 then pm / (pm + pu) else 0 end as w "
+            f"from e{i})"
+        )
+        upd = []
+        for j, f in enumerate(fields):
+            for lv in range(levels[j]):
+                upd.append(
+                    f"round(least(greatest("
+                    f"sum(n * w * ({f} = {lv})::int) "
+                    f"/ sum(n * w * ({f} >= 0)::int), 1e-9), 1 - 1e-9), "
+                    f"{PARAM_DECIMALS}) as m{j}_{lv}"
+                )
+                upd.append(
+                    f"round(least(greatest("
+                    f"sum(n * (1 - w) * ({f} = {lv})::int) "
+                    f"/ sum(n * (1 - w) * ({f} >= 0)::int), 1e-9), "
+                    f"1 - 1e-9), {PARAM_DECIMALS}) as u{j}_{lv}"
+                )
+        parts.append(
+            f"par{i} as materialized (select "
+            f"round(least(greatest(sum(n * w) / sum(n), 1e-9), 1 - 1e-9), "
+            f"{PARAM_DECIMALS}) as lam, " + ", ".join(upd) + f" from w{i})"
+        )
+    p = f"par{iters}"
+    wsum = []
+    for j, f in enumerate(fields):
+        case = " ".join(
+            f"when {lv} then log2({p}.m{j}_{lv} / {p}.u{j}_{lv})"
+            for lv in range(levels[j])
+        )
+        wsum.append(f"(case {f} {case} else 0.0 end)")
+    parts.append(
+        f"fs_scores as materialized (select {names}, "
+        + " + ".join(wsum)
+        + f" as match_weight, ({p}.lam * {_prob(p, 'm')}) / "
+        f"({p}.lam * {_prob(p, 'm')} + (1 - {p}.lam) * {_prob(p, 'u')}) "
+        f"as posterior from pats, {p})"
+    )
+    return ",\n".join(parts)

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "scd2",  # SCD type-2 intervals: gaps-and-islands, entity-local windows
     "mutual_best",  # symmetric-best 1:1 linkage: JW block join + dual ranking
     "soft_tfidf",  # idf-weighted best-JW token match (vocab joins + window)
+    "fellegi_ml",  # multi-level missing-aware F-S (Splink model) EM + score
 ]
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "8000"))
 # scaling evidence needs a compute-dominated run: big enough that the

@@ -238,3 +238,95 @@ def test_review_queue_uncertainty_topk(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def _synth_ml_pairs(spark, n=6000, lam=0.25, seed=11):
+    """3-level field, 2-level field, 2-level field with ~15% missing."""
+    m = [[0.05, 0.15, 0.8], [0.1, 0.9], [0.2, 0.8]]
+    u = [[0.7, 0.2, 0.1], [0.8, 0.2], [0.9, 0.1]]
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        probs = m if rng.random() < lam else u
+        g = []
+        for j, p in enumerate(probs):
+            x, acc, lv = rng.random(), 0.0, 0
+            for l_, pl in enumerate(p):
+                acc += pl
+                if x < acc:
+                    lv = l_
+                    break
+            if j == 2 and rng.random() < 0.15:
+                g.append(None)  # missing
+            else:
+                g.append(lv)
+        rows.append((i, i + n, *g))
+    return spark.createDataFrame(
+        rows, "id_a long, id_b long, g1 int, g2 int, g3 int"
+    )
+
+
+def test_ml_em_recovers_parameters(spark):
+    df = _synth_ml_pairs(spark)
+    out = FS.fellegi_sunter_multilevel(
+        df, ["g1", "g2", "g3"], [3, 2, 2], iters=30
+    )
+    # recompute the fit to inspect parameters
+    pats = [
+        (tuple(-1 if r[f] is None else int(r[f]) for f in ["g1", "g2", "g3"]),
+         int(r["n"]))
+        for r in df.selectExpr(
+            "coalesce(g1, -1) g1", "coalesce(g2, -1) g2", "coalesce(g3, -1) g3"
+        ).groupBy("g1", "g2", "g3").count()
+        .withColumnRenamed("count", "n").collect()
+    ]
+    lam, m, u = FS.fs_em_multilevel(pats, [3, 2, 2], iters=30)
+    assert abs(lam - 0.25) < 0.08
+    assert abs(m[0][2] - 0.8) < 0.1 and abs(u[0][0] - 0.7) < 0.1
+    assert abs(m[1][1] - 0.9) < 0.1 and abs(u[2][1] - 0.1) < 0.1
+    # missing rows carry zero evidence from g3: their weight equals
+    # the sum of the g1/g2 terms only
+    row = out.where(F.col("g3").isNull()).first()
+    expect = sum(
+        math.log2(m[j][row[f]] / u[j][row[f]])
+        for j, f in enumerate(["g1", "g2"])
+    )
+    assert row["match_weight"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_ml_partitioning_invariant(spark):
+    df = _synth_ml_pairs(spark, n=3000)
+    a = FS.fellegi_sunter_multilevel(df, ["g1", "g2", "g3"], [3, 2, 2])
+    b = FS.fellegi_sunter_multilevel(
+        df.repartition(13), ["g1", "g2", "g3"], [3, 2, 2]
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ml_oracle_cte_matches_python_em(spark):
+    duckdb = pytest.importorskip("duckdb")
+    df = _synth_ml_pairs(spark, n=4000)
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("pairs_in", pdf)
+    cte = FS.fs_ml_oracle_cte(
+        ["g1", "g2", "g3"], [3, 2, 2], "pairs_in", iters=10
+    )
+    got = con.execute(
+        f"with {cte} select * from fs_scores order by g1, g2, g3"
+    ).df()
+    out = FS.fellegi_sunter_multilevel(
+        df, ["g1", "g2", "g3"], [3, 2, 2], iters=10
+    )
+    want = {
+        (r["g1"], r["g2"], r["g3"]): (r["match_weight"], r["posterior"])
+        for r in out.selectExpr(
+            "coalesce(g1, -1) g1", "coalesce(g2, -1) g2",
+            "coalesce(g3, -1) g3", "match_weight", "posterior"
+        ).distinct().collect()
+    }
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        mw, po = want[(int(r.g1), int(r.g2), int(r.g3))]
+        assert round(mw, 6) == round(r.match_weight, 6)
+        assert round(po, 6) == round(r.posterior, 6)
