@@ -692,3 +692,32 @@ def test_er_stream_routes_late_pages_by_event_time(spark, tmp_path_factory):
         got["http://acme.example/c"] == got["http://acme.example/a"]
         == got["http://acme.example/b"]
     )
+
+
+def test_table_format_matrix_roundtrip(spark, tmp_path_factory, monkeypatch):
+    """TABLE_FORMAT is the one swap point between storage formats: the
+    same write_table/read_table calls must round-trip identically on
+    parquet AND orc (both Spark-native; orc is the common non-parquet
+    lakehouse format), including partition dirs and sort_by."""
+    from aml_entity_resolution_assignment_spark.sources import io as sio
+
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "de", "b"), (3, "en", "c")],
+        "doc_id long, lang string, text string",
+    )
+    want = sorted(map(tuple, df.collect()))
+    for fmt in ("parquet", "orc"):
+        base = str(tmp_path_factory.mktemp(f"fmt_{fmt}"))
+        monkeypatch.setattr(sio, "TABLE_FORMAT", fmt)
+        sio.write_table(df, base, "t", partition_by=["lang"], sort_by=["doc_id"])
+        back = sio.read_table(spark, base, "t").select("doc_id", "lang", "text")
+        assert sorted(map(tuple, back.collect())) == want, fmt
+        # partition pruning must hold in both formats
+        plan = (
+            sio.read_table(spark, base, "t")
+            .where("lang = 'en'")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan, fmt
