@@ -164,6 +164,43 @@ def q_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEL_KEYS = ["bk_prefix", "bk_source", "bk_lang_size"]
+
+
+def q_select_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key design report: greedy max-marginal-recall ordering
+    of the candidate keys against same-source true pairs
+    (operators/blocking.py:select_blocking_keys — one distributed
+    coverage-bitmask pass to <= 2^k rows, then driver-side greedy set
+    cover; the standard (1-1/e) approximation)."""
+    keyed = q_blocking_keys(spark, sf_dir)
+    tp = q_pairs_from_clusters(spark, sf_dir)
+    return B.select_blocking_keys(tp, keyed, _SEL_KEYS)
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the total duplicate-pair
+    population from two independent blocking schemes (bk_source blocks
+    vs bk_lang_size blocks) — the blocking-recall estimator that needs
+    NO exhaustive ground truth (operators/evaluate.py:
+    capture_recapture)."""
+    keyed = q_blocking_keys(spark, sf_dir)
+
+    def _block_pairs(key: str) -> DataFrame:
+        x = keyed.select(F.col("doc_id").alias("id_a"), F.col(key).alias("_k"))
+        y = keyed.select(F.col("doc_id").alias("id_b"), F.col(key).alias("_k"))
+        return (
+            x.join(y, "_k")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(F.col("_k").isNotNull())
+            .select("id_a", "id_b")
+        )
+
+    return E.capture_recapture(
+        _block_pairs("bk_source"), _block_pairs("bk_lang_size")
+    )
+
+
 def q_key_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6: key-count histogram."""
     d = q_blocking_keys(spark, sf_dir)
@@ -4639,6 +4676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex": q_soundex,
         "blocking_keys": q_blocking_keys,
         "key_coverage": q_key_coverage,
+        "select_keys": q_select_keys,
+        "capture_recapture": q_capture_recapture,
         "block_stats": q_block_stats,
         "snm_pairs": q_snm_pairs,
         "metablocking": q_metablocking,
@@ -5574,6 +5613,89 @@ def oracle_sql() -> dict[str, str]:
     select a.doc_id as id_a, b.doc_id as id_b
     from documents a join documents b on a.source = b.source
     where a.doc_id < b.doc_id
+    """
+
+    # Greedy key-selection twin: the same coverage bitmask (CASE guards
+    # NULL keys to not-covered), <= 2^3 mask counts, then the 3-step
+    # greedy unrolled — each step is a 1-row argmax CTE (gain desc,
+    # key index asc) filtering masks already covered by prior picks.
+    sql["select_keys"] = f"""
+    with bk as ({sql["blocking_keys"]}),
+    tp as ({sql["pairs_from_clusters"]}),
+    m as (
+      select (case when a.bk_prefix is not null
+                    and a.bk_prefix = b.bk_prefix then 1 else 0 end
+            + case when a.bk_source is not null
+                    and a.bk_source = b.bk_source then 2 else 0 end
+            + case when a.bk_lang_size is not null
+                    and a.bk_lang_size = b.bk_lang_size then 4 else 0 end
+             )::bigint as mask
+      from tp
+      join bk a on tp.id_a = a.doc_id
+      join bk b on tp.id_b = b.doc_id
+    ),
+    mc as (select mask, count(*)::bigint as n from m group by mask),
+    tot as (select coalesce(sum(n), 0)::double as t from mc),
+    ks(j) as (values (0), (1), (2)),
+    g1 as (select ks.j, coalesce(sum(mc.n * ((mc.mask >> ks.j) & 1)), 0) as gain
+           from ks left join mc on true group by ks.j),
+    s1 as (select j, gain from g1 order by gain desc, j limit 1),
+    g2 as (select ks.j, coalesce(sum(mc.n * ((mc.mask >> ks.j) & 1)), 0) as gain
+           from ks cross join s1
+           left join mc on (mc.mask & (1::bigint << s1.j)) = 0
+           where ks.j <> s1.j group by ks.j),
+    s2 as (select j, gain from g2 order by gain desc, j limit 1),
+    g3 as (select ks.j, coalesce(sum(mc.n * ((mc.mask >> ks.j) & 1)), 0) as gain
+           from ks cross join s1 cross join s2
+           left join mc on (mc.mask
+                 & ((1::bigint << s1.j) | (1::bigint << s2.j))) = 0
+           where ks.j <> s1.j and ks.j <> s2.j group by ks.j),
+    s3 as (select j, gain from g3 order by gain desc, j limit 1),
+    steps as (
+      select 1 as step, s1.j as j, s1.gain as gain, s1.gain as cum from s1
+      union all
+      select 2, s2.j, s2.gain, s1.gain + s2.gain from s1, s2
+      union all
+      select 3, s3.j, s3.gain, s1.gain + s2.gain + s3.gain
+      from s1, s2, s3
+    )
+    select step,
+           case j when 0 then 'bk_prefix' when 1 then 'bk_source'
+                  else 'bk_lang_size' end as key,
+           gain::bigint as gain, cum::bigint as cum_covered,
+           round(case when tot.t > 0 then cum / tot.t else 0.0 end, 6)
+             as cum_recall
+    from steps, tot
+    """
+
+    # Capture-recapture twin: two block-pair captures, Chapman
+    # estimator (n1+1)(n2+1)/(m+1) - 1 on the same scalar counts.
+    sql["capture_recapture"] = f"""
+    with bk as ({sql["blocking_keys"]}),
+    pa as (select distinct x.doc_id as id_a, y.doc_id as id_b
+           from bk x join bk y on x.bk_source = y.bk_source
+           where x.doc_id < y.doc_id and x.bk_source is not null),
+    pb as (select distinct x.doc_id as id_a, y.doc_id as id_b
+           from bk x join bk y on x.bk_lang_size = y.bk_lang_size
+           where x.doc_id < y.doc_id and x.bk_lang_size is not null),
+    sc as (
+      select (select count(*) from pa) as n1,
+             (select count(*) from pb) as n2,
+             (select count(*) from pa
+              where exists (select 1 from pb
+                            where pb.id_a = pa.id_a
+                              and pb.id_b = pa.id_b)) as m
+    )
+    select n1::bigint as n1, n2::bigint as n2, m::bigint as overlap,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 6)
+             as est_total,
+           round(case when (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 > 0
+                 then n1 / ((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0)
+                 else 0.0 end, 6) as recall_a,
+           round(case when (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 > 0
+                 then n2 / ((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0)
+                 else 0.0 end, 6) as recall_b
+    from sc
     """
 
     sql["review_credit"] = f"""

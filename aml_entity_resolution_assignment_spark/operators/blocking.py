@@ -253,3 +253,119 @@ def sorted_neighborhood_pairs(
             F.col("gap").cast("int").alias("gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-key selection (greedy set cover over the coverage bitmask)
+# ---------------------------------------------------------------------------
+
+
+def key_coverage_masks(
+    true_pairs: DataFrame,
+    keyed: DataFrame,
+    keys: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """For each labeled true pair, which candidate blocking keys would
+    have caught it — reduced to the per-BITMASK pair counts.
+
+    A pair is covered by key j iff both records carry a non-null equal
+    value for it. The mask (bit j set = covered by key j) collapses
+    the true-pair table to at most 2^len(keys) rows — the same
+    aggregate-sized-reduction trick as the F-S pattern table, and what
+    makes the downstream greedy selection a driver-side scalar loop
+    instead of len(keys) cluster passes. Two hydration joins + one
+    groupBy; shuffles are pair-table-sized once, mask-sized after."""
+    a = keyed.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(k).alias(f"_a_{k}") for k in keys],
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(k).alias(f"_b_{k}") for k in keys],
+    )
+    mask = None
+    for j, k in enumerate(keys):
+        # when() (not a bare cast) so a NULL on either side reads as
+        # not-covered instead of nulling the whole mask sum
+        cond = F.col(f"_a_{k}").isNotNull() & (
+            F.col(f"_a_{k}") == F.col(f"_b_{k}")
+        )
+        bit = F.when(cond, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        mask = bit if mask is None else mask + bit
+    return (
+        true_pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(mask.alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def greedy_key_selection(
+    mask_counts: list[tuple[int, int]], n_keys: int
+) -> list[tuple[int, int, int, int]]:
+    """Greedy max-marginal-recall ordering of candidate blocking keys
+    over the bitmask counts (driver-side, <= 2^n_keys rows — the
+    aggregate-sized-collect policy). Classic greedy set cover: each
+    step picks the key covering the most NOT-yet-covered true pairs
+    (ties on the smaller key index), the standard (1 - 1/e)
+    approximation to the NP-hard optimal key set. Returns
+    [(step, key_idx, gain, cum_covered), ...] for ALL keys, including
+    zero-gain tail picks (the 'this key buys nothing' signal)."""
+    picked_bits = 0
+    out = []
+    cum = 0
+    remaining = list(range(n_keys))
+    for step in range(1, n_keys + 1):
+        best_j, best_gain = None, -1
+        for j in remaining:
+            gain = sum(
+                n
+                for mask, n in mask_counts
+                if (mask >> j) & 1 and (mask & picked_bits) == 0
+            )
+            if gain > best_gain:
+                best_j, best_gain = j, gain
+        picked_bits |= 1 << best_j
+        cum += best_gain
+        remaining.remove(best_j)
+        out.append((step, best_j, best_gain, cum))
+    return out
+
+
+def select_blocking_keys(
+    true_pairs: DataFrame,
+    keyed: DataFrame,
+    keys: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The blocking-design report: greedy key ordering with marginal
+    and cumulative recall against labeled true pairs — which keys to
+    keep, in which order, and where coverage saturates. One
+    distributed mask pass (key_coverage_masks), then the greedy loop
+    on the collected aggregate; recall denominators count every true
+    pair (mask 0 rows included)."""
+    rows = key_coverage_masks(true_pairs, keyed, keys, id_col).collect()
+    counts = [(int(r["mask"]), int(r["n"])) for r in rows]
+    total = sum(n for _, n in counts)
+    sel = greedy_key_selection(counts, len(keys))
+    spark = true_pairs.sparkSession
+    out = [
+        (
+            step,
+            keys[j],
+            gain,
+            cum,
+            round(cum / total, 6) if total else 0.0,
+        )
+        for step, j, gain, cum in sel
+    ]
+    return spark.createDataFrame(
+        out,
+        "step int, key string, gain long, cum_covered long, "
+        "cum_recall double",
+    )

@@ -486,3 +486,41 @@ def calibration_bins(
         F.round(gap, 6).alias("gap"),
         F.round("_ece", 6).alias("ece"),
     )
+
+
+def capture_recapture(
+    pairs_a: DataFrame, pairs_b: DataFrame
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the TOTAL duplicate-pair
+    population from two independent blocking schemes — the standard
+    trick for estimating blocking recall when no exhaustive ground
+    truth exists (run two unrelated schemes, treat each as a 'capture'
+    of the underlying dup population):
+
+        N_hat = (n1 + 1)(n2 + 1) / (m + 1) - 1
+
+    with m = pairs caught by BOTH. Implied recall of each scheme =
+    n / N_hat. Orientation-normalized; one semi-join + three counts —
+    no materialized union, nothing driver-side but the scalars."""
+    norm = lambda df: df.select(  # noqa: E731
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).distinct()
+    a, b = norm(pairs_a), norm(pairs_b)
+    n1 = a.count()
+    n2 = b.count()
+    m = a.join(b, ["id_a", "id_b"], "left_semi").count()
+    est = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    spark = pairs_a.sparkSession
+    return spark.createDataFrame(
+        [(
+            int(n1),
+            int(n2),
+            int(m),
+            round(est, 6),
+            round(n1 / est, 6) if est > 0 else 0.0,
+            round(n2 / est, 6) if est > 0 else 0.0,
+        )],
+        "n1 long, n2 long, overlap long, est_total double, "
+        "recall_a double, recall_b double",
+    )

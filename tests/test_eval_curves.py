@@ -154,3 +154,71 @@ def test_soft_tfidf_matches_bruteforce(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_greedy_key_selection_set_cover():
+    from aml_entity_resolution_assignment_spark.operators.blocking import (
+        greedy_key_selection,
+    )
+
+    # key0 covers 5 pairs, key1 covers 4, but key1's 4 are disjoint
+    # from key2's 3 while key0 overlaps key2 entirely: greedy picks
+    # key0 (5), then key1 (4 new), then key2 (0 new)
+    masks = [(0b001, 2), (0b101, 3), (0b010, 4), (0b000, 1)]
+    sel = greedy_key_selection(masks, 3)
+    assert sel == [(1, 0, 5, 5), (2, 1, 4, 9), (3, 2, 0, 9)]
+
+
+def test_greedy_key_selection_tiebreak():
+    from aml_entity_resolution_assignment_spark.operators.blocking import (
+        greedy_key_selection,
+    )
+
+    # equal gains -> smaller key index first
+    sel = greedy_key_selection([(0b11, 7)], 2)
+    assert sel == [(1, 0, 7, 7), (2, 1, 0, 7)]
+
+
+def test_select_blocking_keys_df(spark):
+    from aml_entity_resolution_assignment_spark.operators.blocking import (
+        select_blocking_keys,
+    )
+
+    keyed = spark.createDataFrame(
+        [
+            (1, "x", None),
+            (2, "x", "p"),
+            (3, "y", "p"),
+            (4, None, "q"),
+            (5, None, "q"),
+        ],
+        "doc_id long, k1 string, k2 string",
+    )
+    # true pairs: (1,2) covered by k1 only; (2,3) by k2 only;
+    # (4,5) by k2 only; (1,4) by neither
+    tp = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (1, 4)], "id_a long, id_b long"
+    )
+    out = {r.step: r for r in select_blocking_keys(tp, keyed, ["k1", "k2"]).collect()}
+    assert out[1].key == "k2" and out[1].gain == 2
+    assert out[2].key == "k1" and out[2].gain == 1
+    assert out[2].cum_covered == 3
+    assert out[2].cum_recall == 0.75  # (1,4) uncovered by any key
+
+
+def test_capture_recapture_chapman(spark):
+    from aml_entity_resolution_assignment_spark.operators.evaluate import (
+        capture_recapture,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a long, id_b long"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (3, 4), (9, 10)], "id_a long, id_b long"  # (2,1) reorients
+    )
+    (row,) = capture_recapture(a, b).collect()
+    assert (row.n1, row.n2, row.overlap) == (4, 3, 2)
+    est = 5.0 * 4.0 / 3.0 - 1.0
+    assert row.est_total == pytest.approx(round(est, 6))
+    assert row.recall_a == pytest.approx(round(4 / est, 6))
