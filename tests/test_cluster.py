@@ -209,3 +209,78 @@ def test_cluster_diff_fates(spark):
     assert out[("a4", "b4")] == (1, "merge")
     for cell in [("a5", "b5"), ("a5", "b6"), ("a6", "b5"), ("a6", "b6")]:
         assert out[cell] == (1, "rearranged")
+
+
+def test_star_clusters_chain_splits(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        star_clusters,
+    )
+
+    # chain a-b-c-d: CC gives ONE component; stars split at the weak
+    # middle — b (degree tie, smaller id) centers {a,b,c}, d is left
+    # with no adjacent center and stays a singleton
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "id_a string, id_b string"
+    )
+    out = {r.node: r.cluster for r in star_clusters(edges).collect()}
+    assert out == {"a": "b", "b": "b", "c": "b", "d": "d"}
+
+
+def test_star_clusters_hub(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        star_clusters,
+    )
+
+    # triangle a-b-c plus pendant c-d: c (deg 3) centers everyone
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "id_a string, id_b string",
+    )
+    out = {r.node: r.cluster for r in star_clusters(edges).collect()}
+    assert out == {"a": "c", "b": "c", "c": "c", "d": "c"}
+
+
+def test_star_clusters_partitioning_invariant(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        star_clusters,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = sorted(map(tuple, star_clusters(df).collect()))
+    b = sorted(map(tuple, star_clusters(df.repartition(13)).collect()))
+    assert a == b
+    # Re-derive TRUE centers from the spec (a node is a center iff no
+    # neighbor beats it on (degree desc, id asc)).  Note: self-labeled
+    # output nodes also include "lonely" non-centers with no adjacent
+    # center — those must not be confused with centers here.
+    adj: dict = {}
+    for x, y in {(x, y) for x, y in edges}:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    centers = {
+        n
+        for n in adj
+        if not any(
+            (deg[v], -v) > (deg[n], -n) for v in adj[n]
+        )
+    }
+    # centers form an independent set
+    for x, y in edges:
+        assert not (x != y and x in centers and y in centers), (x, y)
+    lab = dict(a)
+    for n, c in a:
+        if n in centers:
+            assert c == n  # centers label themselves
+        elif c != n:
+            # satellite: attached to an ADJACENT center
+            assert c in centers and c in adj[n], (n, c)
+        else:
+            # lonely singleton: genuinely no adjacent center
+            assert not (adj.get(n, set()) & centers), n
+        assert lab[c] == c
