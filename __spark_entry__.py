@@ -815,6 +815,35 @@ def q_cluster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_diff(la, lb)
 
 
+def q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-round star clustering (operators/cluster.py:star_clusters)
+    over a chain+skip graph (doc adjacent to doc_id+1 and doc_id+2
+    within the same lang — gives degree variety 1..4 so the
+    (degree desc, id asc) center election is non-trivial). Centers
+    self-label, satellites attach to their best adjacent center,
+    lonely non-centers stay singletons — the constant-shuffle
+    alternative to CC that refuses to merge through weak bridges."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        star_clusters,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("la"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lb"))
+    edges = a.join(
+        b,
+        (F.col("la") == F.col("lb"))
+        & (
+            (F.col("id_b") == F.col("id_a") + 1)
+            | (F.col("id_b") == F.col("id_a") + 2)
+        ),
+    ).select("id_a", "id_b")
+    out = star_clusters(edges)
+    return out.select(
+        F.col("node").cast("long"), F.col("cluster").cast("long")
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup representative selection: near-dup groups
     (2-token-prefix key, star pairs through the CC operator) keep the
@@ -4791,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": q_cc_incremental,
         "cluster_cohesion": q_cluster_cohesion,
         "cluster_diff": q_cluster_diff,
+        "star_clusters": q_star_clusters,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
         "review_credit": q_review_credit,
@@ -5887,6 +5917,53 @@ def oracle_sql() -> dict[str, str]:
     from cells c
     join da using (cluster_a)
     join db using (cluster_b)
+    """
+
+    # Star-clustering twin: same (degree desc, id asc) total order for
+    # the center election and satellite attachment as the operator.
+    sql["star_clusters"] = """
+    with e0 as (
+      select a.doc_id as u, b.doc_id as v
+      from documents a join documents b
+        on a.lang = b.lang
+       and (b.doc_id = a.doc_id + 1 or b.doc_id = a.doc_id + 2)
+    ),
+    sym as (select u, v from e0 union select v as u, u as v from e0),
+    deg as (select u, count(*) as deg from sym group by u),
+    e as (
+      select s.u, s.v, du.deg as deg_u, dv.deg as deg_v
+      from sym s
+      join deg du on du.u = s.u
+      join deg dv on dv.u = s.v
+    ),
+    centers as (
+      select u from e group by u
+      having max(case when deg_v > deg_u
+                        or (deg_v = deg_u and v < u) then 1 else 0 end) = 0
+    ),
+    best as (
+      select u, v as cluster,
+             row_number() over (partition by u
+                                order by deg_v desc, v asc) as rn
+      from e where v in (select u from centers)
+    ),
+    sat as (
+      select u, cluster from best
+      where rn = 1 and u not in (select u from centers)
+    ),
+    assigned as (
+      select u, u as cluster from centers
+      union all
+      select u, cluster from sat
+    ),
+    nodes as (select distinct u from sym),
+    lonely as (
+      select n.u, n.u as cluster from nodes n
+      where n.u not in (select u from assigned)
+    )
+    select u as node, cluster from assigned
+    union all
+    select u as node, cluster from lonely
     """
 
     sql["dedup_keep_best"] = """
