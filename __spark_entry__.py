@@ -844,6 +844,34 @@ def q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KwikCluster / PIVOT correlation clustering
+    (operators/cluster.py:pivot_clusters) over a dense band graph (doc
+    adjacent to doc_id+1..+3): pivots = lexicographically-first MIS
+    under the seeded md5-low60 permutation, satellites attach to the
+    min-pi adjacent pivot — the 3-approximation clustering that cuts
+    weak bridges CC would merge through. The DuckDB twin replays the
+    identical permutation and unrolls the MIS rounds (3 needed at this
+    scale; 6 unrolled — leftover actives would surface as a row-count
+    mismatch, never silent divergence)."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        pivot_clusters,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    cand = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("off"),
+    ).select("id_a", (F.col("id_a") + F.col("off")).alias("id_b"))
+    edges = cand.join(
+        d.select(F.col("doc_id").alias("id_b")), "id_b"
+    ).select("id_a", "id_b")
+    out = pivot_clusters(edges)
+    return out.select(
+        F.col("node").cast("long"), F.col("cluster").cast("long")
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup representative selection: near-dup groups
     (2-token-prefix key, star pairs through the CC operator) keep the
@@ -4821,6 +4849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_cohesion": q_cluster_cohesion,
         "cluster_diff": q_cluster_diff,
         "star_clusters": q_star_clusters,
+        "pivot_clusters": q_pivot_clusters,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
         "review_credit": q_review_credit,
@@ -5917,6 +5946,67 @@ def oracle_sql() -> dict[str, str]:
     from cells c
     join da using (cluster_a)
     join db using (cluster_b)
+    """
+
+    # PIVOT correlation-clustering twin: replay the md5-low60
+    # permutation byte-for-byte, unroll the lex-first-MIS rounds
+    # (MATERIALIZED per the repo's iteration-twin convention), then the
+    # same min-pi pivot attachment. Ids compare as VARCHAR on both
+    # sides. 6 rounds unrolled (3 observed at sf0.01/sf0.1); any
+    # leftover active node would be absent from the output and fail
+    # the row-count gate loudly.
+    _pv_rounds = 6
+    _pv = [
+        "a0 as materialized (select u from pi)",
+    ]
+    for _k in range(1, _pv_rounds + 1):
+        _pv.append(f"""np{_k} as materialized (
+      select a.u from a{_k - 1} a
+      where not exists (
+        select 1 from sym s
+        join a{_k - 1} a2 on a2.u = s.v
+        join pi pu on pu.u = s.u
+        join pi pv on pv.u = s.v
+        where s.u = a.u
+          and (pv.p < pu.p or (pv.p = pu.p and s.v < s.u))
+      )
+    ),
+    a{_k} as materialized (
+      select u from a{_k - 1}
+      where u not in (select u from np{_k})
+        and u not in (select s.u from sym s join np{_k} n on n.u = s.v)
+    )""")
+    _pv_union = " union all ".join(
+        f"select u from np{_k}" for _k in range(1, _pv_rounds + 1)
+    )
+    sql["pivot_clusters"] = f"""
+    with e0 as (
+      select cast(a.doc_id as varchar) as u, cast(b.doc_id as varchar) as v
+      from documents a join documents b
+        on b.doc_id in (a.doc_id + 1, a.doc_id + 2, a.doc_id + 3)
+    ),
+    sym as materialized (
+      select u, v from e0 union select v as u, u as v from e0
+    ),
+    pi as materialized (
+      select u, ('0x' || substr(md5(u || '|7'), 1, 15))::UBIGINT as p
+      from (select distinct u from sym)
+    ),
+    {', '.join(_pv)},
+    piv as materialized ({_pv_union}),
+    sat as (
+      select s.u, s.v as cluster,
+             row_number() over (partition by s.u
+                                order by pv.p, s.v) as rn
+      from sym s
+      join piv on piv.u = s.v
+      join pi pv on pv.u = s.v
+      where s.u not in (select u from piv)
+    )
+    select cast(u as bigint) as node, cast(u as bigint) as cluster from piv
+    union all
+    select cast(u as bigint) as node, cast(cluster as bigint) as cluster
+    from sat where rn = 1
     """
 
     # Star-clustering twin: same (degree desc, id asc) total order for

@@ -465,6 +465,150 @@ def cluster_diff(
     )
 
 
+def pivot_clusters(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed: int = 7,
+    max_iter: int = 40,
+) -> DataFrame:
+    """KwikCluster / PIVOT correlation clustering (Ailon, Charikar &
+    Newman 2008 — the 3-approximation used throughout the dedup/ER
+    literature as the principled alternative to CC's merge-everything
+    transitivity) in its deterministic parallel form.
+
+    Sequential PIVOT scans nodes in a random permutation pi; an
+    unassigned node becomes a cluster PIVOT and claims all its
+    unassigned neighbors. Two classical facts make this distributable
+    (Blelloch, Fineman & Shun 2012; Chierichetti, Dalvi & Kumar,
+    KDD'14):
+
+      * the pivot set is exactly the lexicographically-first MIS under
+        pi, computable by O(log n)-w.h.p. rounds of "every active node
+        with no smaller-pi active neighbor enters the MIS; it and its
+        neighbors deactivate";
+      * each non-pivot's cluster is simply the min-pi pivot in its
+        neighborhood (the first pivot that could have claimed it).
+
+    pi is a seeded md5-low60 of the node id (same `conv(substr(md5))`
+    identity the HLL/simhash oracles pin, so a DuckDB twin replays the
+    permutation exactly), tie-broken by id — fully deterministic and
+    partitioning-invariant.
+
+    Scale shape: per round, one groupBy-free anti-join cascade over the
+    SHRINKING active edge set (each round removes at least the global
+    min-pi node and w.h.p. a constant fraction), localCheckpoint per
+    round like connected_components; the final assignment is one
+    semi-join + min_by aggregation on the original edges. No window
+    over corpus-scale rows, no driver-side graph.
+
+    Returns (node, cluster) over the nodes incident to `edges`;
+    cluster = pivot id. Callers wanting isolated vertices union them
+    in as self-clusters (same contract as star_clusters).
+    """
+
+    def _pi(col: str):
+        # 60-bit permutation rank: first 15 hex chars of
+        # md5(id || '|' || seed) — byte-identical in DuckDB as
+        # ('0x' || substr(md5(id::varchar || '|seed'), 1, 15))::UBIGINT
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(col), F.lit(f"|{seed}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    half = (
+        edges.select(
+            F.col(id_a).cast("string").alias("u"),
+            F.col(id_b).cast("string").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        half.unionByName(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .withColumn("pu", _pi("u"))
+        .withColumn("pv", _pi("v"))
+    )
+
+    all_nodes = sym.select("u").distinct()
+
+    active_e = sym.localCheckpoint(eager=True)
+    active_n = all_nodes.localCheckpoint(eager=True)
+    pivot_parts: list[DataFrame] = []
+    for _ in range(max_iter):
+        if active_n.isEmpty():
+            break
+        # a node is BEATEN while any active neighbor precedes it in pi
+        beaten = (
+            active_e.where(
+                (F.col("pv") < F.col("pu"))
+                | ((F.col("pv") == F.col("pu")) & (F.col("v") < F.col("u")))
+            )
+            .select("u")
+            .distinct()
+        )
+        new_pivots = active_n.join(beaten, "u", "left_anti").localCheckpoint(
+            eager=True
+        )
+        pivot_parts.append(new_pivots)
+        # deactivate the new pivots and everything adjacent to them
+        claimed = (
+            active_e.join(
+                new_pivots.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+            .select("u")
+            .distinct()
+        )
+        removed = new_pivots.unionByName(claimed).distinct()
+        active_n = active_n.join(removed, "u", "left_anti").localCheckpoint(
+            eager=True
+        )
+        active_e = (
+            active_e.join(removed, "u", "left_anti")
+            .join(
+                removed.select(F.col("u").alias("v")), "v", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"pivot_clusters did not converge in {max_iter} rounds"
+        )
+
+    if not pivot_parts:  # empty edge set: no incident nodes, no output
+        return all_nodes.select(
+            F.col("u").alias("node"), F.col("u").alias("cluster")
+        )
+    pivots = pivot_parts[0]
+    for p in pivot_parts[1:]:
+        pivots = pivots.unionByName(p)
+
+    own = pivots.select(F.col("u").alias("node"), F.col("u").alias("cluster"))
+    # every non-pivot joins the min-pi pivot among its neighbors
+    # (non-empty by MIS maximality)
+    sat = (
+        sym.join(
+            pivots.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        .join(pivots, "u", "left_anti")
+        .groupBy("u")
+        .agg(
+            F.min_by(
+                F.col("v"),
+                F.struct(F.col("pv").alias("p"), F.col("v").alias("i")),
+            ).alias("cluster")
+        )
+        .select(F.col("u").alias("node"), "cluster")
+    )
+    return own.unionByName(sat)
+
+
 def star_clusters(
     edges: DataFrame,
     id_a: str = "id_a",

@@ -135,6 +135,22 @@ BENCH_QUERIES = [
     "mutual_best",  # symmetric-best 1:1 linkage: JW block join + dual ranking
     "soft_tfidf",  # idf-weighted best-JW token match (vocab joins + window)
     "fellegi_ml",  # multi-level missing-aware F-S (Splink model) EM + score
+    # round-5 fifth wave: diagnostics, sketches, blocking selection
+    "select_keys",  # greedy set-cover blocking-key selection
+    "capture_recapture",  # Lincoln-Petersen recall estimate from 2 key sets
+    "star_clusters",  # one-round star cover: constant-shuffle CC alternative
+    "pivot_clusters",  # KwikCluster: lex-MIS pivots + min-pi attachment
+    "cluster_cohesion",  # per-cluster density/boundary diagnostics
+    "cluster_diff",  # run-to-run entity churn fates
+    "fs_review_queue",  # clerical-review uncertainty sampling
+    "fs_pr_curve",  # threshold sweep PR curve from one sorted pass
+    "fs_calibration",  # reliability bins + ECE
+    "fs_explain",  # per-pair F-S weight waterfall
+    "classifier_disagreement",  # rule-cascade vs F-S cross-tab
+    "hll_distinct",  # HyperLogLog register sketch + estimate
+    "cm_token_counts",  # count-min sketch + broadcast point queries
+    "ann_lsh",  # RP-LSH banded embedding near-dup
+    "topk_ranking",  # per-query candidate ranking window
 ]
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "8000"))
 # scaling evidence needs a compute-dominated run: big enough that the

@@ -284,3 +284,97 @@ def test_star_clusters_partitioning_invariant(spark):
             # lonely singleton: genuinely no adjacent center
             assert not (adj.get(n, set()) & centers), n
         assert lab[c] == c
+
+
+def _pivot_sequential(edges, seed=7):
+    """Sequential KwikCluster oracle: scan nodes in the md5-low60
+    permutation; an unassigned node pivots and claims all unassigned
+    neighbors.  The distributed operator must match EXACTLY."""
+    import hashlib
+
+    def pi(n):
+        h = hashlib.md5(f"{n}|{seed}".encode()).hexdigest()[:15]
+        return (int(h, 16), n)
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(str(a), set()).add(str(b))
+        adj.setdefault(str(b), set()).add(str(a))
+    lab = {}
+    for n in sorted(adj, key=pi):
+        if n in lab:
+            continue
+        lab[n] = n
+        for v in adj[n]:
+            if v not in lab:
+                lab[v] = n
+    return lab
+
+
+def test_pivot_clusters_matches_sequential_greedy(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        pivot_clusters,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(160)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.cluster for r in pivot_clusters(df).collect()}
+    want = _pivot_sequential(edges)
+    assert got == want
+
+
+def test_pivot_clusters_partitioning_invariant(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        pivot_clusters,
+    )
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = sorted(map(tuple, pivot_clusters(df).collect()))
+    b = sorted(map(tuple, pivot_clusters(df.repartition(17)).collect()))
+    assert a == b
+    # pivots form an independent set; every satellite is adjacent to
+    # its pivot
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(str(x), set()).add(str(y))
+        adj.setdefault(str(y), set()).add(str(x))
+    lab = dict(a)
+    pivots = {c for _, c in a}
+    for p in pivots:
+        assert lab[p] == p
+        assert not (adj[p] & pivots), p
+    for n, c in a:
+        if n != c:
+            assert c in adj[n]
+
+
+def test_pivot_clusters_refuses_weak_bridge(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        pivot_clusters,
+    )
+
+    # two triangles joined by one bridge edge: CC returns ONE cluster;
+    # PIVOT cuts at most the bridge-adjacent assignments — it can
+    # never produce a single 6-node cluster because no node is
+    # adjacent to all five others
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"),
+         ("c", "d")],
+        "id_a string, id_b string",
+    )
+    out = {r.node: r.cluster for r in pivot_clusters(edges).collect()}
+    assert len(out) == 6
+    assert len(set(out.values())) >= 2
+    want = _pivot_sequential(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")]
+    )
+    assert out == want
