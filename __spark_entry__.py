@@ -872,6 +872,47 @@ def q_pivot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canopies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canopy clustering (operators/cluster.py:canopies) over band
+    pairs (doc_id+1..+3) scored by 24-char-prefix levenshtein
+    similarity: centers = lex-first MIS on the tight (>=0.35) graph
+    under the seeded md5 permutation, membership = loose (>=0.2)
+    adjacency to a center + center self-rows — overlapping canopies,
+    exactly the sequential McCallum/Nigam/Ungar output."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        canopies,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.lower(F.trim("text")), 1, 24).alias("prefix"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    score = F.when(
+        (F.col("pa") == "") | (F.col("pb") == ""), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            1.0
+            - F.levenshtein("pa", "pb")
+            / F.greatest(F.length("pa"), F.length("pb")).cast("double"),
+            6,
+        )
+    )
+    # equi-join on the exploded offset (not a range join): the band
+    # condition becomes a hash join Catalyst can shuffle on id_b
+    cand = a.select(
+        "id_a",
+        "pa",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("off"),
+    ).select("id_a", "pa", (F.col("id_a") + F.col("off")).alias("id_b"))
+    pairs = cand.join(b, "id_b").select("id_a", "id_b", score.alias("score"))
+    out = canopies(pairs, loose=0.2, tight=0.35)
+    return out.select(
+        F.col("node").cast("long"), F.col("canopy").cast("long")
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup representative selection: near-dup groups
     (2-token-prefix key, star pairs through the CC operator) keep the
@@ -4850,6 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_diff": q_cluster_diff,
         "star_clusters": q_star_clusters,
         "pivot_clusters": q_pivot_clusters,
+        "canopies": q_canopies,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
         "review_credit": q_review_credit,
@@ -5955,30 +5997,36 @@ def oracle_sql() -> dict[str, str]:
     # sides. 6 rounds unrolled (3 observed at sf0.01/sf0.1); any
     # leftover active node would be absent from the output and fail
     # the row-count gate loudly.
-    _pv_rounds = 6
-    _pv = [
-        "a0 as materialized (select u from pi)",
-    ]
-    for _k in range(1, _pv_rounds + 1):
-        _pv.append(f"""np{_k} as materialized (
-      select a.u from a{_k - 1} a
+    def _mis_rounds_sql(rounds: int, edges_cte: str = "sym") -> tuple[str, str]:
+        """Unrolled lex-first-MIS rounds over `edges_cte` (u, v) with
+        permutation table `pi` (u, p) and node table `a0` — returns
+        (round CTE text, member-union select). Shared by the
+        pivot_clusters and canopies twins."""
+        parts = []
+        for k in range(1, rounds + 1):
+            parts.append(f"""np{k} as materialized (
+      select a.u from a{k - 1} a
       where not exists (
-        select 1 from sym s
-        join a{_k - 1} a2 on a2.u = s.v
+        select 1 from {edges_cte} s
+        join a{k - 1} a2 on a2.u = s.v
         join pi pu on pu.u = s.u
         join pi pv on pv.u = s.v
         where s.u = a.u
           and (pv.p < pu.p or (pv.p = pu.p and s.v < s.u))
       )
     ),
-    a{_k} as materialized (
-      select u from a{_k - 1}
-      where u not in (select u from np{_k})
-        and u not in (select s.u from sym s join np{_k} n on n.u = s.v)
+    a{k} as materialized (
+      select u from a{k - 1}
+      where u not in (select u from np{k})
+        and u not in (select s.u from {edges_cte} s join np{k} n on n.u = s.v)
     )""")
-    _pv_union = " union all ".join(
-        f"select u from np{_k}" for _k in range(1, _pv_rounds + 1)
-    )
+        union = " union all ".join(
+            f"select u from np{k}" for k in range(1, rounds + 1)
+        )
+        return ", ".join(parts), union
+
+    _pv_cte, _pv_union = _mis_rounds_sql(6)
+    _pv = ["a0 as materialized (select u from pi)", _pv_cte]
     sql["pivot_clusters"] = f"""
     with e0 as (
       select cast(a.doc_id as varchar) as u, cast(b.doc_id as varchar) as v
@@ -6007,6 +6055,51 @@ def oracle_sql() -> dict[str, str]:
     union all
     select cast(u as bigint) as node, cast(cluster as bigint) as cluster
     from sat where rn = 1
+    """
+
+    # Canopy twin: centers = lex-first MIS on the tight (>=0.35) prefix
+    # similarity graph (identical permutation replay), membership =
+    # loose (>=0.2) adjacency to a center + self-rows. 2 MIS rounds
+    # observed at sf0.01/sf0.1; 5 unrolled (leftover actives fail the
+    # row-count gate loudly, as in pivot_clusters).
+    _cn_cte, _cn_union = _mis_rounds_sql(5, edges_cte="tsym")
+    sql["canopies"] = f"""
+    with d as (
+      select doc_id, substr(lower(trim(text)), 1, 24) as prefix
+      from documents
+    ),
+    e0 as (
+      select cast(a.doc_id as varchar) as u, cast(b.doc_id as varchar) as v,
+             case when a.prefix = '' or b.prefix = '' then 0.0
+                  else round(1.0 - levenshtein(a.prefix, b.prefix)
+                       / cast(greatest(length(a.prefix), length(b.prefix))
+                              as double), 6)
+             end as s
+      from d a join d b
+        on b.doc_id in (a.doc_id + 1, a.doc_id + 2, a.doc_id + 3)
+    ),
+    nodes as materialized (select u from e0 union select v as u from e0),
+    tsym as materialized (
+      select u, v from e0 where s >= 0.35
+      union
+      select v as u, u as v from e0 where s >= 0.35
+    ),
+    pi as materialized (
+      select u, ('0x' || substr(md5(u || '|7'), 1, 15))::UBIGINT as p
+      from nodes
+    ),
+    a0 as materialized (select u from nodes),
+    {_cn_cte},
+    cen as materialized ({_cn_union}),
+    lsym as (
+      select u, v from e0 where s >= 0.2
+      union
+      select v as u, u as v from e0 where s >= 0.2
+    )
+    select cast(u as bigint) as node, cast(u as bigint) as canopy from cen
+    union all
+    select cast(l.u as bigint) as node, cast(l.v as bigint) as canopy
+    from lsym l join cen on cen.u = l.v
     """
 
     # Star-clustering twin: same (degree desc, id asc) total order for

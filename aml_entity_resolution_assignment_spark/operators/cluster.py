@@ -465,6 +465,101 @@ def cluster_diff(
     )
 
 
+def _seeded_rank(col: str, seed: int):
+    """60-bit permutation rank: first 15 hex chars of
+    md5(id || '|' || seed) — byte-identical in DuckDB as
+    ('0x' || substr(md5(id::varchar || '|seed'), 1, 15))::UBIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.col(col), F.lit(f"|{seed}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def _seeded_sym(
+    edges: DataFrame, id_a: str, id_b: str, seed: int
+) -> DataFrame:
+    """Symmetrized distinct string-id edge set (u, v) annotated with the
+    seeded permutation ranks (pu, pv) of both endpoints — the shared
+    input shape of the lex-first-MIS family (pivot_clusters,
+    canopies)."""
+    half = (
+        edges.select(
+            F.col(id_a).cast("string").alias("u"),
+            F.col(id_b).cast("string").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return (
+        half.unionByName(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .withColumn("pu", _seeded_rank("u", seed))
+        .withColumn("pv", _seeded_rank("v", seed))
+    )
+
+
+def _lex_first_mis(
+    sym: DataFrame, nodes: DataFrame, max_iter: int, what: str
+) -> DataFrame | None:
+    """Lexicographically-first maximal independent set of the (u, v,
+    pu, pv) symmetric graph under the (rank, id) total order — by
+    O(log n)-w.h.p. rounds of "every active node with no smaller-rank
+    active neighbor enters; it and its neighbors deactivate"
+    (Blelloch, Fineman & Shun 2012: identical output to the sequential
+    greedy scan). Each round removes at least the global minimum, so
+    termination is unconditional; localCheckpoint per round cuts
+    lineage like connected_components. Returns the member nodes (u),
+    or None when `nodes` is empty."""
+    active_e = sym.localCheckpoint(eager=True)
+    active_n = nodes.localCheckpoint(eager=True)
+    parts: list[DataFrame] = []
+    for _ in range(max_iter):
+        if active_n.isEmpty():
+            break
+        # a node is BEATEN while any active neighbor precedes it
+        beaten = (
+            active_e.where(
+                (F.col("pv") < F.col("pu"))
+                | ((F.col("pv") == F.col("pu")) & (F.col("v") < F.col("u")))
+            )
+            .select("u")
+            .distinct()
+        )
+        new_members = active_n.join(beaten, "u", "left_anti").localCheckpoint(
+            eager=True
+        )
+        parts.append(new_members)
+        # deactivate the new members and everything adjacent to them
+        claimed = (
+            active_e.join(
+                new_members.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+            .select("u")
+            .distinct()
+        )
+        removed = new_members.unionByName(claimed).distinct()
+        active_n = active_n.join(removed, "u", "left_anti").localCheckpoint(
+            eager=True
+        )
+        active_e = (
+            active_e.join(removed, "u", "left_anti")
+            .join(removed.select(F.col("u").alias("v")), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"{what} did not converge in {max_iter} rounds")
+
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def pivot_clusters(
     edges: DataFrame,
     id_a: str = "id_a",
@@ -507,87 +602,13 @@ def pivot_clusters(
     in as self-clusters (same contract as star_clusters).
     """
 
-    def _pi(col: str):
-        # 60-bit permutation rank: first 15 hex chars of
-        # md5(id || '|' || seed) — byte-identical in DuckDB as
-        # ('0x' || substr(md5(id::varchar || '|seed'), 1, 15))::UBIGINT
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(col), F.lit(f"|{seed}"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-
-    half = (
-        edges.select(
-            F.col(id_a).cast("string").alias("u"),
-            F.col(id_b).cast("string").alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    sym = (
-        half.unionByName(
-            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .distinct()
-        .withColumn("pu", _pi("u"))
-        .withColumn("pv", _pi("v"))
-    )
-
+    sym = _seeded_sym(edges, id_a, id_b, seed)
     all_nodes = sym.select("u").distinct()
-
-    active_e = sym.localCheckpoint(eager=True)
-    active_n = all_nodes.localCheckpoint(eager=True)
-    pivot_parts: list[DataFrame] = []
-    for _ in range(max_iter):
-        if active_n.isEmpty():
-            break
-        # a node is BEATEN while any active neighbor precedes it in pi
-        beaten = (
-            active_e.where(
-                (F.col("pv") < F.col("pu"))
-                | ((F.col("pv") == F.col("pu")) & (F.col("v") < F.col("u")))
-            )
-            .select("u")
-            .distinct()
-        )
-        new_pivots = active_n.join(beaten, "u", "left_anti").localCheckpoint(
-            eager=True
-        )
-        pivot_parts.append(new_pivots)
-        # deactivate the new pivots and everything adjacent to them
-        claimed = (
-            active_e.join(
-                new_pivots.select(F.col("u").alias("v")), "v", "left_semi"
-            )
-            .select("u")
-            .distinct()
-        )
-        removed = new_pivots.unionByName(claimed).distinct()
-        active_n = active_n.join(removed, "u", "left_anti").localCheckpoint(
-            eager=True
-        )
-        active_e = (
-            active_e.join(removed, "u", "left_anti")
-            .join(
-                removed.select(F.col("u").alias("v")), "v", "left_anti"
-            )
-            .localCheckpoint(eager=True)
-        )
-    else:
-        raise RuntimeError(
-            f"pivot_clusters did not converge in {max_iter} rounds"
-        )
-
-    if not pivot_parts:  # empty edge set: no incident nodes, no output
+    pivots = _lex_first_mis(sym, all_nodes, max_iter, "pivot_clusters")
+    if pivots is None:  # empty edge set: no incident nodes, no output
         return all_nodes.select(
             F.col("u").alias("node"), F.col("u").alias("cluster")
         )
-    pivots = pivot_parts[0]
-    for p in pivot_parts[1:]:
-        pivots = pivots.unionByName(p)
 
     own = pivots.select(F.col("u").alias("node"), F.col("u").alias("cluster"))
     # every non-pivot joins the min-pi pivot among its neighbors
@@ -607,6 +628,76 @@ def pivot_clusters(
         .select(F.col("u").alias("node"), "cluster")
     )
     return own.unionByName(sat)
+
+
+def canopies(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    loose: float = 0.2,
+    tight: float = 0.35,
+    seed: int = 7,
+    max_iter: int = 40,
+) -> DataFrame:
+    """Canopy clustering (McCallum, Nigam & Ungar, KDD 2000) — the
+    classic cheap-metric pre-blocking: overlapping canopies built with
+    two thresholds, inside which an expensive pairwise method then
+    runs. Similarity orientation (not distance): `tight` >= `loose`;
+    a point within TIGHT of a chosen center leaves the candidate pool,
+    every point within LOOSE of a center joins that center's canopy
+    (overlapping — a point may belong to several).
+
+    Deterministic distributed form: sequential canopy picks centers
+    greedily over a random permutation, so the center set is exactly
+    the lexicographically-first MIS of the TIGHT graph under the
+    seeded md5-low60 permutation (`_lex_first_mis`, shared with
+    pivot_clusters); membership is then one semi-join of the LOOSE
+    edges against the center set plus each center's self-row —
+    order-free, because sequential canopy adds EVERY point within
+    loose of a new center regardless of prior removal.
+
+    Scale shape: O(log n)-w.h.p. shrinking-graph MIS rounds on the
+    tight edges + one constant-shuffle membership join on the loose
+    edges. Returns (node, canopy) with canopy = center id; nodes with
+    no tight edge always end up centers (never removed from the
+    pool), matching the sequential algorithm.
+    """
+    if tight < loose:
+        raise ValueError(
+            f"canopies: tight ({tight}) must be >= loose ({loose}) "
+            "in similarity orientation"
+        )
+    scored = pairs.select(
+        F.col(id_a).cast("string").alias("u"),
+        F.col(id_b).cast("string").alias("v"),
+        F.col(score_col).cast("double").alias("s"),
+    ).where(F.col("u") != F.col("v"))
+    nodes = (
+        scored.select("u")
+        .unionByName(scored.select(F.col("v").alias("u")))
+        .distinct()
+    )
+    tight_sym = _seeded_sym(
+        scored.where(F.col("s") >= tight), "u", "v", seed
+    )
+    centers = _lex_first_mis(tight_sym, nodes, max_iter, "canopies")
+    if centers is None:  # no pairs at all
+        return nodes.select(
+            F.col("u").alias("node"), F.col("u").alias("canopy")
+        )
+    loose_half = scored.where(F.col("s") >= loose).select("u", "v")
+    loose_sym = loose_half.unionByName(
+        loose_half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    member = (
+        loose_sym.join(
+            centers.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        .select(F.col("u").alias("node"), F.col("v").alias("canopy"))
+    )
+    own = centers.select(F.col("u").alias("node"), F.col("u").alias("canopy"))
+    return own.unionByName(member)
 
 
 def star_clusters(

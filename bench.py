@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "capture_recapture",  # Lincoln-Petersen recall estimate from 2 key sets
     "star_clusters",  # one-round star cover: constant-shuffle CC alternative
     "pivot_clusters",  # KwikCluster: lex-MIS pivots + min-pi attachment
+    "canopies",  # McCallum canopy pre-blocking: MIS(tight) + loose join
     "cluster_cohesion",  # per-cluster density/boundary diagnostics
     "cluster_diff",  # run-to-run entity churn fates
     "fs_review_queue",  # clerical-review uncertainty sampling

@@ -378,3 +378,123 @@ def test_pivot_clusters_refuses_weak_bridge(spark):
          ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")]
     )
     assert out == want
+
+
+def _canopy_sequential(pairs, loose, tight, seed=7):
+    """Sequential McCallum canopy oracle (similarity orientation):
+    scan the pool in the md5-low60 permutation; a pooled point becomes
+    a center, every point within LOOSE joins its canopy, points within
+    TIGHT leave the pool."""
+    import hashlib
+
+    def pi(n):
+        h = hashlib.md5(f"{n}|{seed}".encode()).hexdigest()[:15]
+        return (int(h, 16), n)
+
+    sim = {}
+    nodes = set()
+    for a, b, s in pairs:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        nodes |= {a, b}
+        sim[(a, b)] = max(sim.get((a, b), 0.0), s)
+        sim[(b, a)] = max(sim.get((b, a), 0.0), s)
+    pool = set(nodes)
+    out = set()
+    for n in sorted(nodes, key=pi):
+        if n not in pool:
+            continue
+        out.add((n, n))
+        for v in nodes:
+            sv = sim.get((n, v), -1.0)
+            if sv >= loose:
+                out.add((v, n))
+            if sv >= tight:
+                pool.discard(v)
+        pool.discard(n)
+    return out
+
+
+def test_canopies_match_sequential(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        canopies,
+    )
+
+    rng = random.Random(19)
+    pairs = []
+    seen = set()
+    for _ in range(200):
+        a, b = rng.randrange(60), rng.randrange(60)
+        if a == b or (a, b) in seen or (b, a) in seen:
+            continue
+        seen.add((a, b))
+        pairs.append((a, b, round(rng.random(), 3)))
+    df = spark.createDataFrame(pairs, "id_a long, id_b long, score double")
+    got = {
+        (r.node, r.canopy)
+        for r in canopies(df, loose=0.3, tight=0.7).collect()
+    }
+    want = _canopy_sequential(pairs, 0.3, 0.7)
+    assert got == want
+    # overlap actually exercised: some node in >1 canopy
+    from collections import Counter
+
+    c = Counter(n for n, _ in got)
+    assert max(c.values()) > 1
+
+
+def test_canopies_properties(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        canopies,
+    )
+
+    rng = random.Random(4)
+    pairs = [
+        (a, b, round(rng.random(), 3))
+        for a in range(30)
+        for b in range(a + 1, 30)
+        if rng.random() < 0.2
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long, score double")
+    rows = canopies(df, loose=0.25, tight=0.6).collect()
+    got = {(r.node, r.canopy) for r in rows}
+    nodes = {str(x) for p in pairs for x in p[:2]}
+    centers = {c for _, c in got}
+    sim = {}
+    for a, b, s in pairs:
+        sim[(str(a), str(b))] = s
+        sim[(str(b), str(a))] = s
+    # every node in >= 1 canopy; centers self-labeled
+    assert {n for n, _ in got} == nodes
+    for c in centers:
+        assert (c, c) in got
+    # no two centers within tight of each other
+    for c in centers:
+        for d in centers:
+            if c != d:
+                assert sim.get((c, d), 0.0) < 0.6, (c, d)
+    # membership is exactly loose-adjacency to a center (plus self)
+    for n, c in got:
+        if n != c:
+            assert sim[(n, c)] >= 0.25
+    # partitioning invariance
+    got2 = {
+        (r.node, r.canopy)
+        for r in canopies(
+            df.repartition(13), loose=0.25, tight=0.6
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_canopies_tight_below_loose_raises(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        canopies,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, 0.5)], "id_a long, id_b long, score double"
+    )
+    with pytest.raises(ValueError):
+        canopies(df, loose=0.6, tight=0.3)
