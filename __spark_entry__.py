@@ -913,6 +913,42 @@ def q_canopies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-threshold sweep (operators/cluster.py:cluster_sweep) over
+    the band-pair prefix-similarity edges: one CC at the tightest
+    level, incremental merges for each looser band — entity counts,
+    singletons, and largest-component growth per threshold, vs a
+    DuckDB twin that recomputes recursive-CTE CC independently at
+    every level."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        cluster_sweep,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.lower(F.trim("text")), 1, 24).alias("prefix"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    score = F.when(
+        (F.col("pa") == "") | (F.col("pb") == ""), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            1.0
+            - F.levenshtein("pa", "pb")
+            / F.greatest(F.length("pa"), F.length("pb")).cast("double"),
+            6,
+        )
+    )
+    cand = a.select(
+        "id_a",
+        "pa",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("off"),
+    ).select("id_a", "pa", (F.col("id_a") + F.col("off")).alias("id_b"))
+    pairs = cand.join(b, "id_b").select("id_a", "id_b", score.alias("score"))
+    return cluster_sweep(pairs, [0.35, 0.25, 0.2, 0.15])
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup representative selection: near-dup groups
     (2-token-prefix key, star pairs through the CC operator) keep the
@@ -4892,6 +4928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_clusters": q_star_clusters,
         "pivot_clusters": q_pivot_clusters,
         "canopies": q_canopies,
+        "cluster_sweep": q_cluster_sweep,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
         "review_credit": q_review_credit,
@@ -6100,6 +6137,62 @@ def oracle_sql() -> dict[str, str]:
     union all
     select cast(l.u as bigint) as node, cast(l.v as bigint) as canopy
     from lsym l join cen on cen.u = l.v
+    """
+
+    # Threshold-sweep twin: independent recursive-CTE CC per level
+    # (the Spark side builds levels incrementally; equality IS the
+    # incremental-vs-recompute pin at every threshold).
+    _sw_levels = [0.35, 0.25, 0.2, 0.15]
+    _sw = []
+    for _i, _t in enumerate(_sw_levels):
+        _sw.append(f"""sym{_i} as materialized (
+      select u, v from e0 where s >= {_t}
+      union
+      select v as u, u as v from e0 where s >= {_t}
+    ),
+    reach{_i}(id, r) as (
+      select u, u from nodes
+      union
+      select s.v, reach{_i}.r from reach{_i}
+      join sym{_i} s on s.u = reach{_i}.id
+      where reach{_i}.r < s.v
+    ),
+    sz{_i} as materialized (
+      select c, count(*) as n
+      from (select id, min(r) as c from reach{_i} group by id)
+      group by c
+    ),
+    row{_i} as (
+      select cast({_t} as double) as threshold,
+             (select count(*) from e0 where s >= {_t}) as n_edges,
+             count(*) as n_entities,
+             cast(sum(case when n = 1 then 1 else 0 end) as bigint)
+               as n_singletons,
+             max(n) as largest_entity,
+             cast(sum(n) as bigint) as n_records
+      from sz{_i}
+    )""")
+    _sw_union = " union all ".join(
+        f"select * from row{_i}" for _i in range(len(_sw_levels))
+    )
+    sql["cluster_sweep"] = f"""
+    with recursive d as (
+      select doc_id, substr(lower(trim(text)), 1, 24) as prefix
+      from documents
+    ),
+    e0 as materialized (
+      select cast(a.doc_id as varchar) as u, cast(b.doc_id as varchar) as v,
+             case when a.prefix = '' or b.prefix = '' then 0.0
+                  else round(1.0 - levenshtein(a.prefix, b.prefix)
+                       / cast(greatest(length(a.prefix), length(b.prefix))
+                              as double), 6)
+             end as s
+      from d a join d b
+        on b.doc_id in (a.doc_id + 1, a.doc_id + 2, a.doc_id + 3)
+    ),
+    nodes as materialized (select u from e0 union select v as u from e0),
+    {', '.join(_sw)}
+    {_sw_union}
     """
 
     # Star-clustering twin: same (degree desc, id asc) total order for

@@ -630,6 +630,95 @@ def pivot_clusters(
     return own.unionByName(sat)
 
 
+def cluster_sweep(
+    scored_edges: DataFrame,
+    thresholds: list[float],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    vertices: DataFrame | None = None,
+    id_col: str = "url",
+) -> DataFrame:
+    """Match-threshold sweep: entity-count diagnostics at each
+    clustering threshold — the standard ER tuning table (Splink's
+    "cluster metrics vs. match weight" view): as the threshold drops,
+    watch n_entities fall and the largest component grow, and pick the
+    knee before a mega-cluster forms.
+
+    Exploits monotonicity instead of re-running CC per threshold:
+    thresholds are processed DESCENDING; the tightest level runs full
+    connected_components once, every looser level folds in only the
+    newly-qualifying edge band via incremental_connected_components
+    (contracted-graph merge, the big assignment never reshuffles).
+    Total cost = one CC + k-1 boundary-sized increments, vs k full CCs.
+
+    Returns one row per threshold: (threshold, n_edges, n_entities,
+    n_singletons, largest_entity, n_records). Aggregates are
+    collected per level (k driver rows — aggregate-sized, not data-
+    sized). `vertices` defaults to all endpoints of `scored_edges`
+    (unfiltered), so singleton counts are comparable across levels.
+    """
+    if not thresholds:
+        raise ValueError("cluster_sweep: need at least one threshold")
+    levels = sorted(set(float(t) for t in thresholds), reverse=True)
+
+    e = scored_edges.select(
+        F.col(id_a).cast("string").alias("id_a"),
+        F.col(id_b).cast("string").alias("id_b"),
+        F.col(score_col).cast("double").alias("s"),
+    ).where(F.col("id_a") != F.col("id_b"))
+    if vertices is None:
+        vertices = (
+            e.select(F.col("id_a").alias(id_col))
+            .unionByName(e.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+    e = e.localCheckpoint(eager=True)
+
+    rows = []
+    assign = None
+    prev_t = None
+    for t in levels:
+        if assign is None:
+            assign = connected_components(
+                e.where(F.col("s") >= t), vertices=vertices, id_col=id_col
+            )
+        else:
+            band = e.where((F.col("s") >= t) & (F.col("s") < prev_t))
+            assign = incremental_connected_components(
+                assign, band, id_col=id_col
+            )
+        assign = assign.localCheckpoint(eager=True)
+        prev_t = t
+        n_edges = e.where(F.col("s") >= t).count()
+        sizes = assign.groupBy("predicted_entity_id").agg(
+            F.count("*").alias("n")
+        )
+        agg = sizes.agg(
+            F.count("*").alias("n_entities"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
+                "n_singletons"
+            ),
+            F.max("n").alias("largest_entity"),
+            F.sum("n").alias("n_records"),
+        ).collect()[0]
+        rows.append(
+            (
+                t,
+                n_edges,
+                agg["n_entities"],
+                agg["n_singletons"],
+                agg["largest_entity"],
+                agg["n_records"],
+            )
+        )
+    return scored_edges.sparkSession.createDataFrame(
+        rows,
+        "threshold double, n_edges long, n_entities long, "
+        "n_singletons long, largest_entity long, n_records long",
+    )
+
+
 def canopies(
     pairs: DataFrame,
     id_a: str = "id_a",

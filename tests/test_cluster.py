@@ -498,3 +498,49 @@ def test_canopies_tight_below_loose_raises(spark):
     )
     with pytest.raises(ValueError):
         canopies(df, loose=0.6, tight=0.3)
+
+
+def test_cluster_sweep_matches_per_threshold_cc(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        cluster_sweep,
+    )
+
+    rng = random.Random(9)
+    pairs = []
+    seen = set()
+    for _ in range(120):
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a == b or (a, b) in seen or (b, a) in seen:
+            continue
+        seen.add((a, b))
+        pairs.append((f"v{a:02d}", f"v{b:02d}", round(rng.random(), 3)))
+    df = spark.createDataFrame(pairs, "id_a string, id_b string, score double")
+    ths = [0.8, 0.5, 0.3]
+    out = {r.threshold: r for r in cluster_sweep(df, ths).collect()}
+    verts = sorted({x for p in pairs for x in p[:2]})
+    for t in ths:
+        g = nx.Graph()
+        g.add_nodes_from(verts)
+        g.add_edges_from((a, b) for a, b, s in pairs if s >= t)
+        comps = list(nx.connected_components(g))
+        r = out[t]
+        assert r.n_edges == sum(1 for _, _, s in pairs if s >= t)
+        assert r.n_entities == len(comps)
+        assert r.n_singletons == sum(1 for c in comps if len(c) == 1)
+        assert r.largest_entity == max(len(c) for c in comps)
+        assert r.n_records == len(verts)
+    # monotone: entity count non-increasing as threshold drops
+    ordered = [out[t].n_entities for t in sorted(ths, reverse=True)]
+    assert ordered == sorted(ordered, reverse=True)
+
+
+def test_cluster_sweep_empty_thresholds_raises(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        cluster_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b", 0.9)], "id_a string, id_b string, score double"
+    )
+    with pytest.raises(ValueError):
+        cluster_sweep(df, [])
