@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "star_clusters",  # one-round star cover: constant-shuffle CC alternative
     "pivot_clusters",  # KwikCluster: lex-MIS pivots + min-pi attachment
     "canopies",  # McCallum canopy pre-blocking: MIS(tight) + loose join
+    "cluster_sweep",  # threshold sweep: one CC + incremental band merges
     "cluster_cohesion",  # per-cluster density/boundary diagnostics
     "cluster_diff",  # run-to-run entity churn fates
     "fs_review_queue",  # clerical-review uncertainty sampling
