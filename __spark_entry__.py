@@ -949,6 +949,58 @@ def q_cluster_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_sweep(pairs, [0.35, 0.25, 0.2, 0.15])
 
 
+def q_transitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-clustering audit (operators/evaluate.py:transitivity_report):
+    band pairs scored by prefix similarity, matches = score >= 0.35,
+    clustered with the NON-transitive star cover — so the report
+    exercises both override fates: cut_match (star refused a weak
+    bridge the classifier matched) and forced_merge (two satellites of
+    one hub the classifier never matched directly)."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        star_clusters,
+    )
+    from aml_entity_resolution_assignment_spark.operators.evaluate import (
+        transitivity_report,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.lower(F.trim("text")), 1, 24).alias("prefix"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    score = F.when(
+        (F.col("pa") == "") | (F.col("pb") == ""), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            1.0
+            - F.levenshtein("pa", "pb")
+            / F.greatest(F.length("pa"), F.length("pb")).cast("double"),
+            6,
+        )
+    )
+    cand = a.select(
+        "id_a",
+        "pa",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("off"),
+    ).select("id_a", "pa", (F.col("id_a") + F.col("off")).alias("id_b"))
+    pairs = cand.join(b, "id_b").select(
+        "id_a", "id_b", (score >= 0.35).alias("is_match")
+    )
+    labels = star_clusters(pairs.where(F.col("is_match")))
+    rep = transitivity_report(
+        pairs, labels, id_col="node", label_col="cluster"
+    )
+    return rep.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        "is_match",
+        F.col("cluster_a").cast("long"),
+        F.col("cluster_b").cast("long"),
+        "fate",
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup representative selection: near-dup groups
     (2-token-prefix key, star pairs through the CC operator) keep the
@@ -4929,6 +4981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_clusters": q_pivot_clusters,
         "canopies": q_canopies,
         "cluster_sweep": q_cluster_sweep,
+        "transitivity_report": q_transitivity_report,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
         "review_credit": q_review_credit,
@@ -6193,6 +6246,80 @@ def oracle_sql() -> dict[str, str]:
     nodes as materialized (select u from e0 union select v as u from e0),
     {', '.join(_sw)}
     {_sw_union}
+    """
+
+    # Transitivity-report twin: star clustering over the MATCH edges
+    # (same center-election algebra as sql["star_clusters"], different
+    # edge set), then the two label joins + fate decision table.
+    sql["transitivity_report"] = """
+    with d as (
+      select doc_id, substr(lower(trim(text)), 1, 24) as prefix
+      from documents
+    ),
+    e0 as materialized (
+      select a.doc_id as u, b.doc_id as v,
+             case when a.prefix = '' or b.prefix = '' then 0.0
+                  else round(1.0 - levenshtein(a.prefix, b.prefix)
+                       / cast(greatest(length(a.prefix), length(b.prefix))
+                              as double), 6)
+             end >= 0.35 as is_match
+      from d a join d b
+        on b.doc_id in (a.doc_id + 1, a.doc_id + 2, a.doc_id + 3)
+    ),
+    m as (select u, v from e0 where is_match),
+    sym as materialized (select u, v from m union select v, u from m),
+    deg as (select u, count(*) as deg from sym group by u),
+    e as (
+      select s.u, s.v, du.deg as deg_u, dv.deg as deg_v
+      from sym s
+      join deg du on du.u = s.u
+      join deg dv on dv.u = s.v
+    ),
+    centers as (
+      select u from e group by u
+      having max(case when deg_v > deg_u
+                        or (deg_v = deg_u and v < u) then 1 else 0 end) = 0
+    ),
+    best as (
+      select u, v as cluster,
+             row_number() over (partition by u
+                                order by deg_v desc, v asc) as rn
+      from e where v in (select u from centers)
+    ),
+    sat as (
+      select u, cluster from best
+      where rn = 1 and u not in (select u from centers)
+    ),
+    assigned as (
+      select u, u as cluster from centers
+      union all
+      select u, cluster from sat
+    ),
+    nodes as (select distinct u from sym),
+    lonely as (
+      select n.u, n.u as cluster from nodes n
+      where n.u not in (select u from assigned)
+    ),
+    lab as materialized (
+      select u as node, cluster from assigned
+      union all
+      select u as node, cluster from lonely
+    )
+    select e0.u as id_a, e0.v as id_b, e0.is_match,
+           coalesce(la.cluster, e0.u) as cluster_a,
+           coalesce(lb.cluster, e0.v) as cluster_b,
+           case
+             when e0.is_match
+                  and coalesce(la.cluster, e0.u) = coalesce(lb.cluster, e0.v)
+               then 'kept_match'
+             when e0.is_match then 'cut_match'
+             when coalesce(la.cluster, e0.u) = coalesce(lb.cluster, e0.v)
+               then 'forced_merge'
+             else 'true_negative'
+           end as fate
+    from e0
+    left join lab la on la.node = e0.u
+    left join lab lb on lb.node = e0.v
     """
 
     # Star-clustering twin: same (degree desc, id asc) total order for

@@ -524,3 +524,61 @@ def capture_recapture(
         "n1 long, n2 long, overlap long, est_total double, "
         "recall_a double, recall_b double",
     )
+
+
+def transitivity_report(
+    pairs: DataFrame,
+    labels: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    decision_col: str = "is_match",
+    id_col: str = "doc_id",
+    label_col: str = "cluster",
+) -> DataFrame:
+    """Where the clustering overrode the pairwise classifier — the
+    standard post-clustering audit (Splink's "edges vs clusters"
+    view). CC forces every intra-component pair to co-resolve even
+    when the classifier said non-match; non-transitive clusterers
+    (pivot_clusters, star_clusters) CUT classified matches at weak
+    bridges. This report names each evaluated pair's fate:
+
+      kept_match      classifier match,     same cluster
+      cut_match       classifier match,     different clusters
+      forced_merge    classifier non-match, same cluster
+      true_negative   classifier non-match, different clusters
+
+    One hash join per endpoint against the label table (broadcast-able
+    when labels are small; shuffle hash otherwise) — no windows, no
+    self-joins. A pair endpoint absent from `labels` counts as its own
+    singleton cluster (it can never share one).
+
+    Returns (id_a, id_b, is_match, cluster_a, cluster_b, fate).
+    """
+    p = pairs.select(
+        F.col(id_a).cast("string").alias("id_a"),
+        F.col(id_b).cast("string").alias("id_b"),
+        F.col(decision_col).cast("boolean").alias("is_match"),
+    )
+    lab = labels.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(label_col).cast("string").alias("_c"),
+    )
+    out = (
+        p.join(lab.withColumnRenamed("_id", "id_a"), "id_a", "left")
+        .withColumnRenamed("_c", "cluster_a")
+        .join(lab.withColumnRenamed("_id", "id_b"), "id_b", "left")
+        .withColumnRenamed("_c", "cluster_b")
+        .withColumn("cluster_a", F.coalesce("cluster_a", F.col("id_a")))
+        .withColumn("cluster_b", F.coalesce("cluster_b", F.col("id_b")))
+    )
+    same = F.col("cluster_a") == F.col("cluster_b")
+    fate = (
+        F.when(F.col("is_match") & same, F.lit("kept_match"))
+        .when(F.col("is_match") & ~same, F.lit("cut_match"))
+        .when(~F.col("is_match") & same, F.lit("forced_merge"))
+        .otherwise(F.lit("true_negative"))
+    )
+    return out.select(
+        "id_a", "id_b", "is_match", "cluster_a", "cluster_b",
+        fate.alias("fate"),
+    )
