@@ -602,7 +602,10 @@ def pivot_clusters(
     in as self-clusters (same contract as star_clusters).
     """
 
-    sym = _seeded_sym(edges, id_a, id_b, seed)
+    # materialize once: sym feeds the node set, the MIS rounds AND the
+    # final attachment join — without this each branch re-executes the
+    # upstream pair-generation lineage
+    sym = _seeded_sym(edges, id_a, id_b, seed).localCheckpoint(eager=True)
     all_nodes = sym.select("u").distinct()
     pivots = _lex_first_mis(sym, all_nodes, max_iter, "pivot_clusters")
     if pivots is None:  # empty edge set: no incident nodes, no output
@@ -757,11 +760,17 @@ def canopies(
             f"canopies: tight ({tight}) must be >= loose ({loose}) "
             "in similarity orientation"
         )
-    scored = pairs.select(
-        F.col(id_a).cast("string").alias("u"),
-        F.col(id_b).cast("string").alias("v"),
-        F.col(score_col).cast("double").alias("s"),
-    ).where(F.col("u") != F.col("v"))
+    # materialize once: scored feeds the node set, the tight graph and
+    # the loose membership join
+    scored = (
+        pairs.select(
+            F.col(id_a).cast("string").alias("u"),
+            F.col(id_b).cast("string").alias("v"),
+            F.col(score_col).cast("double").alias("s"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         scored.select("u")
         .unionByName(scored.select(F.col("v").alias("u")))
@@ -814,11 +823,15 @@ def star_clusters(
     cheap first-pass entity partition. Deterministic and
     partitioning-invariant (all orderings are (degree, -id) structs).
     """
+    # materialize once: sym feeds degrees, the annotated edge table and
+    # the node list; e feeds the center election AND both attachment
+    # branches — unchecked, every branch re-executes the upstream
+    # pair-generation lineage
     sym = edges.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).unionAll(
         edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
 
     # rank struct: higher degree wins, then SMALLER id (negate id by
@@ -829,7 +842,7 @@ def star_clusters(
                  F.col("u") == F.col("_n")).drop("_n")
         .join(deg.withColumnRenamed("u", "_n").withColumnRenamed("deg", "deg_v"),
               F.col("v") == F.col("_n")).drop("_n")
-    )
+    ).localCheckpoint(eager=True)
     # center test: no neighbor strictly beats u on (deg, smaller-id)
     beats = (F.col("deg_v") > F.col("deg_u")) | (
         (F.col("deg_v") == F.col("deg_u")) & (F.col("v") < F.col("u"))

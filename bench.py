@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "pivot_clusters",  # KwikCluster: lex-MIS pivots + min-pi attachment
     "canopies",  # McCallum canopy pre-blocking: MIS(tight) + loose join
     "cluster_sweep",  # threshold sweep: one CC + incremental band merges
+    "transitivity_report",  # post-clustering classifier-override audit
     "cluster_cohesion",  # per-cluster density/boundary diagnostics
     "cluster_diff",  # run-to-run entity churn fates
     "fs_review_queue",  # clerical-review uncertainty sampling
