@@ -883,30 +883,7 @@ def q_canopies(spark: SparkSession, sf_dir: str) -> DataFrame:
         canopies,
     )
 
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.substring(F.lower(F.trim("text")), 1, 24).alias("prefix"),
-    )
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
-    score = F.when(
-        (F.col("pa") == "") | (F.col("pb") == ""), F.lit(0.0)
-    ).otherwise(
-        F.round(
-            1.0
-            - F.levenshtein("pa", "pb")
-            / F.greatest(F.length("pa"), F.length("pb")).cast("double"),
-            6,
-        )
-    )
-    # equi-join on the exploded offset (not a range join): the band
-    # condition becomes a hash join Catalyst can shuffle on id_b
-    cand = a.select(
-        "id_a",
-        "pa",
-        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("off"),
-    ).select("id_a", "pa", (F.col("id_a") + F.col("off")).alias("id_b"))
-    pairs = cand.join(b, "id_b").select("id_a", "id_b", score.alias("score"))
+    pairs = _band_scored_pairs(spark, sf_dir)
     out = canopies(pairs, loose=0.2, tight=0.35)
     return out.select(
         F.col("node").cast("long"), F.col("canopy").cast("long")
@@ -924,28 +901,7 @@ def q_cluster_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_sweep,
     )
 
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.substring(F.lower(F.trim("text")), 1, 24).alias("prefix"),
-    )
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
-    score = F.when(
-        (F.col("pa") == "") | (F.col("pb") == ""), F.lit(0.0)
-    ).otherwise(
-        F.round(
-            1.0
-            - F.levenshtein("pa", "pb")
-            / F.greatest(F.length("pa"), F.length("pb")).cast("double"),
-            6,
-        )
-    )
-    cand = a.select(
-        "id_a",
-        "pa",
-        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("off"),
-    ).select("id_a", "pa", (F.col("id_a") + F.col("off")).alias("id_b"))
-    pairs = cand.join(b, "id_b").select("id_a", "id_b", score.alias("score"))
+    pairs = _band_scored_pairs(spark, sf_dir)
     return cluster_sweep(pairs, [0.35, 0.25, 0.2, 0.15])
 
 
@@ -963,6 +919,28 @@ def q_transitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         transitivity_report,
     )
 
+    pairs = _band_scored_pairs(spark, sf_dir).select(
+        "id_a", "id_b", (F.col("score") >= 0.35).alias("is_match")
+    )
+    labels = star_clusters(pairs.where(F.col("is_match")))
+    rep = transitivity_report(
+        pairs, labels, id_col="node", label_col="cluster"
+    )
+    return rep.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        "is_match",
+        F.col("cluster_a").cast("long"),
+        F.col("cluster_b").cast("long"),
+        "fate",
+    )
+
+
+def _band_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair generator for the clustering-family queries: band
+    pairs (doc_id+1..+3) scored by 24-char-prefix levenshtein
+    similarity, via an exploded-offset equi-join (never a range
+    join)."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.substring(F.lower(F.trim("text")), 1, 24).alias("prefix"),
@@ -984,20 +962,43 @@ def q_transitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pa",
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("off"),
     ).select("id_a", "pa", (F.col("id_a") + F.col("off")).alias("id_b"))
-    pairs = cand.join(b, "id_b").select(
-        "id_a", "id_b", (score >= 0.35).alias("is_match")
+    return cand.join(b, "id_b").select("id_a", "id_b", score.alias("score"))
+
+
+def q_hac_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage HAC at threshold 0.25 over the scored band pairs
+    (operators/cluster.py:hac_clusters): runs the full distributed HAC
+    machinery (CC blocking + Lance-Williams applyInPandas kernel), and
+    single linkage at a threshold IS connected components over the
+    >= threshold edges — so the recursive-CC DuckDB twin is a HARD
+    oracle for the whole path (blocking, kernel merge loop, min-id
+    labeling)."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        hac_clusters,
     )
-    labels = star_clusters(pairs.where(F.col("is_match")))
-    rep = transitivity_report(
-        pairs, labels, id_col="node", label_col="cluster"
+
+    pairs = _band_scored_pairs(spark, sf_dir)
+    out = hac_clusters(pairs, 0.25, "single")
+    return out.select(
+        F.col("node").cast("long"), F.col("cluster").cast("long")
     )
-    return rep.select(
-        F.col("id_a").cast("long"),
-        F.col("id_b").cast("long"),
-        "is_match",
-        F.col("cluster_a").cast("long"),
-        F.col("cluster_b").cast("long"),
-        "fate",
+
+
+def q_hac_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-linkage HAC at threshold 0.25 (the Dedupe-style
+    don't-chain clusterer) over the scored band pairs. No ANSI-SQL
+    twin exists for the sequential merge order (rows-only driver
+    check); the kernel itself is pinned by tests against an
+    independent naive recompute reference on all three linkages, and
+    the machinery shares q_hac_single's hard oracle."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        hac_clusters,
+    )
+
+    pairs = _band_scored_pairs(spark, sf_dir)
+    out = hac_clusters(pairs, 0.25, "complete")
+    return out.select(
+        F.col("node").cast("long"), F.col("cluster").cast("long")
     )
 
 
@@ -4982,6 +4983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canopies": q_canopies,
         "cluster_sweep": q_cluster_sweep,
         "transitivity_report": q_transitivity_report,
+        "hac_single": q_hac_single,
+        "hac_complete": q_hac_complete,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
         "review_credit": q_review_credit,
@@ -6190,6 +6193,43 @@ def oracle_sql() -> dict[str, str]:
     union all
     select cast(l.u as bigint) as node, cast(l.v as bigint) as canopy
     from lsym l join cen on cen.u = l.v
+    """
+
+    # hac_single twin: single-linkage HAC at a threshold == connected
+    # components over the >= threshold edges, node universe = endpoints
+    # of any POSITIVE-scored pair, labels = min member id compared as
+    # VARCHAR (the kernel's string labels), cast back to bigint.
+    sql["hac_single"] = """
+    with recursive d as (
+      select doc_id, substr(lower(trim(text)), 1, 24) as prefix
+      from documents
+    ),
+    e0 as materialized (
+      select cast(a.doc_id as varchar) as u, cast(b.doc_id as varchar) as v,
+             case when a.prefix = '' or b.prefix = '' then 0.0
+                  else round(1.0 - levenshtein(a.prefix, b.prefix)
+                       / cast(greatest(length(a.prefix), length(b.prefix))
+                              as double), 6)
+             end as s
+      from d a join d b
+        on b.doc_id in (a.doc_id + 1, a.doc_id + 2, a.doc_id + 3)
+    ),
+    nodes as materialized (
+      select u from e0 where s > 0 union select v as u from e0 where s > 0
+    ),
+    sym as materialized (
+      select u, v from e0 where s >= 0.25
+      union
+      select v as u, u as v from e0 where s >= 0.25
+    ),
+    reach(id, r) as (
+      select u, u from nodes
+      union
+      select s.v, reach.r from reach join sym s on s.u = reach.id
+      where reach.r < s.v
+    )
+    select cast(id as bigint) as node, cast(min(r) as bigint) as cluster
+    from reach group by id
     """
 
     # Threshold-sweep twin: independent recursive-CTE CC per level

@@ -633,6 +633,153 @@ def pivot_clusters(
     return own.unionByName(sat)
 
 
+def hac_clusters(
+    scored_edges: DataFrame,
+    threshold: float,
+    linkage: str = "complete",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Hierarchical agglomerative clustering at a similarity threshold
+    — the Dedupe-style clusterer: repeatedly merge the cluster pair
+    with the highest linkage similarity until it drops below
+    `threshold`. `linkage`:
+
+      single    max cross-pair sim  (== connected components at the
+                threshold — pinned by test AND the SQL oracle twin)
+      complete  min cross-pair sim  (missing pair = 0: a merge needs
+                EVERY cross pair scored >= threshold — never chains)
+      average   mean cross-pair sim over |A|x|B| (missing = 0)
+
+    Distributed shape (the only scalable HAC shape): HAC can merge two
+    records only if they are connected through positive-scored edges,
+    so records first partition into connected components of the scored
+    graph (O(log n) CC); the sequential merge loop then runs
+    INDEPENDENTLY per component inside one applyInPandas kernel —
+    Arrow-batched, no driver-side graph, parallel across components.
+    Real candidate graphs are block-bounded (the blocking stage caps
+    component size); a component larger than `max_block` raises rather
+    than silently OOMing an executor.
+
+    Deterministic: merge order ties break on (label_a, label_b) with
+    labels = min member id; output labels are min member ids, so the
+    result is partitioning-invariant.
+
+    Returns (node, cluster) over all edge endpoints.
+    """
+    if linkage not in ("single", "complete", "average"):
+        raise ValueError(f"hac_clusters: unknown linkage {linkage!r}")
+    if not threshold > 0.0:
+        raise ValueError(
+            "hac_clusters: threshold must be > 0 (zero-score pairs are "
+            "'no evidence' and are excluded from the graph)"
+        )
+
+    e = (
+        scored_edges.select(
+            F.col(id_a).cast("string").alias("u"),
+            F.col(id_b).cast("string").alias("v"),
+            F.col(score_col).cast("double").alias("s"),
+        )
+        .where((F.col("u") != F.col("v")) & (F.col("s") > 0.0))
+        .groupBy("u", "v")
+        .agg(F.max("s").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(
+        e.select(F.col("u").alias("id_a"), F.col("v").alias("id_b")),
+        id_col="node",
+    ).withColumnRenamed("predicted_entity_id", "comp")
+    ec = (
+        e.join(comp.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("comp", "comp_u")
+        .join(
+            comp.select(
+                F.col("node").alias("v"), F.col("comp")
+            ),
+            "v",
+        )
+        .select("comp", "u", "v", "s")
+    )
+
+    thr = float(threshold)
+    mode = linkage
+    cap = int(max_block)
+
+    def _hac(pdf):
+        # Lance-Williams matrix HAC: O(n^2) per merge, vectorized row
+        # updates — single: max, complete: min, average: size-weighted
+        # mean (== mean over all cross pairs with missing = 0, UPGMA)
+        import numpy as np
+        import pandas as pd
+
+        nodes = sorted(set(pdf["u"]) | set(pdf["v"]))
+        n = len(nodes)
+        if n > cap:
+            raise ValueError(
+                f"hac_clusters: component of {n} nodes exceeds "
+                f"max_block={cap} — tighten blocking upstream"
+            )
+        idx = {x: i for i, x in enumerate(nodes)}
+        L = np.zeros((n, n), dtype=np.float64)
+        for u, v, s in zip(pdf["u"], pdf["v"], pdf["s"]):
+            i, j = idx[u], idx[v]
+            if s > L[i, j]:
+                L[i, j] = L[j, i] = s
+        np.fill_diagonal(L, -np.inf)
+        active = np.ones(n, dtype=bool)
+        size = np.ones(n, dtype=np.float64)
+        label = list(nodes)  # cluster label = min member id
+        parent = list(range(n))  # row index of each node's cluster
+
+        while active.sum() > 1:
+            m = L.max()
+            if m < thr:
+                break
+            # deterministic tie-break: among exact-max pairs, the one
+            # with the lexicographically smallest (sorted) label pair
+            ii, jj = np.nonzero(L == m)
+            best = None
+            for i, j in zip(ii.tolist(), jj.tolist()):
+                if i >= j:
+                    continue
+                key = tuple(sorted((label[i], label[j])))
+                if best is None or key < best[0]:
+                    best = (key, i, j)
+            _, i, j = best
+            if mode == "single":
+                row = np.maximum(L[i], L[j])
+            elif mode == "complete":
+                row = np.minimum(L[i], L[j])
+            else:
+                row = (size[i] * L[i] + size[j] * L[j]) / (
+                    size[i] + size[j]
+                )
+            L[i, :] = row
+            L[:, i] = row
+            L[i, i] = -np.inf
+            L[j, :] = -np.inf
+            L[:, j] = -np.inf
+            size[i] += size[j]
+            active[j] = False
+            label[i] = min(label[i], label[j])
+            for k in range(n):
+                if parent[k] == j:
+                    parent[k] = i
+        return pd.DataFrame(
+            {
+                "node": nodes,
+                "cluster": [label[parent[k]] for k in range(n)],
+            }
+        )
+
+    return ec.groupBy("comp").applyInPandas(
+        _hac, "node string, cluster string"
+    )
+
+
 def cluster_sweep(
     scored_edges: DataFrame,
     thresholds: list[float],

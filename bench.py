@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "canopies",  # McCallum canopy pre-blocking: MIS(tight) + loose join
     "cluster_sweep",  # threshold sweep: one CC + incremental band merges
     "transitivity_report",  # post-clustering classifier-override audit
+    "hac_single",  # threshold HAC, single linkage (== CC hard oracle)
+    "hac_complete",  # Dedupe-style complete-linkage HAC per block
     "cluster_cohesion",  # per-cluster density/boundary diagnostics
     "cluster_diff",  # run-to-run entity churn fates
     "fs_review_queue",  # clerical-review uncertainty sampling

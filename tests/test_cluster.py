@@ -544,3 +544,143 @@ def test_cluster_sweep_empty_thresholds_raises(spark):
     )
     with pytest.raises(ValueError):
         cluster_sweep(df, [])
+
+
+def _hac_naive(pairs, thr, mode):
+    """Independent naive HAC reference: recompute every cluster-pair
+    linkage from the raw similarity dict each round (no Lance-Williams
+    updates) — a genuinely different code path from the operator's
+    vectorized matrix kernel."""
+    sim = {}
+    nodes = set()
+    for a, b, s in pairs:
+        a, b = str(a), str(b)
+        if a == b or s <= 0:
+            continue
+        nodes |= {a, b}
+        sim[frozenset((a, b))] = max(sim.get(frozenset((a, b)), 0.0), s)
+    clusters = {n: {n} for n in nodes}
+
+    def link(A, B):
+        vals = [
+            sim.get(frozenset((x, y)), 0.0) for x in clusters[A] for y in clusters[B]
+        ]
+        if mode == "single":
+            return max(vals)
+        if mode == "complete":
+            return min(vals)
+        return sum(vals) / len(vals)
+
+    while len(clusters) > 1:
+        best = None
+        for A in clusters:
+            for B in clusters:
+                if A >= B:
+                    continue
+                lv = link(A, B)
+                if lv >= thr and (
+                    best is None
+                    or lv > best[0]
+                    or (lv == best[0] and (A, B) < (best[1], best[2]))
+                ):
+                    best = (lv, A, B)
+        if best is None:
+            break
+        _, A, B = best
+        merged = clusters.pop(A) | clusters.pop(B)
+        clusters[min(A, B)] = merged
+    return {n: lab for lab, ms in clusters.items() for n in ms}
+
+
+@pytest.mark.parametrize("mode", ["single", "complete", "average"])
+def test_hac_matches_naive_reference(spark, mode):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        hac_clusters,
+    )
+
+    rng = random.Random(13)
+    pairs = []
+    seen = set()
+    for _ in range(80):
+        a, b = rng.randrange(25), rng.randrange(25)
+        if a == b or (a, b) in seen or (b, a) in seen:
+            continue
+        seen.add((a, b))
+        # coarse grid keeps cross-implementation float ties exact
+        pairs.append((f"n{a:02d}", f"n{b:02d}", rng.randrange(1, 20) / 20.0))
+    df = spark.createDataFrame(pairs, "id_a string, id_b string, score double")
+    got = {r.node: r.cluster for r in hac_clusters(df, 0.5, mode).collect()}
+    want = _hac_naive(pairs, 0.5, mode)
+    assert got == want
+
+
+def test_hac_single_equals_cc_at_threshold(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        hac_clusters,
+    )
+
+    rng = random.Random(21)
+    pairs = [
+        (f"v{rng.randrange(40):02d}", f"v{rng.randrange(40):02d}",
+         round(rng.random(), 2))
+        for _ in range(100)
+    ]
+    pairs = [(a, b, s) for a, b, s in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string, score double")
+    got = {r.node: r.cluster for r in hac_clusters(df, 0.5, "single").collect()}
+    # CC over >= threshold edges, restricted to nodes with ANY
+    # positive-scored edge (hac's node universe)
+    g = nx.Graph()
+    g.add_nodes_from(
+        {x for a, b, s in pairs if s > 0 for x in (a, b)}
+    )
+    g.add_edges_from((a, b) for a, b, s in pairs if s >= 0.5)
+    want = {}
+    for comp in nx.connected_components(g):
+        root = min(comp)
+        for v in comp:
+            want[v] = root
+    assert got == want
+
+
+def test_hac_complete_does_not_chain(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        hac_clusters,
+    )
+
+    pairs = [("a", "b", 0.9), ("b", "c", 0.9), ("a", "c", 0.1)]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string, score double")
+    # complete: {a,b} forms at 0.9; adding c needs min(0.9, 0.1) -> no
+    got = {r.node: r.cluster for r in hac_clusters(df, 0.5, "complete").collect()}
+    assert got == {"a": "a", "b": "a", "c": "c"}
+    # average: ({a,b}, c) linkage = (0.9+0.1)/2 = 0.5 >= 0.5 -> yes
+    got = {r.node: r.cluster for r in hac_clusters(df, 0.5, "average").collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
+    # single chains everything at 0.5
+    got = {r.node: r.cluster for r in hac_clusters(df, 0.5, "single").collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_hac_partitioning_invariant_and_guards(spark):
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        hac_clusters,
+    )
+
+    rng = random.Random(2)
+    pairs = [
+        (rng.randrange(30), rng.randrange(30), rng.randrange(1, 10) / 10.0)
+        for _ in range(60)
+    ]
+    pairs = [(a, b, s) for a, b, s in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long, score double")
+    a = sorted(map(tuple, hac_clusters(df, 0.4, "complete").collect()))
+    b = sorted(
+        map(tuple, hac_clusters(df.repartition(11), 0.4, "complete").collect())
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        hac_clusters(df, 0.0)
+    with pytest.raises(ValueError):
+        hac_clusters(df, 0.5, "ward")
+    with pytest.raises(Exception, match="max_block"):
+        hac_clusters(df, 0.1, "single", max_block=3).collect()
