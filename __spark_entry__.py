@@ -4979,12 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_cohesion": q_cluster_cohesion,
         "cluster_diff": q_cluster_diff,
         "star_clusters": q_star_clusters,
-        "pivot_clusters": q_pivot_clusters,
-        "canopies": q_canopies,
-        "cluster_sweep": q_cluster_sweep,
         "transitivity_report": q_transitivity_report,
-        "hac_single": q_hac_single,
-        "hac_complete": q_hac_complete,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
         "review_credit": q_review_credit,
@@ -5000,6 +4995,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_min": q_dedup_keep_min,
         "dedup_keep_best": q_dedup_keep_best,
         "resolve_best_match": q_resolve,
+        # iterative clusterers (multi-job: MIS/CC rounds + driver
+        # aggregates — late so they can't crowd cheap queries out of
+        # the driver's per-round snapshot budget)
+        "pivot_clusters": q_pivot_clusters,
+        "canopies": q_canopies,
+        "cluster_sweep": q_cluster_sweep,
+        "hac_single": q_hac_single,
+        "hac_complete": q_hac_complete,
         # multimodal (heaviest per-row work — last)
         "exif_extract": q_exif_extract,
         "multimodal_decode": q_multimodal_decode,

@@ -386,6 +386,25 @@ SECTIONS = [
         "is zip_with/bit_count/aggregate inside codegen — no Python "
         "in the pairwise stage.",
     ),
+    (
+        "star_clusters",
+        "Star cover: degree groupBy + hash joins + one max-agg center "
+        "election + one min_by attachment — CONSTANT shuffles, no "
+        "windows over corpus-scale rows; shared subtrees "
+        "localCheckpointed so branches scan, not recompute.",
+    ),
+    (
+        "transitivity_report",
+        "Post-clustering audit: two label hash joins + one codegen'd "
+        "fate CASE — no windows, no self-joins; the is_match "
+        "predicate is pushed into the band-pair join condition.",
+    ),
+    (
+        "hac_complete",
+        "Per-block HAC: CC blocking, then ONE FlatMapGroupsInPandas "
+        "(Arrow) kernel keyed by component — the sequential merge "
+        "loop never leaves the executor; no driver-side graph.",
+    ),
 ]
 
 
