@@ -653,15 +653,20 @@ def hac_clusters(
                 EVERY cross pair scored >= threshold — never chains)
       average   mean cross-pair sim over |A|x|B| (missing = 0)
 
-    Distributed shape (the only scalable HAC shape): HAC can merge two
-    records only if they are connected through positive-scored edges,
-    so records first partition into connected components of the scored
-    graph (O(log n) CC); the sequential merge loop then runs
-    INDEPENDENTLY per component inside one applyInPandas kernel —
-    Arrow-batched, no driver-side graph, parallel across components.
-    Real candidate graphs are block-bounded (the blocking stage caps
-    component size); a component larger than `max_block` raises rather
-    than silently OOMing an executor.
+    Distributed shape (the only scalable HAC shape): every merge needs
+    linkage >= threshold, and max/min/mean >= t each imply at least
+    ONE cross pair >= t — so every final cluster is connected in the
+    >= threshold graph, and records partition EXACTLY into its
+    connected components (O(log n) CC). The sequential merge loop then
+    runs independently per component inside one applyInPandas kernel
+    (Arrow-batched, no driver-side graph, parallel across components),
+    seeing ALL scored edges between component members (sub-threshold
+    ones included — complete/average linkage needs them); nodes with
+    no >= threshold edge can never merge and short-circuit to
+    singleton rows without touching the kernel. Threshold-graph
+    components are far smaller than positive-graph components; one
+    larger than `max_block` still raises rather than silently OOMing
+    an executor.
 
     Deterministic: merge order ties break on (label_a, label_b) with
     labels = min member id; output labels are min member ids, so the
@@ -689,19 +694,32 @@ def hac_clusters(
         .localCheckpoint(eager=True)
     )
     comp = connected_components(
-        e.select(F.col("u").alias("id_a"), F.col("v").alias("id_b")),
+        e.where(F.col("s") >= float(threshold)).select(
+            F.col("u").alias("id_a"), F.col("v").alias("id_b")
+        ),
         id_col="node",
     ).withColumnRenamed("predicted_entity_id", "comp")
+    # kernel input: ALL scored edges whose endpoints share a threshold
+    # component (inner joins drop edges touching non-component nodes;
+    # cross-component sub-threshold edges can never join a merge)
     ec = (
         e.join(comp.withColumnRenamed("node", "u"), "u")
         .withColumnRenamed("comp", "comp_u")
         .join(
-            comp.select(
-                F.col("node").alias("v"), F.col("comp")
-            ),
+            comp.select(F.col("node").alias("v"), F.col("comp")),
             "v",
         )
+        .where(F.col("comp_u") == F.col("comp"))
         .select("comp", "u", "v", "s")
+    )
+    # nodes with any positive edge but no >= threshold edge: permanent
+    # singletons, emitted directly
+    singles = (
+        e.select("u")
+        .unionByName(e.select(F.col("v").alias("u")))
+        .distinct()
+        .join(comp.withColumnRenamed("node", "u"), "u", "left_anti")
+        .select(F.col("u").alias("node"), F.col("u").alias("cluster"))
     )
 
     thr = float(threshold)
@@ -777,7 +795,7 @@ def hac_clusters(
 
     return ec.groupBy("comp").applyInPandas(
         _hac, "node string, cluster string"
-    )
+    ).unionByName(singles)
 
 
 def cluster_sweep(
