@@ -13,9 +13,23 @@ def test_bench_queries_are_registered():
     assert not missing, f"BENCH_QUERIES not in queries(): {missing}"
 
 
+# Queries DELIBERATELY registered without a SQL twin (the driver
+# records a rows-only check for these). Every entry here must say why
+# no ANSI-SQL oracle can exist — anything else is a missing oracle.
+ROWS_ONLY = {
+    # sequential agglomerative merge order is not SQL-expressible; the
+    # kernel is pinned by tests against an independent naive-recompute
+    # reference on all three linkages, and hac_single (same blocking +
+    # kernel, single linkage) carries a HARD recursive-CC oracle
+    "hac_complete",
+}
+
+
 def test_registry_and_oracles_have_identical_keys():
     q, o = entry.queries(), entry.oracle_sql()
-    assert set(q) == set(o), {
-        "queries_without_oracle": sorted(set(q) - set(o)),
+    assert set(q) - ROWS_ONLY == set(o), {
+        "queries_without_oracle": sorted(set(q) - ROWS_ONLY - set(o)),
         "orphan_oracles": sorted(set(o) - set(q)),
     }
+    assert ROWS_ONLY <= set(q)
+    assert not (ROWS_ONLY & set(o))
