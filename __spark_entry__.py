@@ -2448,7 +2448,7 @@ def q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IMAGE_FORMATS = (
     "jpeg", "jpeg_progressive", "png", "gif",
-    "webp", "webp_lossy", "tiff", "bmp",
+    "webp", "webp_lossy", "tiff", "bmp", "qoi",
 )
 
 
@@ -2514,16 +2514,16 @@ def q_ann_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL EIGHT image codecs END-TO-END with one hard oracle: each doc
-    is encoded in exactly one format (doc_id % 8 — jpeg baseline,
+    """ALL NINE image codecs END-TO-END with one hard oracle: each doc
+    is encoded in exactly one format (doc_id % 9 — jpeg baseline,
     progressive SOF2, PNG with cycling filters, interlaced GIF89a,
     lossless VP8L WebP, lossy VP8 key frame, big-endian LZW TIFF with
-    predictor, palette BMP), quadrants = the doc's first 4 ASCII bytes,
+    predictor, palette BMP, QOI), quadrants = the doc's first 4 ASCII bytes,
     decoded through the real extract_media_features path. Losslessness
     (or the exact flat-block VP8 identity at qi=0) makes the thumbnail
     quadrants equal ord(substr(text, q+1)) — with the BT.601 integer
     map for the lossy branch — so the twin is a single CASE over
-    doc_id % 8. Per-format deep-dive constructions live in the
+    doc_id % 9. Per-format deep-dive constructions live in the
     unregistered q_multimodal_<fmt> helpers + pytest suites."""
     import numpy as np
     import pandas as pd
@@ -2536,6 +2536,7 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_progressive,
     )
     from aml_entity_resolution_assignment_spark.functions.png import encode_png
+    from aml_entity_resolution_assignment_spark.functions.qoi import encode_qoi
     from aml_entity_resolution_assignment_spark.functions.tiff import encode_tiff
     from aml_entity_resolution_assignment_spark.functions.vp8 import (
         encode_webp_lossy,
@@ -2551,7 +2552,7 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for i, t in zip(ids, texts):
             raw = str(t).encode("utf-8")[:4]
-            fmt = int(i) % 8
+            fmt = int(i) % 9
             if fmt == 5:  # lossy VP8: 16x16 flat macroblocks, qi=0
                 y = np.zeros((32, 32), dtype=np.uint8)
                 for q, (ys, xs) in enumerate(
@@ -2589,19 +2590,22 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
                         big_endian=True,
                     )
                 )
-            else:
+            elif fmt == 7:
                 out.append(encode_bmp(img, palette=pal))
+            else:  # QOI (functions/qoi.py), gray broadcast to RGB
+                out.append(encode_qoi(img))
         return pd.Series(out, index=texts.index, dtype="object")
 
     enc_udf = F.pandas_udf(_encode, BinaryType())
-    fmt_i = F.pmod(F.col("doc_id"), F.lit(8))
+    fmt_i = F.pmod(F.col("doc_id"), F.lit(9))
     mime = (
         F.when(fmt_i.isin(0, 1), F.lit("image/jpeg"))
         .when(fmt_i == 2, F.lit("image/png"))
         .when(fmt_i == 3, F.lit("image/gif"))
         .when(fmt_i.isin(4, 5), F.lit("image/webp"))
         .when(fmt_i == 6, F.lit("image/tiff"))
-        .otherwise(F.lit("image/bmp"))
+        .when(fmt_i == 7, F.lit("image/bmp"))
+        .otherwise(F.lit("image/qoi"))
     )
     dim = F.when(fmt_i == 5, F.lit(32)).otherwise(F.lit(16))
     d = _docs(spark, sf_dir).where(F.col("n_chars") >= 4)
@@ -2618,7 +2622,7 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     did = F.col("media_id").cast("long")
     fmt_name = F.element_at(
         F.array(*[F.lit(n) for n in IMAGE_FORMATS]),
-        (F.pmod(did, F.lit(8)) + 1).cast("int"),
+        (F.pmod(did, F.lit(9)) + 1).cast("int"),
     )
     return feats.select(
         did.alias("doc_id"),
@@ -8584,13 +8588,13 @@ def oracle_sql() -> dict[str, str]:
            (select unnest(generate_series(0, 3)) as j)
     )
     select d.doc_id,
-           case d.doc_id % 8
+           case d.doc_id % 9
              when 0 then 'jpeg' when 1 then 'jpeg_progressive'
              when 2 then 'png' when 3 then 'gif' when 4 then 'webp'
              when 5 then 'webp_lossy' when 6 then 'tiff'
-             else 'bmp' end as fmt,
+             when 7 then 'bmp' else 'qoi' end as fmt,
            pos.k,
-           case when d.doc_id % 8 = 5
+           case when d.doc_id % 9 = 5
                 then greatest(0, least(255,
                   (298 * (ord(substr(d.text, pos.p, 1)) - 16) + 128) // 256))
                 else ord(substr(d.text, pos.p, 1)) end as pix

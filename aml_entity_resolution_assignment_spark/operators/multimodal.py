@@ -148,11 +148,15 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from ..functions.bmp import decode_ico
 
         return decode_ico(payload)
+    if payload and payload[:4] == b"qoif":
+        from ..functions.qoi import decode_qoi
+
+        return decode_qoi(payload)
     raise NotImplementedError(
         "unsupported image payload: netpbm (P5/P6), JPEG (baseline + "
         "progressive), PNG (incl. the APNG default image), GIF, WebP "
-        "(lossless VP8L + lossy VP8 key frames), TIFF, BMP and ICO "
-        "decode natively; VP8 inter frames decode on the video path "
+        "(lossless VP8L + lossy VP8 key frames), TIFF, BMP, ICO and "
+        "QOI decode natively; VP8 inter frames decode on the video path "
         "(decode_video_frames). The remaining frontier — H.264/VP9, "
         "JPEG 2000/AVIF — needs codec libraries absent from this "
         "container, or use extract_media_features("
@@ -306,6 +310,7 @@ def extract_media_features(
                         or payload[:2] == b"BM"
                         or payload[:4] in (b"II*\x00", b"MM\x00*")
                         or payload[:4] == b"\x00\x00\x01\x00"
+                        or payload[:4] == b"qoif"
                     )
                 ):
                     feats.append(_image_feature(payload, dim))

@@ -198,6 +198,109 @@ def write_warc(pages: list[dict], per_record_gzip: bool = True) -> bytes:
     return bytes(out)
 
 
+TEXT_FROM_WET_SCHEMA = (
+    "url string, warc_ts timestamp, text string, lang string, "
+    "n_chars long, source_file string"
+)
+
+
+def parse_wet_file(content: bytes, path: str = "") -> list[dict]:
+    """One .wet / .wet.gz file -> list of text dicts. WET is the
+    Common-Crawl text-extract sibling of WARC: the SAME ISO-28500
+    container, but records are ``WARC-Type: conversion`` with a
+    ``text/plain`` block holding the pre-extracted page text (no HTTP
+    envelope). warcinfo and any other record types are skipped."""
+    rows = []
+    for member in _split_gzip_members(content):
+        for rec in _parse_records(member):
+            h = rec["headers"]
+            if h.get("warc-type") != "conversion":
+                continue
+            url = h.get("warc-target-uri", "")
+            if not url.startswith(("http://", "https://")):
+                continue
+            text = rec["block"].decode("utf-8", errors="replace")
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": h.get("warc-date"),
+                    "text": text,
+                    "lang": h.get("warc-identified-content-language"),
+                    "n_chars": len(text),
+                    "source_file": path,
+                }
+            )
+    return rows
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET files at `path` -> (url, warc_ts, text, lang, n_chars,
+    source_file) DataFrame. Same ingestion shape as read_warc: one
+    binaryFile task per ~150 MB CC segment, Arrow-batched parsing —
+    the cheap path when only the extracted text is needed (no HTML
+    byte shuffling, ~5x smaller input than the WARC for the same
+    crawl)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_wet_file(bytes(content), p))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "text", "lang", "n_chars",
+                    "source_file",
+                ],
+            )
+            if len(out):
+                out["warc_ts"] = pd.to_datetime(
+                    out["warc_ts"], utc=True, errors="coerce"
+                ).dt.tz_localize(None)
+            else:
+                out["warc_ts"] = pd.to_datetime(out["warc_ts"])
+            yield out
+
+    return files.mapInPandas(run, TEXT_FROM_WET_SCHEMA)
+
+
+def write_wet(pages: list[dict], per_record_gzip: bool = True) -> bytes:
+    """Spec-valid WET bytes from (url, warc_ts iso string, text str)
+    dicts — conversion records, one gzip member per record when
+    `per_record_gzip` (the Common-Crawl layout). Encoder exercises
+    the reader the same way write_warc does."""
+    out = bytearray()
+    for i, p in enumerate(pages):
+        body = p["text"].encode("utf-8")
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + b"WARC-Record-ID: <urn:uuid:wet-" + str(i).encode() + b">\r\n"
+            + b"WARC-Target-URI: " + p["url"].encode() + b"\r\n"
+            + b"WARC-Date: " + p["warc_ts"].encode() + b"\r\n"
+            + (
+                b"WARC-Identified-Content-Language: "
+                + p["lang"].encode() + b"\r\n"
+                if p.get("lang")
+                else b""
+            )
+            + b"Content-Type: text/plain\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        rec = hdr + body + b"\r\n\r\n"
+        if per_record_gzip:
+            buf = _io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+            out += buf.getvalue()
+        else:
+            out += rec
+    return bytes(out)
+
+
 def read_warc_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
     """Streaming form of read_warc: new WARC segment files appearing
     under `path` become micro-batches of pages (the crawl-ingest shape
