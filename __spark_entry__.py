@@ -815,6 +815,39 @@ def q_cluster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_diff(la, lb)
 
 
+def q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent entity IDs across runs (operators/cluster.py:
+    stable_entity_ids): the previous run published entities over docs
+    with doc_id < 6000 grouped by doc_id//8; this run re-clusters ALL
+    docs by doc_id//10 — so every current cluster straddles 2-3 old
+    entities (merges), old entities straddle 1-2 clusters (splits),
+    and the tail of new docs mints fresh ids. Max-overlap mutual-best
+    carry with (count desc, key asc) tie-breaks; the DuckDB twin
+    replays the overlap cells, both ranking windows, and the
+    new:-minting coalesce exactly."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        stable_entity_ids,
+    )
+
+    d = _docs(spark, sf_dir)
+    cur = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("C"), F.floor(F.col("doc_id") / 10).cast("long")
+        ).alias("cluster"),
+    )
+    prev = d.where(F.col("doc_id") < 6000).select(
+        "doc_id",
+        F.concat(
+            F.lit("E"), F.floor(F.col("doc_id") / 8).cast("long")
+        ).alias("entity_id"),
+    )
+    return stable_entity_ids(
+        cur, prev, id_col="doc_id", cluster_col="cluster",
+        entity_col="entity_id",
+    )
+
+
 def q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-round star clustering (operators/cluster.py:star_clusters)
     over a chain+skip graph (doc adjacent to doc_id+1 and doc_id+2
@@ -4982,6 +5015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": q_cc_incremental,
         "cluster_cohesion": q_cluster_cohesion,
         "cluster_diff": q_cluster_diff,
+        "stable_ids": q_stable_ids,
         "star_clusters": q_star_clusters,
         "transitivity_report": q_transitivity_report,
         "pairs_from_clusters": q_pairs_from_clusters,
@@ -6088,6 +6122,36 @@ def oracle_sql() -> dict[str, str]:
     from cells c
     join da using (cluster_a)
     join db using (cluster_b)
+    """
+
+    # Stable-ids twin: overlap cells, mutual-best double window with
+    # the same (count desc, key asc) tie-breaks, new:-minting coalesce.
+    sql["stable_ids"] = """
+    with cur as (
+      select doc_id, 'C' || (doc_id // 10) as cluster from documents
+    ),
+    prev as (
+      select doc_id, 'E' || (doc_id // 8) as prev_e from documents
+      where doc_id < 6000
+    ),
+    cells as (
+      select c.cluster, p.prev_e, count(*) as n
+      from cur c join prev p using (doc_id)
+      group by c.cluster, p.prev_e
+    ),
+    ranked as (
+      select cluster, prev_e,
+             row_number() over (
+               partition by cluster order by n desc, prev_e) as rc,
+             row_number() over (
+               partition by prev_e order by n desc, cluster) as re
+      from cells
+    ),
+    carried as (select cluster, prev_e from ranked where rc = 1 and re = 1)
+    select c.doc_id, c.cluster,
+           coalesce(k.prev_e, 'new:' || c.cluster) as entity_id,
+           k.prev_e is not null as carried
+    from cur c left join carried k using (cluster)
     """
 
     # PIVOT correlation-clustering twin: replay the md5-low60

@@ -465,6 +465,81 @@ def cluster_diff(
     )
 
 
+def stable_entity_ids(
+    current: DataFrame,
+    previous: DataFrame,
+    id_col: str = "url",
+    cluster_col: str = "cluster",
+    entity_col: str = "entity_id",
+    new_prefix: str = "new:",
+) -> DataFrame:
+    """Persistent entity IDs across resolution runs: re-label this
+    run's clusters with the PREVIOUS run's published entity ids
+    wherever the clusters demonstrably continue an old entity, so
+    downstream consumers (case management, watchlists, feature
+    stores) keep stable keys while records churn underneath.
+
+    Matching rule — maximum-overlap with mutual-best 1:1 assignment:
+    each (cluster, prev_entity) overlap cell is counted from the
+    records both runs share; a cluster inherits a previous id iff
+    that id is the cluster's largest overlap AND the cluster is that
+    id's largest overlap (ties break on the partner key ascending, so
+    output is deterministic and partitioning-invariant). Mutual-best
+    is the distributed relaxation of greedy weight-ordered assignment
+    (same argument as joins.mutual_best_match): no global sequencing,
+    never double-assigns an id, and a pure split keeps the old id on
+    its biggest surviving fragment — exactly the continuity users
+    expect. Clusters with no carried id (brand-new entities, or
+    fragments that lost the argmax) mint ``new_prefix + cluster``,
+    which is deterministic across re-runs of the same input.
+
+    Scale shape: one record-keyed inner join to the overlap cells,
+    then every shuffle is keyed by cluster/entity id over CELLS (not
+    records) — two ranking windows + one cluster-keyed join back to
+    the assignment. No iteration, no driver state.
+
+    Returns (id_col, cluster_col, entity_col, carried): one row per
+    CURRENT record; records the previous run had but this run lost
+    do not appear (their entities simply end).
+    """
+    from pyspark.sql import Window
+
+    cur = current.select(
+        F.col(id_col).alias(id_col),
+        F.col(cluster_col).cast("string").alias(cluster_col),
+    )
+    prev = previous.select(
+        F.col(id_col).alias(id_col),
+        F.col(entity_col).cast("string").alias("_prev_e"),
+    )
+    cells = (
+        cur.join(prev, id_col)
+        .groupBy(cluster_col, "_prev_e")
+        .agg(F.count("*").alias("_n"))
+    )
+    w_c = Window.partitionBy(cluster_col).orderBy(
+        F.col("_n").desc(), F.col("_prev_e")
+    )
+    w_e = Window.partitionBy("_prev_e").orderBy(
+        F.col("_n").desc(), F.col(cluster_col)
+    )
+    carried = (
+        cells.withColumn("_rc", F.row_number().over(w_c))
+        .withColumn("_re", F.row_number().over(w_e))
+        .where((F.col("_rc") == 1) & (F.col("_re") == 1))
+        .select(cluster_col, "_prev_e")
+    )
+    return cur.join(carried, cluster_col, "left").select(
+        id_col,
+        cluster_col,
+        F.coalesce(
+            F.col("_prev_e"),
+            F.concat(F.lit(new_prefix), F.col(cluster_col)),
+        ).alias(entity_col),
+        F.col("_prev_e").isNotNull().alias("carried"),
+    )
+
+
 def _seeded_rank(col: str, seed: int):
     """60-bit permutation rank: first 15 hex chars of
     md5(id || '|' || seed) — byte-identical in DuckDB as

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "hac_complete",  # Dedupe-style complete-linkage HAC per block
     "cluster_cohesion",  # per-cluster density/boundary diagnostics
     "cluster_diff",  # run-to-run entity churn fates
+    "stable_ids",  # persistent entity ids carried across runs
     "fs_review_queue",  # clerical-review uncertainty sampling
     "fs_pr_curve",  # threshold sweep PR curve from one sorted pass
     "fs_calibration",  # reliability bins + ECE
