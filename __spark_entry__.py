@@ -818,7 +818,7 @@ def q_cluster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent entity IDs across runs (operators/cluster.py:
     stable_entity_ids): the previous run published entities over docs
-    with doc_id < 6000 grouped by doc_id//8; this run re-clusters ALL
+    with doc_id < 300 grouped by doc_id//8; this run re-clusters ALL
     docs by doc_id//10 — so every current cluster straddles 2-3 old
     entities (merges), old entities straddle 1-2 clusters (splits),
     and the tail of new docs mints fresh ids. Max-overlap mutual-best
@@ -836,7 +836,7 @@ def q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("C"), F.floor(F.col("doc_id") / 10).cast("long")
         ).alias("cluster"),
     )
-    prev = d.where(F.col("doc_id") < 6000).select(
+    prev = d.where(F.col("doc_id") < 300).select(
         "doc_id",
         F.concat(
             F.lit("E"), F.floor(F.col("doc_id") / 8).cast("long")
@@ -2830,6 +2830,24 @@ def q_cm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cm_estimate(sk, items, "t")
     return out.select(
         F.col("item").alias("token"), F.col("estimate").cast("long")
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items above phi=0.8% of the event stream
+    (operators/sketches.py:heavy_hitters): per-partition Misra-Gries
+    candidate summaries (mergeable-summaries superset guarantee) +
+    broadcast recount — output byte-identical to the naive
+    groupBy-count-filter plan, which is exactly what the DuckDB twin
+    runs."""
+    from aml_entity_resolution_assignment_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    out = heavy_hitters(_events(spark, sf_dir), "user_id", phi=0.008)
+    return out.select(
+        F.col("item").cast("long").alias("user_id"),
+        F.col("cnt").cast("long"),
     )
 
 
@@ -4952,6 +4970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_containers": q_audio_containers,
         "profile_columns": q_profile_columns,
         "cm_token_counts": q_cm_token_counts,
+        "heavy_hitters": q_heavy_hitters,
         "hist_quantiles": q_hist_quantiles,
         "bloom_filter": q_bloom_filter,
         "zorder_events": q_zorder_events,
@@ -6132,7 +6151,7 @@ def oracle_sql() -> dict[str, str]:
     ),
     prev as (
       select doc_id, 'E' || (doc_id // 8) as prev_e from documents
-      where doc_id < 6000
+      where doc_id < 300
     ),
     cells as (
       select c.cluster, p.prev_e, count(*) as n
@@ -7304,6 +7323,16 @@ def oracle_sql() -> dict[str, str]:
            cast(min(coalesce(sketch.cnt, 0)) as bigint) as estimate
     from probes left join sketch using (row, bucket)
     group by probes.t
+    """
+
+    # heavy_hitters twin: the naive exact plan the MG+recount plan is
+    # provably equal to (candidate superset guarantee)
+    sql["heavy_hitters"] = """
+    select user_id, cast(count(*) as bigint) as cnt
+    from events where user_id is not null
+    group by user_id
+    having count(*) >= ceil(0.008 * (
+      select count(*) from events where user_id is not null))
     """
 
     # hll_daily: the hll_distinct twin with a day group key

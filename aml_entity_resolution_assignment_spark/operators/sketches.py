@@ -440,3 +440,97 @@ def hll_set_estimates(
             F.col("est_a") + F.col("est_b") - F.col("est_union"),
         ).alias("est_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters via Misra-Gries candidates + recount
+# ---------------------------------------------------------------------------
+
+def _misra_gries_partition(items, k: int):
+    """Classic Misra-Gries frequent-items summary over one partition's
+    item stream: at most k counters; any item with partition frequency
+    > n_part/(k+1) is guaranteed a counter. Returns the surviving
+    candidate items (counter values are NOT usable as counts — the
+    recount pass supplies exact ones)."""
+    counters: dict = {}
+    for it in items:
+        if it is None:
+            continue
+        if it in counters:
+            counters[it] += 1
+        elif len(counters) < k:
+            counters[it] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in counters:
+                counters[key] -= 1
+            for key in dead:
+                del counters[key]
+    return list(counters)
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, phi: float, k: int | None = None
+) -> DataFrame:
+    """EXACT frequent items above a relative threshold — every item
+    whose count >= ceil(phi * N) over an item stream of N rows —
+    without shuffling the full distinct-item space (the groupBy-
+    count-filter plan shuffles one row per DISTINCT item: at web
+    vocabulary sizes that is billions of rows for a query whose
+    answer has a few hundred).
+
+    Two passes, the standard distributed frequent-items recipe:
+
+    1. candidate pass — per-partition Misra-Gries summaries with
+       k = ceil(1/phi) counters (mapInPandas; the dict spans the whole
+       partition, not one Arrow batch). Merging MG summaries preserves
+       the MG guarantee (Agarwal et al., "Mergeable Summaries", PODS
+       2012), so EVERY item with global count >= N/(k+1) < ceil(phi*N)
+       survives in at least one partition's summary: the union of
+       summaries is a superset of the answer. At most k rows per
+       partition flow out — candidate volume is partitions x k,
+       independent of N and of vocabulary size.
+    2. recount pass — exact counts for candidate items only, via a
+       broadcast semi-join against the stream, then the threshold
+       filter with N from a broadcast 1-row aggregate (no driver
+       round-trip, no collect).
+
+    Output (item, cnt) is byte-identical to the naive exact plan —
+    the MG bound makes the candidate set lossless for this threshold —
+    which is what the DuckDB twin checks.
+    """
+    import math
+
+    import pandas as pd
+
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"heavy_hitters: phi must be in (0,1), got {phi}")
+    if k is None:
+        k = int(math.ceil(1.0 / phi))
+    items = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .where(F.col("item").isNotNull())
+    )
+
+    def mg(batches):
+        import itertools
+
+        stream = itertools.chain.from_iterable(
+            pdf["item"] for pdf in batches
+        )
+        yield pd.DataFrame(
+            {"item": _misra_gries_partition(stream, k)}, dtype="object"
+        )
+
+    candidates = items.mapInPandas(mg, "item string").distinct()
+    counts = (
+        items.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = items.agg(F.count("*").alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("_n")))
+        .select("item", "cnt")
+    )

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "classifier_disagreement",  # rule-cascade vs F-S cross-tab
     "hll_distinct",  # HyperLogLog register sketch + estimate
     "cm_token_counts",  # count-min sketch + broadcast point queries
+    "heavy_hitters",  # Misra-Gries candidates + exact recount
     "ann_lsh",  # RP-LSH banded embedding near-dup
     "topk_ranking",  # per-query candidate ranking window
 ]
