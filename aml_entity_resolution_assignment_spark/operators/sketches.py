@@ -491,9 +491,13 @@ def heavy_hitters(
        partition flow out — candidate volume is partitions x k,
        independent of N and of vocabulary size.
     2. recount pass — exact counts for candidate items only, via a
-       broadcast semi-join against the stream, then the threshold
-       filter with N from a broadcast 1-row aggregate (no driver
-       round-trip, no collect).
+       broadcast semi-join against the stream, then a LITERAL
+       threshold filter: N comes free from the candidate pass (each
+       partition also emits its item count), read back as one
+       aggregate-sized scalar from the checkpointed summary — the
+       same scalar-read convention as the CC convergence check; the
+       alternative (joining a 1-row total) plans as a
+       BroadcastNestedLoopJoin, which this repo's plan gate forbids.
 
     Output (item, cnt) is byte-identical to the naive exact plan —
     the MG bound makes the candidate set lossless for this threshold —
@@ -513,24 +517,34 @@ def heavy_hitters(
     )
 
     def mg(batches):
-        import itertools
+        seen = 0
 
-        stream = itertools.chain.from_iterable(
-            pdf["item"] for pdf in batches
-        )
+        def stream():
+            nonlocal seen
+            for pdf in batches:
+                for it in pdf["item"]:
+                    if it is not None:
+                        seen += 1
+                    yield it
+
+        cands = _misra_gries_partition(stream(), k)
         yield pd.DataFrame(
-            {"item": _misra_gries_partition(stream, k)}, dtype="object"
+            {
+                "item": pd.array(cands + [None], dtype="object"),
+                "part_n": [0] * len(cands) + [seen],
+            }
         )
 
-    candidates = items.mapInPandas(mg, "item string").distinct()
-    counts = (
+    # partitions x (k+1) rows; checkpoint so the scalar read below and
+    # the candidate join don't re-run the MG scan
+    summary = items.mapInPandas(mg, "item string, part_n long")
+    summary = summary.localCheckpoint(eager=True)
+    total = summary.agg(F.sum("part_n")).collect()[0][0] or 0
+    thr = math.ceil(phi * total)
+    candidates = summary.where(F.col("item").isNotNull()).select("item").distinct()
+    return (
         items.join(F.broadcast(candidates), "item")
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
-    )
-    total = items.agg(F.count("*").alias("_n"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .where(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("_n")))
-        .select("item", "cnt")
+        .where(F.col("cnt") >= F.lit(thr))
     )

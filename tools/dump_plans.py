@@ -405,6 +405,27 @@ SECTIONS = [
         "(Arrow) kernel keyed by component — the sequential merge "
         "loop never leaves the executor; no driver-side graph.",
     ),
+    (
+        "stable_ids",
+        "Persistent entity ids: one record-keyed join to overlap "
+        "CELLS, then every exchange is keyed by cluster/entity id "
+        "over cells (two ranking windows + one join back) — record "
+        "volume shuffles exactly once.",
+    ),
+    (
+        "heavy_hitters",
+        "Exact frequent items: Misra-Gries candidate pass is one "
+        "ArrowEvalPython over the item scan emitting <= k rows per "
+        "partition; the recount is a broadcast hash join + "
+        "map-side-combined count — the distinct-item space never "
+        "shuffles.",
+    ),
+    (
+        "multimodal_image",
+        "Nine-codec image decode: encode + decode are Arrow batches "
+        "(ArrowEvalPython / FlatMapGroupsInPandas-free mapInPandas); "
+        "no BatchEvalPython row-at-a-time nodes anywhere.",
+    ),
 ]
 
 
