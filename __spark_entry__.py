@@ -1422,6 +1422,40 @@ def q_ml_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", F.round("ml_prob", 6).alias("ml_prob"))
 
 
+def q_ml_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic attribution waterfall (ml/model.py:
+    explain_contributions): top-3 |w_i * x_i| contributions per doc
+    over the same deterministic features + pinned coefficients as
+    ml_prob — the model-side analog of the reference's rule
+    explanation strings. The DuckDB twin melts the identical
+    contributions with UNION ALL and replays the (abs desc, feature
+    asc) ranking window."""
+    from aml_entity_resolution_assignment_spark.ml.model import (
+        explain_contributions,
+    )
+
+    d = _docs(spark, sf_dir)
+    feats = d.select(
+        "doc_id",
+        F.round(F.pmod(F.col("doc_id") * 31, F.lit(100)) / 100.0, 6).alias("host_score"),
+        F.round(F.pmod(F.col("doc_id") * 17 + 3, F.lit(100)) / 100.0, 6).alias("url_score"),
+        F.round(F.pmod(F.col("doc_id") * 7 + 11, F.lit(100)) / 100.0, 6).alias("title_score"),
+        F.round(F.pmod(F.col("doc_id") * 13 + 5, F.lit(100)) / 100.0, 6).alias("jaccard_score"),
+        F.round(F.pmod(F.col("doc_id") * 29 + 1, F.lit(100)) / 100.0, 6).alias("minhash_sim"),
+        F.round(F.pmod(F.col("doc_id") * 23 + 7, F.lit(100)) / 100.0, 6).alias("simhash_sim"),
+        F.pmod(F.col("doc_id"), F.lit(2)).cast("double").alias("lang_match"),
+    )
+    out = explain_contributions(feats, _ML_COEFS, _ML_INTERCEPT)
+    return out.select(
+        "doc_id",
+        "feature",
+        F.round("value", 6).alias("value"),
+        F.round("contribution", 6).alias("contribution"),
+        F.col("rank").cast("long"),
+        F.round("logit", 6).alias("logit"),
+    )
+
+
 def q_topk_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: best-N ranking per group via window."""
     from pyspark.sql import Window
@@ -5030,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_disagreement": q_classifier_disagreement,
         "mutual_best": q_mutual_best,
         "ml_prob": q_ml_prob,
+        "ml_explain": q_ml_explain,
         "connected_components": q_connected_components,
         "cc_incremental": q_cc_incremental,
         "cluster_cohesion": q_cluster_cohesion,
@@ -6029,6 +6064,53 @@ def oracle_sql() -> dict[str, str]:
              + 1.5 * jaccard_score + 3.0 * minhash_sim - 0.25 * simhash_sim
              + 0.75 * lang_match - 1.0))), 6) as ml_prob
     from f
+    """
+
+    # ml_explain twin: melt the same w_i * x_i contributions with
+    # UNION ALL, rank (abs desc, feature asc), keep top 3 + the logit
+    sql["ml_explain"] = """
+    with f as (
+      select doc_id,
+             round((doc_id * 31) % 100 / 100.0, 6) as host_score,
+             round((doc_id * 17 + 3) % 100 / 100.0, 6) as url_score,
+             round((doc_id * 7 + 11) % 100 / 100.0, 6) as title_score,
+             round((doc_id * 13 + 5) % 100 / 100.0, 6) as jaccard_score,
+             round((doc_id * 29 + 1) % 100 / 100.0, 6) as minhash_sim,
+             round((doc_id * 23 + 7) % 100 / 100.0, 6) as simhash_sim,
+             cast(doc_id % 2 as double) as lang_match
+      from documents),
+    lg as (
+      select doc_id,
+             (2.5 * host_score - 1.0 * url_score + 0.5 * title_score
+              + 1.5 * jaccard_score + 3.0 * minhash_sim
+              - 0.25 * simhash_sim + 0.75 * lang_match - 1.0) as logit
+      from f),
+    melted as (
+      select doc_id, 'host_score' as feature, host_score as value,
+             2.5 * host_score as contribution from f
+      union all
+      select doc_id, 'url_score', url_score, -1.0 * url_score from f
+      union all
+      select doc_id, 'title_score', title_score, 0.5 * title_score from f
+      union all
+      select doc_id, 'jaccard_score', jaccard_score,
+             1.5 * jaccard_score from f
+      union all
+      select doc_id, 'minhash_sim', minhash_sim, 3.0 * minhash_sim from f
+      union all
+      select doc_id, 'simhash_sim', simhash_sim,
+             -0.25 * simhash_sim from f
+      union all
+      select doc_id, 'lang_match', lang_match, 0.75 * lang_match from f),
+    ranked as (
+      select m.*, row_number() over (
+        partition by doc_id order by abs(contribution) desc, feature
+      ) as rank from melted m)
+    select r.doc_id, r.feature, round(r.value, 6) as value,
+           round(r.contribution, 6) as contribution,
+           cast(r.rank as bigint) as rank, round(lg.logit, 6) as logit
+    from ranked r join lg using (doc_id)
+    where r.rank <= 3
     """
 
     sql["set_algebra"] = f"""

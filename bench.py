@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "cluster_cohesion",  # per-cluster density/boundary diagnostics
     "cluster_diff",  # run-to-run entity churn fates
     "stable_ids",  # persistent entity ids carried across runs
+    "ml_explain",  # logistic attribution waterfall (top-3 w_i*x_i)
     "fs_review_queue",  # clerical-review uncertainty sampling
     "fs_pr_curve",  # threshold sweep PR curve from one sorted pass
     "fs_calibration",  # reliability bins + ECE
