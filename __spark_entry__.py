@@ -4532,6 +4532,29 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the host link graph
+    (operators/linkgraph.adamic_adar): non-adjacent host pairs scored
+    by sum 1/ln(deg) over shared neighbors, mega-hub centers dropped
+    at max_degree=15 (the declared bounded-wedge cap — mirrored in
+    the twin), top-5 suggestions per left endpoint. The oracle
+    replays symmetrize, cap, wedge aggregate, adjacency anti-join,
+    and the ranking window."""
+    from aml_entity_resolution_assignment_spark.operators.linkgraph import (
+        adamic_adar,
+        extract_links,
+    )
+
+    edges = extract_links(_link_pages(spark, sf_dir))
+    out = adamic_adar(edges, max_degree=15, top_k=5)
+    return out.select(
+        "host_a",
+        "host_b",
+        F.round("score", 6).alias("score"),
+        F.col("n_common").cast("long").alias("n_common"),
+    )
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random walks over the host link graph
     (operators/linkgraph.random_walks): 4 hops, next hop =
@@ -5015,6 +5038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "label_prop": q_label_prop,
         "triangles": q_triangles,
+        "adamic_adar": q_adamic_adar,
         "k_core": q_k_core,
         "random_walks": q_random_walks,
         "pack_sequences": q_pack_sequences,
@@ -8359,6 +8383,47 @@ def oracle_sql() -> dict[str, str]:
         f"with {_lg_graph}, {', '.join(_pr)}\n"
         "select v as host, round(rank, 6) as rank from r10"
     )
+
+    # adamic_adar twin: symmetrize, degree, max_degree=15 center cap,
+    # wedge aggregate, adjacency anti-join, rounded-score top-5 window
+    sql["adamic_adar"] = f"""
+    with {_lg_graph},
+    und as (
+      select distinct a, b from (
+        select src as a, dst as b from edges
+        union all select dst as a, src as b from edges
+      ) where a <> b
+    ),
+    adeg as (select a, count(*) as d from und group by a),
+    centers as (
+      select und.a as z, und.b as nbr, adeg.d
+      from und join adeg using (a) where adeg.d <= 15
+    ),
+    wedge as (
+      select l.nbr as x, r.nbr as y,
+             sum(1.0 / ln(l.d::double)) as score,
+             count(*) as n_common
+      from centers l join centers r on l.z = r.z
+      where l.nbr < r.nbr
+      group by l.nbr, r.nbr
+    ),
+    cand as (
+      select * from wedge w
+      where not exists (
+        select 1 from und e where e.a = w.x and e.b = w.y
+      )
+    ),
+    ranked as (
+      select x, y, score, n_common,
+             row_number() over (
+               partition by x order by round(score, 6) desc, y
+             ) as r
+      from cand
+    )
+    select x as host_a, y as host_b, round(score, 6) as score,
+           n_common::bigint as n_common
+    from ranked where r <= 5
+    """
 
     _lp = [
         """sym as materialized (

@@ -78,7 +78,8 @@ BENCH_QUERIES = [
     "pmi_collocations",  # phrase mining: gram counts + TakeOrdered top-k
     "pagerank",  # 10 fused-job power iterations over the host graph
     "label_prop",  # 5-round community detection, two shuffles per round
-    "triangles",  # degree-oriented triangle counting (3 shuffles)
+    "triangles",
+    "adamic_adar",  # shared-neighbor link prediction, hub-capped  # degree-oriented triangle counting (3 shuffles)
     "k_core",  # synchronous peel to fixpoint, fused rounds
     "random_walks",  # deterministic DeepWalk corpus (2 joins per hop)
     "pack_sequences",  # distributed prefix sum + one-pass block shuffle
