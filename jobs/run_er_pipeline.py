@@ -29,6 +29,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages parquet path (url, warc_ts, html, text, lang)")
     ap.add_argument("--input-warc", help="directory of .warc/.warc.gz segment files (Common-Crawl layout)")
+    ap.add_argument("--input-wet", help="directory of .wet/.wet.gz text-extract segments (no html: the title blocking key is null, host/path/band keys drive blocking)")
     ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic entities instead of reading --input")
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--run-id", default="run0")
@@ -72,11 +73,27 @@ def main() -> None:
             "url", "warc_ts", "html", "text", "lang"
         )
         input_fp = f"warc:{args.input_warc}"
+    elif args.input_wet:
+        from pyspark.sql import functions as F
+
+        from aml_entity_resolution_assignment_spark.sources.warc import read_wet
+
+        pages = read_wet(spark, args.input_wet).select(
+            "url",
+            "warc_ts",
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            "lang",
+        )
+        input_fp = f"wet:{args.input_wet}"
     elif args.input:
         pages = spark.read.parquet(args.input)
         input_fp = f"parquet:{args.input}"
     else:
-        raise SystemExit("pass --input PATH, --input-warc DIR or --synthetic N")
+        raise SystemExit(
+            "pass --input PATH, --input-warc DIR, --input-wet DIR or "
+            "--synthetic N"
+        )
 
     kw = {}
     if args.salt_cap is not None:

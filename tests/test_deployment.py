@@ -52,3 +52,44 @@ def test_spark_submit_pyfiles_pipeline(tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     r2 = json.loads([l for l in out2.stdout.splitlines() if l.startswith("{")][-1])
     assert r2["pages"] == r["pages"] and r2["clusters"] == r["clusters"]
+
+
+def test_job_wet_input(tmp_path):
+    """--input-wet drives the full pipeline from WET text-extract
+    segments (html is null: title key disabled, host/path/band keys
+    block)."""
+    sys.path.insert(0, REPO)
+    from aml_entity_resolution_assignment_spark.sources import warc as W
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    rows = []
+    for i in range(24):
+        # two spellings of the same page text per entity -> dup pairs
+        eid = i // 2
+        rows.append(
+            {
+                "url": f"https://site{eid}.example.com/page?v={i % 2}",
+                "warc_ts": f"2024-03-01T12:{i:02d}:00Z",
+                "text": f"entity {eid} body text shared tokens alpha beta",
+                "lang": "en",
+            }
+        )
+    (d / "seg-0.wet.gz").write_bytes(W.write_wet(rows))
+
+    work = str(tmp_path / "work")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "run_er_pipeline.py"),
+            "--input-wet", str(d), "--work-dir", work,
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    r = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert r["pages"] == 24 and r["clusters"] > 0
