@@ -1123,7 +1123,9 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_weights,
     )
 
-    d = _docs(spark, sf_dir)
+    # the sf files are one parquet split: spread the md5-gram explode
+    # across cores (at 100 TB the input splits provide this for free)
+    d = _docs(spark, sf_dir).repartition(32, "doc_id")
     target = d.where(F.col("doc_id") % 5 == 0)
     out = dsir_weights(d, target, buckets=4096)
     return out.select(
@@ -1549,7 +1551,11 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-stripped text, so a single oracle binds the 64-bit gram
     hashing, the window-function island merge, and the
     aggregate()-fold strip end-to-end."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")  # one parquet split at bench scale
+    )
     spans = D.duplicated_substring_spans(d, "doc_id", "text", min_len=50)
     stripped = D.strip_duplicated_spans(d, spans, "doc_id", "text")
     per = spans.groupBy("doc_id").agg(
@@ -4512,7 +4518,9 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         pmi_collocations,
     )
 
-    return pmi_collocations(_docs(spark, sf_dir), min_count=5, k=20)
+    return pmi_collocations(
+        _docs(spark, sf_dir).repartition(32, "doc_id"), min_count=5, k=20
+    )
 
 
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4600,7 +4608,7 @@ def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         trigram_backoff_score,
     )
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).repartition(32, "doc_id")
     lm = d.where(F.col("doc_id") % 3 != 0)
     return trigram_backoff_score(d, lm_docs=lm).select(
         "doc_id", "n_scored", F.round("lm_score", 6).alias("lm_score")

@@ -214,11 +214,14 @@ def dsir_weights(
     proportional to w — the standard recipe for steering a 100 TB
     crawl toward a quality target without training a classifier.
 
-    Distributed shape: both distributions are bucket-keyed counts
-    (<= `buckets` rows — BOUNDED, broadcast back); the raw corpus
-    explodes to grams, map-side-joins the two broadcast count tables,
-    and aggregates ONE sum per document — a single shuffle of per-doc
-    partials. No UDF, no window, nothing corpus-scale ever broadcasts.
+    Distributed shape: the raw corpus explodes + content-hashes to
+    grams ONCE (the md5 per gram is the hot cost) into a checkpointed
+    (id, bucket) table that serves BOTH the raw count distribution and
+    the per-doc scoring pass; the whole log-ratio term folds into one
+    <= `buckets`-row bucket->term table computed bucket-side (4 logs
+    per BUCKET, not per gram) and broadcast into a single map-side
+    join; then ONE shuffle of per-doc partials. No UDF, no window,
+    nothing corpus-scale ever broadcasts or recomputes.
 
     Returns (id_col, n_grams, log_weight); docs with no grams (empty
     text) are absent."""
@@ -242,28 +245,30 @@ def dsir_weights(
 
     a = float(smoothing)
 
-    def dist(df: DataFrame, name: str) -> DataFrame:
-        return grams(df, []).groupBy("_b").agg(F.count("*").alias(name))
-
-    p = dist(target_docs, "_cp")
-    q = dist(docs, "_cq")
+    # ONE gram explode of the raw corpus, reused by the raw count
+    # distribution and the scoring join (md5-per-gram is the hot cost)
+    tall = grams(docs, [id_col]).localCheckpoint(eager=False)
+    p = grams(target_docs, []).groupBy("_b").agg(F.count("*").alias("_cp"))
+    q = tall.groupBy("_b").agg(F.count("*").alias("_cq"))
     np_ = p.agg(F.sum("_cp").alias("_np"))
     nq_ = q.agg(F.sum("_cq").alias("_nq"))
-    tall = grams(docs, [id_col])
-    j = (
-        tall.join(F.broadcast(p), "_b", "left")
-        .join(F.broadcast(q), "_b", "left")
-        .crossJoin(F.broadcast(np_))
-        .crossJoin(F.broadcast(nq_))
-    )
+    # every tall bucket appears in q by construction, so q is the
+    # anchor side; _cp may be absent. All four logs collapse to one
+    # double per bucket BEFORE touching the gram table.
     term = (
         F.log(F.coalesce(F.col("_cp"), F.lit(0)) + F.lit(a))
         - F.log(F.col("_np") + F.lit(a * buckets))
-        - F.log(F.coalesce(F.col("_cq"), F.lit(0)) + F.lit(a))
+        - F.log(F.col("_cq") + F.lit(a))
         + F.log(F.col("_nq") + F.lit(a * buckets))
     )
+    terms = (
+        q.join(p, "_b", "left")
+        .crossJoin(np_)
+        .crossJoin(nq_)
+        .select("_b", term.alias("_t"))
+    )
     return (
-        j.select(id_col, term.alias("_t"))
+        tall.join(F.broadcast(terms), "_b")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),
