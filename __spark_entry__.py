@@ -450,10 +450,11 @@ def q_pair_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2-C12: the when()-cascade classifier over deterministic derived
-    features (full cascade incl. review rules + veto)."""
-    feats = q_pair_features(spark, sf_dir).select(
+def _cascade_feats(feats: DataFrame) -> DataFrame:
+    """The deterministic derived-feature projection the cascade
+    classifies — shared by q_rule_cascade and the disagreement
+    cross-tab (which reuses one persisted pair_features scan)."""
+    return feats.select(
         "id_a",
         "id_b",
         F.col("prefix_score").alias("host_score"),
@@ -467,7 +468,12 @@ def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("title_both_present"),
         F.round((F.pmod(F.col("id_a") * 13 + F.col("id_b") * 29, F.lit(100)) / 100.0), 6).alias("ml_prob"),
     )
-    out = CL.classify(feats)
+
+
+def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-C12: the when()-cascade classifier over deterministic derived
+    features (full cascade incl. review rules + veto)."""
+    out = CL.classify(_cascade_feats(q_pair_features(spark, sf_dir)))
     return out.select(
         "id_a", "id_b", "match_type",
         F.round("confidence_score", 6).alias("confidence_score"),
@@ -671,9 +677,24 @@ def q_classifier_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade vs the EM-fitted F-S posterior (>= 0.5): the disagreement
     cells are where active review effort goes first. One equi-join on
     the pair key + one aggregate."""
-    rc = q_rule_cascade(spark, sf_dir).select("id_a", "id_b", "match_type")
-    fs = q_fellegi(spark, sf_dir).select(
-        "id_a", "id_b", (F.col("posterior") >= 0.5).cast("int").alias("fs_match")
+    # ONE pair_features scan feeds both classifiers (they share the
+    # candidate-pair + Arrow-kernel lineage, the dominant cost);
+    # persisted because the cascade plan, the F-S pattern collect, and
+    # the F-S scoring join all traverse it
+    from aml_entity_resolution_assignment_spark.operators.candidates import (
+        _PERSISTED,
+    )
+
+    feats = q_pair_features(spark, sf_dir).persist()
+    _PERSISTED.append(feats)
+    rc = CL.classify(_cascade_feats(feats)).select(
+        "id_a", "id_b", "match_type"
+    )
+    fs = FS.fellegi_sunter(
+        _flag_select(feats), _FS_FIELDS, iters=_FS_ITERS
+    ).select(
+        "id_a", "id_b",
+        (F.col("posterior") >= 0.5).cast("int").alias("fs_match"),
     )
     return (
         rc.join(fs, ["id_a", "id_b"])
