@@ -509,8 +509,15 @@ def heavy_hitters(
 
     if not (0.0 < phi < 1.0):
         raise ValueError(f"heavy_hitters: phi must be in (0,1), got {phi}")
+    k_min = int(math.ceil(1.0 / phi))
     if k is None:
-        k = int(math.ceil(1.0 / phi))
+        k = k_min
+    elif k < k_min:
+        # fewer counters than 1/phi voids the superset guarantee: an
+        # answer item could be evicted and the output silently wrong
+        raise ValueError(
+            f"heavy_hitters: k={k} < ceil(1/phi)={k_min} breaks exactness"
+        )
     items = (
         df.select(F.col(col).cast("string").alias("item"))
         .where(F.col("item").isNotNull())

@@ -106,3 +106,9 @@ def test_bad_phi_raises(spark):
         heavy_hitters(df, "item", phi=0.0)
     with pytest.raises(ValueError):
         heavy_hitters(df, "item", phi=1.5)
+
+
+def test_undersized_k_raises(spark):
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "item", phi=0.1, k=5)  # needs >= 10
