@@ -426,6 +426,19 @@ SECTIONS = [
         "(ArrowEvalPython / FlatMapGroupsInPandas-free mapInPandas); "
         "no BatchEvalPython row-at-a-time nodes anywhere.",
     ),
+    (
+        "adamic_adar",
+        "Link prediction: wedge self-join keyed on the CENTER node "
+        "with the declared hub cap applied BEFORE the join; adjacency "
+        "removal is a left-anti hash join; top-k is one id-keyed "
+        "ranking window.",
+    ),
+    (
+        "ml_explain",
+        "Attribution waterfall: one struct-array melt (Generate) + "
+        "one id-keyed ranking window, whole-stage codegen throughout — "
+        "no Python anywhere.",
+    ),
 ]
 
 
