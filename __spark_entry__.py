@@ -694,7 +694,10 @@ def q_classifier_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         _flag_select(feats), _FS_FIELDS, iters=_FS_ITERS
     ).select(
         "id_a", "id_b",
-        (F.col("posterior") >= 0.5).cast("int").alias("fs_match"),
+        # threshold the 6dp-ROUNDED posterior: the DuckDB twin (built on
+        # sql["fellegi"]) compares rounded values, so a posterior within
+        # 1e-6 of 0.5 can never flip cells cross-engine (ADVICE r5)
+        (F.round(F.col("posterior"), 6) >= 0.5).cast("int").alias("fs_match"),
     )
     return (
         rc.join(fs, ["id_a", "id_b"])

@@ -113,6 +113,11 @@ def decode_qoi(payload: bytes) -> np.ndarray:
                 if i + run > n:
                     raise ValueError("QOI run overflows image")
                 out[i : i + run] = (r, g, b, a)
+                # reference decoder hashes px into the table on EVERY
+                # chunk including RUN; without this a third-party
+                # stream opening with OP_RUN then addressing that slot
+                # via OP_INDEX decodes differently (ADVICE r5)
+                index[_hash(r, g, b, a)] = (r, g, b, a)
                 i += run
                 continue
         out[i] = (r, g, b, a)

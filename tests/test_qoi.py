@@ -118,6 +118,24 @@ def test_corrupt_raises(bad):
         decode_qoi(bad)
 
 
+def test_run_pixel_enters_index():
+    # spec decoders hash px into the table on EVERY chunk including
+    # RUN: a stream that OPENS with OP_RUN (run-extends the implicit
+    # previous pixel (0,0,0,255)) must make slot 53 addressable by a
+    # later OP_INDEX even though no non-RUN chunk ever wrote it.
+    # px1-2: OP_RUN 2 -> (0,0,0,255); px3: raw RGB (1,2,3) which
+    # lands in slot 23; px4: OP_INDEX 53 -> (0,0,0,255).
+    stream = (
+        _header(2, 2)
+        + bytes((0xC0 | 1,))          # RUN of 2
+        + bytes((0xFE, 1, 2, 3))      # raw RGB, slot 23
+        + bytes((53,))                # INDEX slot 53
+        + END
+    )
+    dec = decode_qoi(stream)
+    assert dec[1, 1].tolist() == [0, 0, 0]
+
+
 def test_missing_end_marker_raises():
     good = encode_qoi(np.zeros((2, 2, 3), dtype=np.uint8))
     with pytest.raises(ValueError):
