@@ -184,9 +184,16 @@ def ngram_jaccard_pairs(
     same bound drop_cap provides for blocking keys). Jaccard is then
     computed over each document's surviving (non-stop) gram set; the
     oracle twin applies the identical filter."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # tokenize in a CHILD projection: the per-position lambda below
+    # must reference the array ATTRIBUTE — an inlined split subtree is
+    # re-evaluated per gram position in interpreted HOF eval (O(T^2)
+    # regex splits per doc; same fix as quality.ngrams_of_tokens)
+    toks = F.col("_toks")
     grams = df.select(
         F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks"),
+    ).select(
+        "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -704,7 +711,12 @@ def winnow_fingerprints(
     """
     if k < 1 or window < 1:
         raise ValueError(f"need k >= 1 and window >= 1, got {k}/{window}")
-    c = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    c0 = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    # canonical string materialized as a column: the per-position md5
+    # lambda must reference the ATTRIBUTE — an inlined regexp_replace
+    # subtree is re-evaluated per gram position in interpreted HOF
+    # eval (one full-document regex pass per char position)
+    c = F.col("_c")
     n_g = F.length(c) - (k - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n_g, F.lit(1))),
@@ -720,7 +732,11 @@ def winnow_fingerprints(
     # materialize the gram-hash array in a CHILD projection: inlining
     # `grams` into every window lambda would re-hash the whole doc
     # once per window (O(n_grams^2) md5 calls — measured 100x slower)
-    hashed = df.where(n_g >= 1).select(F.col(id_col), grams.alias("_h"))
+    hashed = (
+        df.select(F.col(id_col), c0.alias("_c"))
+        .where(n_g >= 1)
+        .select(F.col(id_col), grams.alias("_h"))
+    )
     h = F.col("_h")
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(h) - (window - 1), F.lit(1))

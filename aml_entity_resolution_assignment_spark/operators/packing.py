@@ -177,7 +177,11 @@ def chunk_documents(
             f"need 0 < stride <= chunk_tokens, got {stride} > {chunk_tokens}"
         )
     t = F.col(text_col)
-    toks = F.split(F.trim(t), r"\s+")
+    # tokenize in a CHILD projection: the start-list and chunk lambdas
+    # below must reference the array ATTRIBUTE — an inlined split
+    # subtree is re-evaluated per chunk position in interpreted HOF
+    # eval (one regex split per start index otherwise)
+    toks = F.col("_toks")
     n = F.size(toks)
     # starts at 0, stride, 2*stride, ... while the chunk adds tokens:
     # keep s if it is the first chunk or the previous chunk's end
@@ -199,6 +203,7 @@ def chunk_documents(
     )
     return (
         df.where(F.trim(t) != "")
+        .select(F.col(id_col), F.split(F.trim(t), r"\s+").alias("_toks"))
         .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
         .select(
             id_col,

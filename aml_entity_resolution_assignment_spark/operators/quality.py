@@ -38,18 +38,43 @@ def word_tokens(c: Column) -> Column:
     )
 
 
+def ngrams_of_tokens(toks: Column, n: int) -> Column:
+    """Space-joined n-grams of an ALREADY-TOKENIZED array column
+    (empty array for fewer than ``n`` tokens).
+
+    The token array is bound ONCE per row through a single-element
+    ``transform`` so the per-position lambda references a lambda
+    VARIABLE, not the token-array expression tree.  Higher-order
+    functions evaluate interpreted (CodegenFallback), and an outer
+    expression referenced inside the lambda is re-evaluated per
+    element — with ``toks = split(lower(trim(text)))`` that was one
+    full regex split per gram POSITION, O(tokens²) per document
+    (confirmed in the physical plan: the split subtree appeared inside
+    the lambdafunction).  Guide §1.2/§4: fix per-task work."""
+
+    def _grams(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.when(F.size(t) >= n, _grams(t)).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ),
+        1,
+    )
+
+
 def word_ngrams(c: Column, n: int) -> Column:
     """Space-joined word n-grams of ``c`` (empty array when the text
     has fewer than ``n`` tokens).  Pure higher-order-function
-    expression: stays inside whole-stage codegen, no UDF."""
-    toks = word_tokens(c)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    expression — no UDF; the tokenization is evaluated once per row
+    (see ngrams_of_tokens)."""
+    return ngrams_of_tokens(word_tokens(c), n)
 
 
 def repetition_signals(
@@ -70,12 +95,16 @@ def repetition_signals(
     gram), near-uniform at web scale; no collect, no UDF.  Documents
     shorter than ``n`` tokens report 0.0 n-gram fractions.
     """
-    toks = word_tokens(F.col(text_col))
+    # tokenize ONCE into a column, then derive sizes and grams from the
+    # materialized array attribute (three independent split()s per row
+    # otherwise — guide §2.3 project-early applied to expressions)
     base = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.size(toks).alias("_n_tok"),
-        F.size(F.array_distinct(toks)).alias("_n_tok_d"),
-        word_ngrams(F.col(text_col), n).alias("_grams"),
+        F.size("_toks").alias("_n_tok"),
+        F.size(F.array_distinct("_toks")).alias("_n_tok_d"),
+        ngrams_of_tokens(F.col("_toks"), n).alias("_grams"),
     )
     per_gram = (
         base.select(id_col, "_n_tok", "_n_tok_d", F.explode_outer("_grams").alias("_g"))
