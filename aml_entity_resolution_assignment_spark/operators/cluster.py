@@ -42,15 +42,19 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 def _large_star(sym_edges: DataFrame) -> DataFrame:
     """Emit (v, m) for each neighbor v > u, m = min(N(u) ∪ {u}).
 
-    Output may contain duplicate (child, parent) rows (two neighbors of
-    v sharing the same min) — small-star's min-agg is duplicate-blind
-    and its final distinct dedupes, so skipping a distinct here saves a
-    full shuffle per round."""
-    mins = sym_edges.groupBy("u").agg(
-        F.least(F.min("v"), F.col("u")).alias("m")
-    )
+    ONE exchange: m comes from a min-over-partition window instead of
+    the former groupBy + self-join — both formulations need
+    hashpartitioning(u), but the join re-shuffled (or at best
+    ReusedExchange'd) sym_edges a second time and added a join build
+    per round (guide §2.4: two operations keyed the same way share one
+    exchange).  Output may contain duplicate (child, parent) rows (two
+    neighbors of v sharing the same min) — small-star's window-min is
+    duplicate-blind and its final distinct dedupes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u")
     return (
-        sym_edges.join(mins, "u")
+        sym_edges.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("child"), F.col("m").alias("parent"))
     )
@@ -59,15 +63,31 @@ def _large_star(sym_edges: DataFrame) -> DataFrame:
 def _small_star(down_edges: DataFrame) -> DataFrame:
     """Input (child, parent) with parent <= child. For each child u with
     down-neighbors N≤(u): m = min(N≤(u)); re-hang every down-neighbor
-    and u itself onto m."""
-    mins = down_edges.groupBy("child").agg(F.min("parent").alias("m"))
-    rehung = (
-        down_edges.join(mins, "child")
-        .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
+    and u itself onto m.
+
+    ONE exchange + the final distinct: m is a min-over-partition
+    window; each row emits its re-hung edge (parent -> m) and, on the
+    rows where parent == m (at least one per child), the child's own
+    (child -> m) edge — one explode instead of the former
+    groupBy + join + union, whose extra shuffle and double traversal
+    the window form drops.  Duplicate emissions collapse in the
+    distinct exactly as before."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("child")
+    rows = down_edges.withColumn("m", F.min("parent").over(w))
+    rehung = F.struct(
+        F.col("parent").alias("child"), F.col("m").alias("parent")
     )
-    self_edges = mins.select(F.col("child"), F.col("m").alias("parent"))
+    selfrow = F.struct(
+        F.col("child").alias("child"), F.col("m").alias("parent")
+    )
+    emitted = F.when(
+        F.col("parent") == F.col("m"), F.array(rehung, selfrow)
+    ).otherwise(F.array(rehung))
     return (
-        rehung.unionByName(self_edges)
+        rows.select(F.explode(emitted).alias("_e"))
+        .select(F.col("_e.child").alias("child"), F.col("_e.parent").alias("parent"))
         .where(F.col("child") != F.col("parent"))
         .distinct()
     )
@@ -112,69 +132,73 @@ def connected_components(
         .distinct()
     )
 
-    if e.isEmpty():
-        assign = e.select(F.col("u").alias("child"), F.col("v").alias("parent"))
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    orig_parts = spark.conf.get(conf_key)
+    adaptive: int | None = None
+
+    def _run_round(df):
+        """Execute one round's fused job (checkpoint write +
+        convergence aggregate) with the shuffle-partition override
+        scoped to exactly this call — the session conf is restored
+        before returning, so the mutation window is the job itself,
+        not the loop body (ADVICE r3: don't leave a shrunken count
+        visible to concurrent planners any longer than necessary)."""
+        if adaptive is None or not tune_shuffle_partitions:
+            return df.collect()[0]
+        spark.conf.set(conf_key, str(adaptive))
+        try:
+            return df.collect()[0]
+        finally:
+            spark.conf.set(conf_key, orig_parts)
+
+    # LAZY checkpoint: round 1's convergence aggregate materializes it
+    # (the former eager checkpoint + isEmpty() pre-check were two extra
+    # jobs per CC call; an empty edge set now shows up as n == 0 in the
+    # first round's aggregate instead)
+    cur = e.localCheckpoint(eager=False)  # any orientation
+    prev_sig: tuple | None = None
+    for _ in range(max_iter):
+        ls = _large_star(_symmetrize(cur))
+        # LAZY checkpoint: the signature aggregation below is
+        # the action that materializes it, so each round is ONE
+        # job (checkpoint write + convergence check fused).
+        # (Fusing TWO star rounds per job was measured and rejected:
+        # the pair-granularity convergence check runs one extra
+        # full-cost round that cancels the saved driver trip.)
+        ss = _small_star(ls).localCheckpoint(eager=False)
+        # convergence check: the edge set is stable when
+        # (count, order-independent hash sum) repeats — a
+        # collision needs two distinct edge sets with equal
+        # 64-bit hash sums in the same run (~2^-64 per round)
+        row = _run_round(
+            ss.agg(
+                F.count("*").alias("n"),
+                # decimal(38,0) sum: overflow-proof under ANSI mode
+                F.sum(
+                    F.xxhash64("child", "parent").cast("decimal(38,0)")
+                ).alias("h"),
+            )
+        )
+        sig = (row["n"], row["h"])
+        if row["n"] == 0 or sig == prev_sig:
+            break
+        prev_sig = sig
+        # the convergence aggregate gives the next round's input
+        # size for free: size the iterative shuffles to the data
+        # (~100k edges/partition), capped at the session setting
+        # so a cluster-sized config is never exceeded — an
+        # iterative loop otherwise pays fixed per-task cost x
+        # partitions x stages x O(log n) rounds on tiny tails
+        adaptive = max(8, min(int(orig_parts), row["n"] // 100_000 + 1))
+        cur = ss.select(
+            F.col("child").alias("u"), F.col("parent").alias("v")
+        )
     else:
-        spark = edges.sparkSession
-        conf_key = "spark.sql.shuffle.partitions"
-        orig_parts = spark.conf.get(conf_key)
-        adaptive: int | None = None
-
-        def _run_round(df):
-            """Execute one round's fused job (checkpoint write +
-            convergence aggregate) with the shuffle-partition override
-            scoped to exactly this call — the session conf is restored
-            before returning, so the mutation window is the job itself,
-            not the loop body (ADVICE r3: don't leave a shrunken count
-            visible to concurrent planners any longer than necessary)."""
-            if adaptive is None or not tune_shuffle_partitions:
-                return df.collect()[0]
-            spark.conf.set(conf_key, str(adaptive))
-            try:
-                return df.collect()[0]
-            finally:
-                spark.conf.set(conf_key, orig_parts)
-
-        cur = e.localCheckpoint(eager=True)  # any orientation
-        prev_sig: tuple | None = None
-        for _ in range(max_iter):
-            ls = _large_star(_symmetrize(cur))
-            # LAZY checkpoint: the signature aggregation below is
-            # the action that materializes it, so each round is ONE
-            # job (checkpoint write + convergence check fused)
-            ss = _small_star(ls).localCheckpoint(eager=False)
-            # convergence check: the edge set is stable when
-            # (count, order-independent hash sum) repeats — a
-            # collision needs two distinct edge sets with equal
-            # 64-bit hash sums in the same run (~2^-64 per round)
-            row = _run_round(
-                ss.agg(
-                    F.count("*").alias("n"),
-                    # decimal(38,0) sum: overflow-proof under ANSI mode
-                    F.sum(
-                        F.xxhash64("child", "parent").cast("decimal(38,0)")
-                    ).alias("h"),
-                )
-            )
-            sig = (row["n"], row["h"])
-            if sig == prev_sig:
-                break
-            prev_sig = sig
-            # the convergence aggregate gives the next round's input
-            # size for free: size the iterative shuffles to the data
-            # (~100k edges/partition), capped at the session setting
-            # so a cluster-sized config is never exceeded — an
-            # iterative loop otherwise pays fixed per-task cost x
-            # partitions x stages x O(log n) rounds on tiny tails
-            adaptive = max(8, min(int(orig_parts), row["n"] // 100_000 + 1))
-            cur = ss.select(
-                F.col("child").alias("u"), F.col("parent").alias("v")
-            )
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds"
-            )
-        assign = ss
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    assign = ss
     # fixpoint: (child, parent=component root). Roots map to themselves.
     assign = assign.select(
         F.col("child").alias("member"), F.col("parent").alias("component")
@@ -588,12 +612,11 @@ def _lex_first_mis(
     termination is unconditional; localCheckpoint per round cuts
     lineage like connected_components. Returns the member nodes (u),
     or None when `nodes` is empty."""
-    active_e = sym.localCheckpoint(eager=True)
-    active_n = nodes.localCheckpoint(eager=True)
+    active_e = sym.localCheckpoint(eager=False)
+    active_n = nodes.localCheckpoint(eager=False)
     parts: list[DataFrame] = []
+    total_members = 0
     for _ in range(max_iter):
-        if active_n.isEmpty():
-            break
         # a node is BEATEN while any active neighbor precedes it
         beaten = (
             active_e.where(
@@ -604,7 +627,7 @@ def _lex_first_mis(
             .distinct()
         )
         new_members = active_n.join(beaten, "u", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
         parts.append(new_members)
         # deactivate the new members and everything adjacent to them
@@ -617,17 +640,37 @@ def _lex_first_mis(
         )
         removed = new_members.unionByName(claimed).distinct()
         active_n = active_n.join(removed, "u", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
         active_e = (
             active_e.join(removed, "u", "left_anti")
             .join(removed.select(F.col("u").alias("v")), "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # ONE fused job per round (was 4: isEmpty + 3 eager
+        # checkpoints): this tagged union-aggregate materializes
+        # new_members (through the anti-join lineage), the surviving
+        # node set and the surviving edge set, and returns the round's
+        # member/active counts in the same action
+        row = (
+            active_n.select(F.lit("n").alias("_t"))
+            .unionByName(new_members.select(F.lit("m").alias("_t")))
+            .unionByName(active_e.select(F.lit("e").alias("_t")))
+            .agg(
+                F.sum((F.col("_t") == "n").cast("long")).alias("n_active"),
+                F.sum((F.col("_t") == "m").cast("long")).alias("n_members"),
+            )
+            .collect()[0]
+        )
+        total_members += row["n_members"] or 0
+        if not (row["n_active"] or 0):
+            break
     else:
         raise RuntimeError(f"{what} did not converge in {max_iter} rounds")
 
-    if not parts:
+    # zero members over all rounds <=> `nodes` was empty (a non-empty
+    # active set always elects at least its global minimum)
+    if total_members == 0:
         return None
     out = parts[0]
     for p in parts[1:]:
@@ -680,7 +723,7 @@ def pivot_clusters(
     # materialize once: sym feeds the node set, the MIS rounds AND the
     # final attachment join — without this each branch re-executes the
     # upstream pair-generation lineage
-    sym = _seeded_sym(edges, id_a, id_b, seed).localCheckpoint(eager=True)
+    sym = _seeded_sym(edges, id_a, id_b, seed).localCheckpoint(eager=False)
     all_nodes = sym.select("u").distinct()
     pivots = _lex_first_mis(sym, all_nodes, max_iter, "pivot_clusters")
     if pivots is None:  # empty edge set: no incident nodes, no output
@@ -766,7 +809,8 @@ def hac_clusters(
         .where((F.col("u") != F.col("v")) & (F.col("s") > 0.0))
         .groupBy("u", "v")
         .agg(F.max("s").alias("s"))
-        .localCheckpoint(eager=True)
+        # lazy: the threshold-graph CC's first round materializes it
+        .localCheckpoint(eager=False)
     )
     comp = connected_components(
         e.where(F.col("s") >= float(threshold)).select(
@@ -916,7 +960,8 @@ def cluster_sweep(
             .unionByName(e.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-    e = e.localCheckpoint(eager=True)
+    # lazy: the first level's CC round materializes it
+    e = e.localCheckpoint(eager=False)
 
     rows = []
     assign = None
@@ -931,24 +976,33 @@ def cluster_sweep(
             assign = incremental_connected_components(
                 assign, band, id_col=id_col
             )
-        assign = assign.localCheckpoint(eager=True)
+        # LAZY checkpoint + ONE fused job per level (was 3: eager
+        # checkpoint, edge count, size aggregate): the crossJoin of the
+        # two 1-row aggregates materializes the level's assignment and
+        # scans the checkpointed edge table in the same action
+        assign = assign.localCheckpoint(eager=False)
         prev_t = t
-        n_edges = e.where(F.col("s") >= t).count()
         sizes = assign.groupBy("predicted_entity_id").agg(
             F.count("*").alias("n")
         )
-        agg = sizes.agg(
-            F.count("*").alias("n_entities"),
-            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
-                "n_singletons"
-            ),
-            F.max("n").alias("largest_entity"),
-            F.sum("n").alias("n_records"),
-        ).collect()[0]
+        agg = (
+            sizes.agg(
+                F.count("*").alias("n_entities"),
+                F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
+                    "n_singletons"
+                ),
+                F.max("n").alias("largest_entity"),
+                F.sum("n").alias("n_records"),
+            )
+            .crossJoin(
+                e.where(F.col("s") >= t).agg(F.count("*").alias("n_edges"))
+            )
+            .collect()[0]
+        )
         rows.append(
             (
                 t,
-                n_edges,
+                agg["n_edges"],
                 agg["n_entities"],
                 agg["n_singletons"],
                 agg["largest_entity"],
@@ -1009,7 +1063,8 @@ def canopies(
             F.col(score_col).cast("double").alias("s"),
         )
         .where(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=True)
+        # lazy: the tight-graph MIS round-1 job materializes it
+        .localCheckpoint(eager=False)
     )
     nodes = (
         scored.select("u")
