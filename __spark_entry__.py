@@ -295,12 +295,27 @@ def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2+J3: union-dedup of two exact-key self-joins, id_a < id_b."""
+    """J2+J3: union-dedup of the two exact-key self-joins, id_a < id_b.
+
+    Physical form: ONE tall (rid, namespaced-key) table -> ONE salted
+    self-join -> one dedup (the same collapse candidates.candidate_pairs
+    uses) instead of two independent self-join pipelines — halves the
+    key-size scans, broadcast builds and join shuffles regardless of
+    how many blocking keys exist (guide §2.4); the "p:"/"l:" prefixes
+    keep the key spaces disjoint, so the pair set is IDENTICAL to the
+    per-key union (oracle-pinned)."""
     d = q_blocking_keys(spark, sf_dir)
-    p1 = C.self_join_pairs(d, "bk_prefix", id_col="doc_id")
-    p2 = C.self_join_pairs(d, "bk_lang_size", id_col="doc_id")
+    tall = d.select(
+        F.col("doc_id").alias("rid"),
+        F.concat(F.lit("p:"), F.col("bk_prefix")).alias("bk"),
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("rid"),
+            F.concat(F.lit("l:"), F.col("bk_lang_size")).alias("bk"),
+        )
+    )
     return (
-        p1.unionByName(p2)
+        C.self_join_pairs(tall, "bk", id_col="rid")
         .dropDuplicates(["id_a", "id_b"])
         .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
     )

@@ -98,11 +98,11 @@ def pagerank(
     edges are collapsed first (unweighted graph). Deterministic for a
     fixed iteration count; returns (host, rank).
 
-    Each iteration runs as ONE Spark job: the dangling-mass aggregate
-    (a 1-row collect) is the action that materializes the previous
-    round's lazy localCheckpoint, mirroring connected_components'
-    fused-round pattern (cluster.py). The static weighted edge table is
-    persisted once, repartitioned by src so every iteration's join
+    The whole fixed-iteration chain runs as ONE caller-driven job: the
+    dangling-mass aggregate is a broadcast 1-row crossJoin (not a
+    driver collect), so rounds chain through lazy localCheckpoints
+    with zero per-round driver actions. The static weighted edge table
+    is persisted once, repartitioned by src so every iteration's join
     shuffles only the (small, |hosts|-sized) rank table.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -134,10 +134,15 @@ def pagerank(
         "v", F.lit(1.0 / n).alias("rank"), "is_dangling"
     ).localCheckpoint(eager=False)
     for _ in range(iterations):
-        # ONE job: this collect materializes `ranks` (lazy checkpoint)
-        dm = (
-            ranks.where("is_dangling").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # the dangling mass rides as a BROADCAST 1-row aggregate
+        # (crossJoin) instead of a per-round driver collect: the whole
+        # fixed-iteration chain is ONE caller-driven job — each round's
+        # lazy checkpoint is materialized by the next round's broadcast
+        # build, with zero driver round-trips (same arithmetic: the
+        # scalar division moves from Python to the identical double
+        # expression)
+        dm = ranks.where("is_dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         contrib = (
             ranks.join(w_edges, ranks["v"] == w_edges["src"])
@@ -146,12 +151,16 @@ def pagerank(
         )
         ranks = (
             verts.join(contrib, verts["v"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "v",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dm / n))
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
                 ).alias("rank"),
                 "is_dangling",
             )
@@ -182,8 +191,9 @@ def label_propagation(
 
     Per iteration: one symmetrized join + one (vertex, label) count
     aggregation + one per-vertex arg-min/max aggregate — two shuffles,
-    both on vertex keys; synchronized updates via eager localCheckpoint
-    so each round is one job, mirroring pagerank's shape. Synchronous
+    both on vertex keys; rounds chain through LAZY localCheckpoints,
+    so a fixed-iteration run is ONE caller-driven job with no
+    per-round driver action (checkpoints still cut lineage). Synchronous
     LPA can 2-cycle on bipartite structures; a fixed iteration budget
     (the standard Spark/GraphX contract) makes that a documented
     determinism, not an infinite loop.
@@ -194,10 +204,14 @@ def label_propagation(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).where(
         F.col("s") != F.col("t")
     ).distinct()
+    # lazy localCheckpoint instead of persist: round 1 materializes it,
+    # later rounds reuse the blocks, and the ContextCleaner reclaims
+    # them when the RDD is dropped — no unpersist bookkeeping, which a
+    # fully lazy loop could no longer order correctly anyway
     sym = (
         e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     verts = (
         edges.select(F.col(src).alias("u"))
@@ -205,8 +219,12 @@ def label_propagation(
         .distinct()
     )
 
+    # LAZY checkpoints throughout: a fixed-iteration loop needs no
+    # driver action per round — the caller's one action materializes
+    # the whole chain, each round's checkpoint caching its output for
+    # the next (was one eager-checkpoint job per round)
     labels = verts.select("u", F.col("u").alias("label")).localCheckpoint(
-        eager=True
+        eager=False
     )
     for _ in range(iterations):
         neigh = (
@@ -234,11 +252,9 @@ def label_propagation(
                 "u",
                 F.coalesce("new_label", "label").alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    out = labels.select(F.col("u").alias("host"), "label")
-    sym.unpersist()
-    return out
+    return labels.select(F.col("u").alias("host"), "label")
 
 
 def hits(
@@ -467,7 +483,12 @@ def random_walks(
         .distinct()
     )
     w = Window.partitionBy("u").orderBy("v")
-    adj = adj.withColumn("nbr", F.row_number().over(w) - 1)
+    # lazy checkpoint: the indexed adjacency feeds every hop's join,
+    # the degree table and the start-node list — without it each of
+    # the `length` steps re-runs the distinct + window lineage
+    adj = adj.withColumn("nbr", F.row_number().over(w) - 1).localCheckpoint(
+        eager=False
+    )
     deg = adj.groupBy("u").agg(F.count("*").alias("outd"))
     nodes = (
         adj.select("u")
