@@ -1189,9 +1189,11 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin_mine,
     )
 
+    # the sf file is one parquet split: spread the cross-join cosine
+    # kernel across cores (at 100 TB the input splits provide this)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    ).repartition(32, "vec_id")
     xs = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 600))
     ys = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 1200))
     out = margin_mine(xs, ys, k=4)
@@ -2598,14 +2600,96 @@ def q_dedup_simhash_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, both token-hash variants under one
     oracle: 'md5' (the hash itself recomputed in SQL) and 'fast' (the
     production vectorized SipHash path, checked against its
-    precomputed-vocabulary VALUES twin)."""
+    precomputed-vocabulary VALUES twin).
+
+    Fused physical form: ONE scan computes both simhashes + band
+    arrays (persisted), the bands explode variant-tagged — band key
+    hashed with the variant index, record id mapped to doc_id*2+v so
+    pairs can only form within a variant and the id order inside a
+    variant is preserved — and ONE salted self-join + one hydration
+    chain serves both variants. Row set identical to the former
+    per-variant union (same band keys per variant, same hamming
+    verify), which the oracle pins."""
+    from aml_entity_resolution_assignment_spark.operators.candidates import (
+        _PERSISTED,
+    )
+
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    hashed = (
+        d.select(
+            F.col("doc_id").alias("_id"),
+            MH.simhash_udf("md5")(norm).alias("_sh0"),
+            MH.simhash_udf("fast")(norm).alias("_sh1"),
+        )
+        .select(
+            "_id",
+            "_sh0",
+            "_sh1",
+            MH.simhash_bands_udf()(F.col("_sh0")).alias("_b0"),
+            MH.simhash_bands_udf()(F.col("_sh1")).alias("_b1"),
+        )
+        .persist()
+    )
+    _PERSISTED.append(hashed)
+    empty = F.array().cast("array<struct<v:int,b:bigint>>")
+    tagged = F.concat(
+        F.coalesce(
+            F.transform(
+                "_b0", lambda b: F.struct(F.lit(0).alias("v"), b.alias("b"))
+            ),
+            empty,
+        ),
+        F.coalesce(
+            F.transform(
+                "_b1", lambda b: F.struct(F.lit(1).alias("v"), b.alias("b"))
+            ),
+            empty,
+        ),
+    )
+    tall = hashed.select(
+        "_id", F.explode(tagged).alias("_s")
+    ).select(
+        (F.col("_id") * 2 + F.col("_s.v")).alias("rid"),
+        F.xxhash64(F.col("_s.v"), F.col("_s.b")).alias("bk"),
+    )
+    pairs = C.self_join_pairs(tall, "bk", id_col="rid").dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    v = F.pmod(F.col("id_a"), F.lit(2)).cast("int")
+    dec = pairs.select(
+        ((F.col("id_a") - F.pmod(F.col("id_a"), F.lit(2))) / 2)
+        .cast("long")
+        .alias("da"),
+        ((F.col("id_b") - F.pmod(F.col("id_b"), F.lit(2))) / 2)
+        .cast("long")
+        .alias("db"),
+        v.alias("_v"),
+    )
+    a = hashed.select(
+        F.col("_id").alias("da"),
+        F.col("_sh0").alias("_sh0a"),
+        F.col("_sh1").alias("_sh1a"),
+    )
+    b = hashed.select(
+        F.col("_id").alias("db"),
+        F.col("_sh0").alias("_sh0b"),
+        F.col("_sh1").alias("_sh1b"),
+    )
+    sha = F.when(F.col("_v") == 0, F.col("_sh0a")).otherwise(F.col("_sh1a"))
+    shb = F.when(F.col("_v") == 0, F.col("_sh0b")).otherwise(F.col("_sh1b"))
     return (
-        q_dedup_simhash(spark, sf_dir)
-        .withColumn("variant", F.lit("md5"))
-        .unionByName(
-            q_dedup_simhash_fast(spark, sf_dir).withColumn(
-                "variant", F.lit("fast")
-            )
+        dec.join(a, "da")
+        .join(b, "db")
+        .withColumn("hamming", F.bit_count(sha.bitwiseXOR(shb)))
+        .where(F.col("hamming") <= 2)
+        .select(
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            "hamming",
+            F.when(F.col("_v") == 0, F.lit("md5"))
+            .otherwise(F.lit("fast"))
+            .alias("variant"),
         )
     )
 

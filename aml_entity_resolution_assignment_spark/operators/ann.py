@@ -761,10 +761,13 @@ def kmeans_lloyd(
         raise ValueError(f"need >= k={k} rows to initialize")
     dim = len(first[0]["_v"])
     centroids = [list(map(float, r["_v"])) for r in first]
+    # lazy checkpoint: every iteration's assign+update pass and the
+    # final assignment re-traverse the vector table — cache it once
+    # (the standard iterative-ML input persist; MLlib does the same)
     data = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    ).localCheckpoint(eager=False)
 
     def _assign_col(cents: list[list[float]]):
         dists = []
@@ -857,6 +860,10 @@ def margin_mine(
         "y_id",
         cosine_similarity_col(F.col("_xv"), F.col("_yv")).alias("cosine"),
     )
+    # lazy checkpoint: `scored` feeds BOTH k-NN mean aggregations AND
+    # the margin join — without it the candidate hydration + cosine
+    # kernel (the dominant cost) executes three times
+    scored = scored.localCheckpoint(eager=False)
     wx = Window.partitionBy("x_id").orderBy(
         F.desc("cosine"), F.asc("y_id")
     )
