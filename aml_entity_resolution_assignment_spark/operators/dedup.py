@@ -283,7 +283,7 @@ def semdedup_pairs(
     sample: int = 2048,
     iters: int = 10,
     seed: int = 13,
-    max_cluster: int | None = None,
+    max_cluster: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means-cluster the
@@ -304,8 +304,12 @@ def semdedup_pairs(
     equi-self-join on cluster id — shuffle partitioned by cluster, no
     cross join. `max_cluster` caps any pathological cluster by
     dropping its excess members from the JOIN'S RIGHT SIDE ONLY after
-    a deterministic id sort (documented truncation, logged nowhere
-    silently: capped members still appear as id_a candidates).
+    a deterministic id sort (documented truncation: capped members
+    still appear as id_a candidates). It DEFAULTS to 100k — one hub
+    cell in a badly clustered space is otherwise quadratic with no
+    guard, the same posture as candidates.py's drop_cap (VERDICT r5
+    item 4); pass None only when the cluster-size distribution is
+    known bounded.
 
     At 100 TB, raise n_clusters so n/k rows fit a task (the paper uses
     ~11k clusters for LAION); skew-prone hubs are what max_cluster is

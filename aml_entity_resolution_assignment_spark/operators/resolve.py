@@ -56,14 +56,25 @@ def find_candidates(
     query_keyed: DataFrame,
     corpus_keyed: DataFrame,
     limit: int = CANDIDATE_LIMIT,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """(query_id, candidate url) pairs: equality on any exact blocking
     key or shared LSH band, capped per query (api.py:163-215). Unlike
     the self-join path, this is query-vs-corpus, so both sides melt to
     one tall (id, key_hash) table and ONE two-sided equi-join covers
     every key space; the query side is typically small -> broadcast
-    (one broadcast build, not one per key column)."""
-    out = F.broadcast(_melt_keys(query_keyed, "query_id")).join(
+    (one broadcast build, not one per key column).
+
+    `broadcast_queries` guards the serving-shape assumption: the
+    default forces a broadcast of the melted query side (right for the
+    API-lookup shape — thousands of queries against a corpus). For a
+    BULK re-resolve (millions of query records x ~20 keys each) pass
+    False: the melt stays a plain shuffle equi-join and nothing
+    corpus-scale is ever collected to the driver (VERDICT r5 item 3)."""
+    q_melt = _melt_keys(query_keyed, "query_id")
+    if broadcast_queries:
+        q_melt = F.broadcast(q_melt)
+    out = q_melt.join(
         _melt_keys(corpus_keyed, "candidate_id"), "_k"
     ).drop("_k")
     # dedup doubles as a relevance proxy: candidates hitting MORE
@@ -98,14 +109,23 @@ def resolve(
     limit: int = CANDIDATE_LIMIT,
     top_n: int = 1,
     already_keyed: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Batch resolve: pages-shaped queries -> best candidate(s) per
     query with match_type/confidence/explanation + conflict flag.
     Pass already_keyed=True when `queries` is a pre-keyed table (same
     schema as corpus_keyed) — e.g. a stage checkpoint, or the oracle
-    harness that constructs keys in SQL-expressible form."""
+    harness that constructs keys in SQL-expressible form.
+    `broadcast_queries=False` switches the candidate lookup to a plain
+    shuffle equi-join for bulk re-resolves whose query side is too big
+    to broadcast (see find_candidates)."""
     query_keyed = queries if already_keyed else add_blocking_keys(queries)
-    cand = find_candidates(query_keyed, corpus_keyed, limit=limit)
+    cand = find_candidates(
+        query_keyed,
+        corpus_keyed,
+        limit=limit,
+        broadcast_queries=broadcast_queries,
+    )
 
     # hydrate both sides (queries from query_keyed, candidates from corpus)
     from .features import HYDRATION_COLS

@@ -71,3 +71,32 @@ def test_resolve_unknown_query_no_match(spark, corpus_and_queries):
     out = resolve(unknown, corpus_keyed).collect()
     # either no candidates at all, or nothing classified as match
     assert all(r["match_type"] != "match" for r in out)
+
+
+def test_resolve_shuffle_join_fallback(corpus_and_queries):
+    """broadcast_queries=False (the bulk re-resolve shape) must not
+    FORCE a broadcast of the melted query side — no broadcast hint in
+    the optimized candidate join (the planner may still pick a
+    size-estimate broadcast for a genuinely tiny side, which is the
+    desired behavior) — and must return the same rows as the
+    serving-shape broadcast path."""
+    from aml_entity_resolution_assignment_spark.operators.resolve import (
+        find_candidates,
+    )
+
+    gen, corpus_keyed, queries, sample = corpus_and_queries
+    query_keyed = add_blocking_keys(queries)
+    cand_b = find_candidates(query_keyed, corpus_keyed)
+    cand_s = find_candidates(
+        query_keyed, corpus_keyed, broadcast_queries=False
+    )
+    plan_b = cand_b._jdf.queryExecution().optimizedPlan().toString()
+    plan_s = cand_s._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in plan_b  # the serving default forces it
+    assert "strategy=broadcast" not in plan_s, plan_s
+    rows_b = sorted(map(tuple, cand_b.collect()))
+    rows_s = sorted(map(tuple, cand_s.collect()))
+    assert rows_b == rows_s
+
+    out = resolve(queries, corpus_keyed, broadcast_queries=False)
+    assert out.count() == queries.count()
