@@ -184,7 +184,10 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs bk_lang_size blocks) — the blocking-recall estimator that needs
     NO exhaustive ground truth (operators/evaluate.py:
     capture_recapture)."""
-    keyed = q_blocking_keys(spark, sf_dir)
+    # materialize once: each _block_pairs branch scans the keyed table
+    # twice (both self-join sides), so the fused single-job estimate
+    # would otherwise run the normalization lineage four times
+    keyed = q_blocking_keys(spark, sf_dir).localCheckpoint(eager=False)
 
     def _block_pairs(key: str) -> DataFrame:
         x = keyed.select(F.col("doc_id").alias("id_a"), F.col(key).alias("_k"))
@@ -1861,9 +1864,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/quality.py:decontaminate):
     docs with doc_id % 50 == 0 stand in for the held-out eval set;
     training docs sharing any word 3-gram with it are flagged with
-    their contaminated-position fraction. Join key is md5(gram) — a
-    digest Spark and DuckDB compute identically — and the eval digest
-    set is broadcast."""
+    their contaminated-position fraction. The distinct eval gram set
+    is broadcast and probed directly (no per-gram digest on the train
+    side)."""
     d = _docs(spark, sf_dir)
     ev = d.filter(F.col("doc_id") % 50 == 0)
     tr = d.filter(F.col("doc_id") % 50 != 0)

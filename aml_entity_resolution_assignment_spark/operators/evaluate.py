@@ -500,16 +500,39 @@ def capture_recapture(
         N_hat = (n1 + 1)(n2 + 1) / (m + 1) - 1
 
     with m = pairs caught by BOTH. Implied recall of each scheme =
-    n / N_hat. Orientation-normalized; one semi-join + three counts —
-    no materialized union, nothing driver-side but the scalars."""
-    norm = lambda df: df.select(  # noqa: E731
+    n / N_hat. Orientation-normalized; ONE fused job — the tagged
+    union's (id_a, id_b) groupBy dedupes each side AND marks the
+    overlap, and a global aggregate folds n1/n2/m into one row
+    (was three driver actions: two counts + a semi-join count, each
+    re-executing its side's upstream pair-generation lineage;
+    guide §1.2/§2.4). Nothing driver-side but the scalars."""
+    norm = lambda df, t: df.select(  # noqa: E731
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),
-    ).distinct()
-    a, b = norm(pairs_a), norm(pairs_b)
-    n1 = a.count()
-    n2 = b.count()
-    m = a.join(b, ["id_a", "id_b"], "left_semi").count()
+        F.lit(t).alias("_t"),
+    )
+    row = (
+        norm(pairs_a, 0)
+        .unionByName(norm(pairs_b, 1))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("_t").alias("_mn"), F.max("_t").alias("_mx"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_mn") == 0).cast("long")), F.lit(0)
+            ).alias("n1"),
+            F.coalesce(
+                F.sum((F.col("_mx") == 1).cast("long")), F.lit(0)
+            ).alias("n2"),
+            F.coalesce(
+                F.sum(
+                    ((F.col("_mn") == 0) & (F.col("_mx") == 1)).cast("long")
+                ),
+                F.lit(0),
+            ).alias("m"),
+        )
+        .collect()[0]
+    )
+    n1, n2, m = row["n1"], row["n2"], row["m"]
     est = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
     spark = pairs_a.sparkSession
     return spark.createDataFrame(

@@ -151,24 +151,27 @@ def decontaminate(
     n-gram positions.  Returns (id_col, n_grams, n_contaminated,
     contamination_frac) for contaminated docs only (frac > 0).
 
-    Scale shape: the eval side collapses to DISTINCT md5(gram) digests
+    Scale shape: the eval side collapses to its DISTINCT grams
     (benchmark sets are tiny next to a crawl) and is broadcast; the
-    training side explodes once and left-semi-joins on the digest, then
-    re-aggregates on doc_id with partial counts.  The shuffle payload
-    is (doc_id, 32-hex digest) — no raw text moves.
+    training side explodes once and probes the broadcast, then
+    re-aggregates on doc_id with partial counts.  The train side is
+    never shuffled by gram — the broadcast probe hashes each gram
+    once in the JVM, so no per-gram digest (the former md5 over every
+    exploded train gram was pure CPU overhead on top of the probe's
+    own hash; guide §4.1: prefer the built-in path).
     """
     eval_grams = (
         eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
-        .select(F.md5(F.col("_g")).alias("_h"), F.lit(1).alias("_hit"))
         .distinct()
+        .select("_g", F.lit(1).alias("_hit"))
     )
     train_grams = train.select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
-    ).select(id_col, F.md5(F.col("_g")).alias("_h"))
+    )
     # ONE doc_id aggregation over the flagged stream (map-side partial
     # combine), instead of totals + hits aggregations joined after
-    flagged = train_grams.join(F.broadcast(eval_grams), "_h", "left")
+    flagged = train_grams.join(F.broadcast(eval_grams), "_g", "left")
     return (
         flagged.groupBy(id_col)
         .agg(
