@@ -5099,14 +5099,70 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered CHEAP-FIRST (the driver snapshots in dict
-    # order under a per-round budget — round 4 cut off at 50 with the
-    # heavy multimodal queries mid-list). Former per-format/per-variant
-    # entries are merged under fmt/variant columns (equally binding
-    # oracles, ~8x less multimodal decode work); the unregistered q_*
-    # helpers remain for tests and deep-dives.
     return {
-        # near-free scans / expressions
+    # WINDOW FIRST (the driver's CORRECTNESS snapshot checks the first
+    # ~50 entries in dict order): positions 1-7 pin the ER CORE
+    # permanently (candidate_pairs ... dedup_minhash — the engine's
+    # heart must re-prove itself in the hard driver signal every round,
+    # r5 verdict item 2); positions 8-50 ROTATE never-driver-checked
+    # names into the window (cheap-at-sf0.01 first, so the snapshot
+    # budget is never exhausted mid-window). Union driver coverage
+    # after this round: 74 + 43 rotated names. Next round: swap the
+    # rotated block for the remaining never-checked names (see
+    # OPTIMIZATION_r06.md checklist).
+        # --- ER core (pinned) ---
+        "candidate_pairs": q_candidate_pairs,
+        "pair_features": q_pair_features,
+        "rule_cascade": q_rule_cascade,
+        "connected_components": q_connected_components,
+        "eval_prf": q_eval_prf,
+        "resolve_best_match": q_resolve,
+        "dedup_minhash": q_dedup_minhash,
+        # --- rotated never-driver-checked block (r6) ---
+        "zorder_events": q_zorder_events,
+        "sitemap": q_sitemap,
+        "surt_cdx": q_surt_cdx,
+        "script_profile": q_script_profile,
+        "quality_gate": q_quality_gate,
+        "line_dedup": q_line_dedup,
+        "cluster_diff": q_cluster_diff,
+        "scd2": q_scd2,
+        "etld1": q_etld1,
+        "domain_cap": q_domain_cap,
+        "anchor_texts": q_anchor_texts,
+        "link_graph": q_link_graph,
+        "cm_token_counts": q_cm_token_counts,
+        "id3_meta": q_id3_meta,
+        "stable_ids": q_stable_ids,
+        "profile_columns": q_profile_columns,
+        "ml_explain": q_ml_explain,
+        "mp4_meta": q_mp4_meta,
+        "hist_quantiles": q_hist_quantiles,
+        "bloom_filter": q_bloom_filter,
+        "heavy_hitters": q_heavy_hitters,
+        "url_filter": q_url_filter,
+        "exif_extract": q_exif_extract,
+        "bm25": q_bm25,
+        "mp3_stats": q_mp3_stats,
+        "k_core": q_k_core,
+        "random_walks": q_random_walks,
+        "star_clusters": q_star_clusters,
+        "image_dhash": q_image_dhash,
+        "image_neardup": q_image_neardup,
+        "robots": q_robots,
+        "dedup_substring": q_dedup_substring,
+        "dedup_ngram": q_dedup_ngram,
+        "pack_sequences": q_pack_sequences,
+        "ppl_buckets": q_ppl_buckets,
+        "dsir": q_dsir,
+        "triangles": q_triangles,
+        "adamic_adar": q_adamic_adar,
+        "transitivity_report": q_transitivity_report,
+        "mutual_best": q_mutual_best,
+        "audio_containers": q_audio_containers,
+        "pmi_collocations": q_pmi_collocations,
+        "link_hits": q_link_hits,
+        # --- out-of-window: cheap-first as before ---
         "norm_project": q_norm_project,
         "norm_fields": q_norm_fields,
         "soundex": q_soundex,
@@ -5143,7 +5199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bz2_lines": q_bz2_lines,
         "wiki_pages": q_wiki_pages,
         "wat_extract": q_wat_extract,
-        # analytics / joins / sketches
         "tpch_pricing": q_tpch_pricing,
         "tpch_join_agg": q_tpch_join_agg,
         "tpch_shipping": q_tpch_shipping,
@@ -5158,63 +5213,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily": q_hll_daily,
         "gap_fill": q_gap_fill,
         "hll_overlap": q_hll_overlap,
-        "mp4_meta": q_mp4_meta,
-        "id3_meta": q_id3_meta,
-        "mp3_stats": q_mp3_stats,
-        "audio_containers": q_audio_containers,
-        "profile_columns": q_profile_columns,
-        "cm_token_counts": q_cm_token_counts,
-        "heavy_hitters": q_heavy_hitters,
-        "hist_quantiles": q_hist_quantiles,
-        "bloom_filter": q_bloom_filter,
-        "zorder_events": q_zorder_events,
-        "link_graph": q_link_graph,
-        "anchor_texts": q_anchor_texts,
-        "pmi_collocations": q_pmi_collocations,
         "pagerank": q_pagerank,
-        "link_hits": q_link_hits,
         "label_prop": q_label_prop,
-        "triangles": q_triangles,
-        "adamic_adar": q_adamic_adar,
-        "k_core": q_k_core,
-        "random_walks": q_random_walks,
-        "pack_sequences": q_pack_sequences,
-        "surt_cdx": q_surt_cdx,
-        "url_filter": q_url_filter,
-        "etld1": q_etld1,
-        "domain_cap": q_domain_cap,
-        "sitemap": q_sitemap,
-        "script_profile": q_script_profile,
         "dedup_prefix": q_dedup_prefix,
-        "robots": q_robots,
-        "bm25": q_bm25,
         "lm_score": q_lm_score,
-        "ppl_buckets": q_ppl_buckets,
-        "dsir": q_dsir,
         "bitext_mine": q_bitext_mine,
-        "quality_gate": q_quality_gate,
         "trigram_lm": q_trigram_lm,
         "tfidf": q_tfidf,
-        # dedup / ANN
         "dedup_exact": q_dedup_exact,
-        "dedup_substring": q_dedup_substring,
-        "line_dedup": q_line_dedup,
-        "dedup_ngram": q_dedup_ngram,
-        "image_dhash": q_image_dhash,
-        "image_neardup": q_image_neardup,
         "topk_ranking": q_topk_ranking,
         "ann_rank": q_ann_rank,
         "ann_lsh": q_ann_lsh,
         "kmeans_cells": q_kmeans_cells,
-        # ER core
-        "candidate_pairs": q_candidate_pairs,
-        "pair_features": q_pair_features,
         "pair_edit": q_pair_edit,
         "monge_elkan": q_monge_elkan,
         "soft_tfidf": q_soft_tfidf,
         "pprl_dice": q_pprl_dice,
         "edit_join": q_edit_join,
-        "rule_cascade": q_rule_cascade,
         "fellegi": q_fellegi,
         "fellegi_tf": q_fellegi_tf,
         "fellegi_ml": q_fellegi_ml,
@@ -5223,41 +5238,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_calibration": q_fs_calibration,
         "fs_explain": q_fs_explain,
         "classifier_disagreement": q_classifier_disagreement,
-        "mutual_best": q_mutual_best,
         "ml_prob": q_ml_prob,
-        "ml_explain": q_ml_explain,
-        "connected_components": q_connected_components,
         "cc_incremental": q_cc_incremental,
         "cluster_cohesion": q_cluster_cohesion,
-        "cluster_diff": q_cluster_diff,
-        "stable_ids": q_stable_ids,
-        "star_clusters": q_star_clusters,
-        "transitivity_report": q_transitivity_report,
         "pairs_from_clusters": q_pairs_from_clusters,
         "set_algebra": q_set_algebra,
         "review_credit": q_review_credit,
-        "eval_prf": q_eval_prf,
         "bcubed": q_bcubed,
         "cluster_agreement": q_cluster_agreement,
         "golden_record": q_golden_record,
-        "scd2": q_scd2,
         "rep_signals": q_rep_signals,
         "decontaminate": q_decontaminate,
-        "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash_both,
         "dedup_keep_min": q_dedup_keep_min,
         "dedup_keep_best": q_dedup_keep_best,
-        "resolve_best_match": q_resolve,
-        # iterative clusterers (multi-job: MIS/CC rounds + driver
-        # aggregates — late so they can't crowd cheap queries out of
-        # the driver's per-round snapshot budget)
         "pivot_clusters": q_pivot_clusters,
         "canopies": q_canopies,
         "cluster_sweep": q_cluster_sweep,
         "hac_single": q_hac_single,
         "hac_complete": q_hac_complete,
-        # multimodal (heaviest per-row work — last)
-        "exif_extract": q_exif_extract,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_image": q_multimodal_image,
         "multimodal_av": q_multimodal_av,
