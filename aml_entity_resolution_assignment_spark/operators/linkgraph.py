@@ -101,9 +101,17 @@ def pagerank(
     The whole fixed-iteration chain runs as ONE caller-driven job: the
     dangling-mass aggregate is a broadcast 1-row crossJoin (not a
     driver collect), so rounds chain through lazy localCheckpoints
-    with zero per-round driver actions. The static weighted edge table
-    is persisted once, repartitioned by src so every iteration's join
-    shuffles only the (small, |hosts|-sized) rank table.
+    with zero per-round driver actions.
+
+    Partitioning (guide §2.4 — two operations keyed the same way share
+    one exchange): every per-round table is hash-partitioned on the
+    vertex key at ONE partition count derived from the measured vertex
+    count (~100k rows/partition, capped at the session setting — the
+    CC-style scale-adaptive sizing, never a local-mode constant).
+    w_edges(src, p), ranks(v, p) and verts(v, p) are then
+    co-partitioned, so each iteration plans exactly ONE exchange (the
+    contribution re-key src -> dst); the rank-update join against
+    verts is exchange-free.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     verts = (
@@ -114,25 +122,28 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # dangling flag rides the vertex table: the per-iteration mass
     # aggregate is then a filter+sum with no join
-    verts = (
+    verts0 = (
         verts.join(outdeg.withColumnRenamed("src", "v"), "v", "left")
         .select("v", F.col("deg").isNull().alias("is_dangling"))
         .persist()
     )
-    n = verts.count()
+    n = verts0.count()
     if n == 0:
-        return verts.select(F.col("v").alias("host"), F.lit(0.0).alias("rank"))
+        verts0.unpersist()
+        return verts0.select(F.col("v").alias("host"), F.lit(0.0).alias("rank"))
+    spark = edges.sparkSession
+    orig_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = max(8, min(orig_parts, n // 100_000 + 1))
+    verts = verts0.repartition(nparts, "v").localCheckpoint(eager=False)
     w_edges = (
         e.join(outdeg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .repartition("src")
+        .repartition(nparts, "src")
         .persist()
     )
 
     base = (1.0 - damping) / n
-    ranks = verts.select(
-        "v", F.lit(1.0 / n).alias("rank"), "is_dangling"
-    ).localCheckpoint(eager=False)
+    ranks = verts.select("v", F.lit(1.0 / n).alias("rank"), "is_dangling")
     for _ in range(iterations):
         # the dangling mass rides as a BROADCAST 1-row aggregate
         # (crossJoin) instead of a per-round driver collect: the whole
@@ -146,6 +157,11 @@ def pagerank(
         )
         contrib = (
             ranks.join(w_edges, ranks["v"] == w_edges["src"])
+            # ONE exchange per round: the explicit (nparts, dst)
+            # repartition is reused by the groupBy (same key, same
+            # count), and its output co-partitions with verts(v, p)
+            # so the rank-update join below is exchange-free
+            .repartition(nparts, "dst")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
@@ -168,7 +184,7 @@ def pagerank(
         )
     out = ranks.select(F.col("v").alias("host"), "rank")
     out = out.localCheckpoint(eager=True)  # release the persisted inputs
-    verts.unpersist()
+    verts0.unpersist()
     w_edges.unpersist()
     return out
 
