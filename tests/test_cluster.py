@@ -121,6 +121,42 @@ def test_incremental_cc_equals_full_recompute(spark, seed):
     assert got_map == want
 
 
+@pytest.mark.parametrize("seed", [5, 19])
+def test_incremental_cc_driver_and_distributed_paths_agree(spark, seed):
+    """The batch-bounded contracted graph runs driver-side union-find
+    by default (driver_cap) and the exact distributed CC above the cap
+    (or with driver_cap=0): both paths must produce IDENTICAL labels
+    (min member id, binary string order). driver_cap=0 forces the
+    distributed branch; driver_cap large forces the union-find."""
+    from aml_entity_resolution_assignment_spark.operators.cluster import (
+        incremental_connected_components,
+    )
+
+    rng = random.Random(seed)
+    verts = [f"v{i:03d}" for i in range(50)]
+    base = [tuple(sorted(rng.sample(verts, 2))) for _ in range(30)]
+    newv = [f"w{i:03d}" for i in range(8)]
+    delta = [tuple(sorted(rng.sample(verts, 2))) for _ in range(8)]
+    delta += [(rng.choice(verts), w) for w in newv[:5]]
+
+    base_df = spark.createDataFrame(base, "id_a string, id_b string")
+    delta_df = spark.createDataFrame(delta, "id_a string, id_b string")
+    vert_df = spark.createDataFrame([(v,) for v in verts], "url string")
+
+    assignments = connected_components(base_df, vertices=vert_df, id_col="url")
+    via_driver = incremental_connected_components(
+        assignments, delta_df, driver_cap=1_000_000
+    )
+    via_dist = incremental_connected_components(
+        assignments, delta_df, driver_cap=0
+    )
+    d1 = {r["url"]: r["predicted_entity_id"] for r in via_driver.collect()}
+    d2 = {r["url"]: r["predicted_entity_id"] for r in via_dist.collect()}
+    assert d1 == d2
+    all_verts = set(verts) | {v for e in delta for v in e}
+    assert d1 == _oracle(base + delta, all_verts)
+
+
 def test_incremental_cc_empty_delta_is_identity(spark):
     from aml_entity_resolution_assignment_spark.operators.cluster import (
         incremental_connected_components,
