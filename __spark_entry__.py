@@ -561,8 +561,11 @@ def q_fellegi_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     weaker evidence, so the agreement weight shifts by
     log2(u_global / u_value) — operators/fellegi.py:tf_adjusted_weights."""
     flagged = _fs_flagged(spark, sf_dir)
-    scored = FS.fellegi_sunter(flagged, _FS_FIELDS, iters=_FS_ITERS)
-    _lam, _m, u = FS.fit_params(flagged, _FS_FIELDS, iters=_FS_ITERS)
+    # ONE pattern-count pass serves both the scoring join and the
+    # u-parameter need (was two: fellegi_sunter fit + fit_params)
+    fitted = FS.fit_params(flagged, _FS_FIELDS, iters=_FS_ITERS)
+    scored = FS.fellegi_sunter(flagged, _FS_FIELDS, params=fitted)
+    _lam, _m, u = fitted
     recs = _docs(spark, sf_dir).select("doc_id", "source")
     out = FS.tf_adjusted_weights(
         scored,

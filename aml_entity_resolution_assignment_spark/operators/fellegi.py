@@ -134,6 +134,7 @@ def fellegi_sunter(
     iters: int = 10,
     init: dict | None = None,
     fix_u: list[float] | None = None,
+    params: tuple[float, list[float], list[float]] | None = None,
 ) -> DataFrame:
     """Fit F-S by EM and score every pair.
 
@@ -142,14 +143,26 @@ def fellegi_sunter(
     (P(M | gamma) under the fitted model).  One groupBy + one broadcast
     join; see module docstring for the scale argument.  fix_u: see
     fs_em.
+
+    `params`: pre-fitted (lambda, m, u) from fit_params — skips the
+    pattern-count pass entirely (a caller that needs the parameters
+    AND the scored pairs otherwise aggregates the pair table twice)
+    and scores all 2^k patterns instead of the observed subset; the
+    unobserved rows simply never join, so output is identical.
     """
+    import itertools
+
     k = len(fields)
-    pat_df = pattern_counts(pairs, fields)
-    rows = pat_df.collect()  # <= 2^k rows — aggregate-sized collect
-    pats = [
-        (tuple(int(r[f]) for f in fields), int(r["n"])) for r in rows
-    ]
-    lam, m, u = fs_em(pats, k, iters=iters, init=init, fix_u=fix_u)
+    if params is not None:
+        lam, m, u = params
+        pats = [(g, 0) for g in itertools.product((0, 1), repeat=k)]
+    else:
+        pat_df = pattern_counts(pairs, fields)
+        rows = pat_df.collect()  # <= 2^k rows — aggregate-sized collect
+        pats = [
+            (tuple(int(r[f]) for f in fields), int(r["n"])) for r in rows
+        ]
+        lam, m, u = fs_em(pats, k, iters=iters, init=init, fix_u=fix_u)
 
     # score each observed pattern once, broadcast-join back by pattern
     scored = []
