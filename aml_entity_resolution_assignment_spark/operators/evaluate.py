@@ -354,12 +354,36 @@ def blocking_quality(
           quadratic space blocking eliminated)
 
     Complements blocking_health (E7: sizes only, no truth). Both pair
-    inputs are (id_a, id_b) with the same canonical ordering; counts
-    come from one semi-join + two counts — no materialized cross
-    space. Returns one row."""
-    n_cand = candidate_pairs.count()
-    n_true = true_pairs.count()
-    tp = candidate_pairs.join(true_pairs, ["id_a", "id_b"], "left_semi").count()
+    inputs are (id_a, id_b) with the same canonical ordering; all
+    three counts come from ONE fused job — a tagged union's
+    (id_a, id_b) groupBy carries each side's multiplicity, and the
+    global aggregate folds n_cand / n_true / overlap together (was
+    three driver actions, two of which re-executed the candidate
+    lineage; guide §1.2/§2.4 — the same fusion as capture_recapture).
+    Semantics preserved exactly, duplicate rows included: overlap
+    counts candidate ROWS whose pair appears in `true_pairs`, like
+    the former semi-join count. Returns one row."""
+    tagged = candidate_pairs.select(
+        "id_a", "id_b", F.lit(1).alias("_c"), F.lit(0).alias("_t")
+    ).unionByName(
+        true_pairs.select(
+            "id_a", "id_b", F.lit(0).alias("_c"), F.lit(1).alias("_t")
+        )
+    )
+    row = (
+        tagged.groupBy("id_a", "id_b")
+        .agg(F.sum("_c").alias("_nc"), F.sum("_t").alias("_nt"))
+        .agg(
+            F.coalesce(F.sum("_nc"), F.lit(0)).alias("n_cand"),
+            F.coalesce(F.sum("_nt"), F.lit(0)).alias("n_true"),
+            F.coalesce(
+                F.sum(F.when(F.col("_nt") > 0, F.col("_nc")).otherwise(0)),
+                F.lit(0),
+            ).alias("tp"),
+        )
+        .collect()[0]
+    )
+    n_cand, n_true, tp = row["n_cand"], row["n_true"], row["tp"]
     total = n_records * (n_records - 1) / 2.0
     spark = candidate_pairs.sparkSession
     return spark.createDataFrame(
