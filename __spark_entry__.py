@@ -319,7 +319,13 @@ def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: x.isNotNull(),
             )
         ).alias("bk"),
-    )
+    # materialize the NARROW (rid, key) table once: the salted
+    # self-join scans it four ways (key-size aggregate, both cold
+    # sides, hot side), each otherwise re-running the blocking-key
+    # normalization lineage (guide §2.4; cheap here because the
+    # checkpoint rows are two scalar columns — contrast the rejected
+    # dedup_prefix checkpoint, whose rows carried full token arrays)
+    ).localCheckpoint(eager=False)
     return (
         C.self_join_pairs(tall, "bk", id_col="rid")
         .dropDuplicates(["id_a", "id_b"])
