@@ -239,9 +239,14 @@ def candidate_pairs(
         for k in band_keys
     ]
     keys = F.filter(F.concat(exact, *bands), lambda x: x.isNotNull())
+    # materialize the NARROW (rid, key-hash) table once: the salted
+    # self-join scans it four ways (key-size aggregate, both cold
+    # sides, hot side), each otherwise re-running the key computation
+    # (and, when `keyed` is not already cached, the whole
+    # normalization lineage). Two scalar columns — cheap blocks.
     all_keys = keyed.select(
         F.col(id_col).alias("rid"), F.explode(keys).alias("bk")
-    )
+    ).localCheckpoint(eager=False)
     pairs = self_join_pairs(
         all_keys.select(F.col("bk"), F.col("rid")),
         "bk",
