@@ -246,12 +246,12 @@ def batch_band_hashes(
 
 
 def band_hashes_udf(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    # one stacked FNV fold per batch (batch_band_hashes) — the former
+    # per-row band_hashes comprehension paid a numpy-array build +
+    # 8-element fold per ROW (guide §4.2: hand whole batches to the
+    # vectorized kernel); outputs are identical (same fold, same mix)
     def _f(sigs: pd.Series) -> pd.Series:
-        return pd.Series(
-            [band_hashes(s, bands=bands, rows=rows) for s in sigs],
-            index=sigs.index,
-            dtype="object",
-        )
+        return batch_band_hashes(sigs, bands=bands, rows=rows)
 
     return F.pandas_udf(_f, ArrayType(LongType()))
 
@@ -462,7 +462,13 @@ def batch_token_hashset(texts: pd.Series) -> pd.Series:
 
     Exact token-set Jaccard is then an intersect of sorted uint32
     arrays (functions/similarity.py:batch_hashset_jaccard); CRC32
-    collisions perturb the score by < 1e-8 at realistic set sizes."""
+    collisions perturb the score by < 1e-8 at realistic set sizes.
+
+    Deliberately per-row: a batch_minhash-style vectorization
+    (explode + (row, tok) drop_duplicates + factorize + lexsort) was
+    measured 2x SLOWER on the engine's text shape (~54-token docs) —
+    the pandas dedup/sort machinery costs more than a per-row set()
+    + C-loop crc32 at this tokens-per-row scale."""
     out = []
     for t in texts:
         if t is None or t == "" or (isinstance(t, float) and pd.isna(t)):
