@@ -117,8 +117,16 @@ def connected_components(
     shrunken value. Pass False when running CC concurrently with other
     work on a shared session (streaming foreachBatch, parallel jobs).
     """
-    # canonical orientation + distinct: _symmetrize's no-dedup union
-    # relies on the input never containing both (a,b) and (b,a)
+    # canonical orientation: _symmetrize's no-dedup union relies on the
+    # input never containing both (a,b) and (b,a) — least/greatest
+    # guarantees that on its own. No up-front distinct (guide §2.4: a
+    # distinct on near-unique data is a full extra exchange of the raw
+    # edge list, keyed (u,v) while round 1 re-shuffles by u anyway):
+    # duplicate rows are harmless for one round — large-star's
+    # window-min is duplicate-blind and small-star ends in a distinct,
+    # so every round-1 output onward is exact. Callers here pass
+    # match/threshold pairs that are unique by construction; a heavily
+    # duplicated input would only pay its duplicates through round 1.
     e = (
         edges.select(
             F.least(
@@ -129,7 +137,6 @@ def connected_components(
             ).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
     spark = edges.sparkSession
@@ -190,7 +197,11 @@ def connected_components(
         # so a cluster-sized config is never exceeded — an
         # iterative loop otherwise pays fixed per-task cost x
         # partitions x stages x O(log n) rounds on tiny tails
-        adaptive = max(8, min(int(orig_parts), row["n"] // 100_000 + 1))
+        # purely data-derived (no fixed floor): tiny tails run 1-few
+        # partitions instead of 8 near-empty tasks per exchange x 3
+        # exchanges x O(log n) rounds; big rounds still scale up to the
+        # session cap
+        adaptive = max(1, min(int(orig_parts), row["n"] // 100_000 + 1))
         cur = ss.select(
             F.col("child").alias("u"), F.col("parent").alias("v")
         )
