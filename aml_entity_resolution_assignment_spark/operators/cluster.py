@@ -649,10 +649,19 @@ def _seeded_sym(
     seeded permutation ranks (pu, pv) of both endpoints — the shared
     input shape of the lex-first-MIS family (pivot_clusters,
     canopies)."""
+    # canonicalize BEFORE the dedup so one distinct suffices: with half
+    # single-orientation (least/greatest) and distinct, the union with
+    # its flip IS the distinct symmetric set — the former second
+    # distinct re-shuffled the doubled edge list for nothing (guide
+    # §2.4)
     half = (
         edges.select(
-            F.col(id_a).cast("string").alias("u"),
-            F.col(id_b).cast("string").alias("v"),
+            F.least(
+                F.col(id_a).cast("string"), F.col(id_b).cast("string")
+            ).alias("u"),
+            F.greatest(
+                F.col(id_a).cast("string"), F.col(id_b).cast("string")
+            ).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
@@ -661,7 +670,6 @@ def _seeded_sym(
         half.unionByName(
             half.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        .distinct()
         .withColumn("pu", _seeded_rank("u", seed))
         .withColumn("pv", _seeded_rank("v", seed))
     )
@@ -684,28 +692,24 @@ def _lex_first_mis(
     parts: list[DataFrame] = []
     total_members = 0
     for _ in range(max_iter):
-        # a node is BEATEN while any active neighbor precedes it
-        beaten = (
-            active_e.where(
-                (F.col("pv") < F.col("pu"))
-                | ((F.col("pv") == F.col("pu")) & (F.col("v") < F.col("u")))
-            )
-            .select("u")
-            .distinct()
-        )
+        # a node is BEATEN while any active neighbor precedes it.
+        # beaten/claimed/removed feed ONLY semi/anti-join right sides,
+        # which are duplicate-agnostic — deduping them was three extra
+        # exchanges per round for sets whose hash builds dedup for free
+        # (guide §2.4)
+        beaten = active_e.where(
+            (F.col("pv") < F.col("pu"))
+            | ((F.col("pv") == F.col("pu")) & (F.col("v") < F.col("u")))
+        ).select("u")
         new_members = active_n.join(beaten, "u", "left_anti").localCheckpoint(
             eager=False
         )
         parts.append(new_members)
         # deactivate the new members and everything adjacent to them
-        claimed = (
-            active_e.join(
-                new_members.select(F.col("u").alias("v")), "v", "left_semi"
-            )
-            .select("u")
-            .distinct()
-        )
-        removed = new_members.unionByName(claimed).distinct()
+        claimed = active_e.join(
+            new_members.select(F.col("u").alias("v")), "v", "left_semi"
+        ).select("u")
+        removed = new_members.unionByName(claimed)
         active_n = active_n.join(removed, "u", "left_anti").localCheckpoint(
             eager=False
         )
@@ -1146,10 +1150,18 @@ def canopies(
         return nodes.select(
             F.col("u").alias("node"), F.col("u").alias("canopy")
         )
-    loose_half = scored.where(F.col("s") >= loose).select("u", "v")
+    # canonical half + flip = the distinct symmetric set with ONE
+    # distinct on the half list (guide §2.4; same shape as _seeded_sym)
+    loose_half = (
+        scored.where(F.col("s") >= loose)
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
     loose_sym = loose_half.unionByName(
         loose_half.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    )
     member = (
         loose_sym.join(
             centers.select(F.col("u").alias("v")), "v", "left_semi"
@@ -1189,6 +1201,11 @@ def star_clusters(
     # the node list; e feeds the center election AND both attachment
     # branches — unchecked, every branch re-executes the upstream
     # pair-generation lineage
+    # (A canonical-half distinct + flip union — the _seeded_sym shape —
+    # was measured here and REVERTED: this sym is eagerly checkpointed
+    # and scanned by four downstream branches, and the union's doubled
+    # partition count cost more than the halved dedup shuffle saved:
+    # 1.3 -> 1.44 s over three interleaved A/B pairs at sf0.1.)
     sym = edges.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).unionAll(
