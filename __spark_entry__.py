@@ -666,12 +666,23 @@ def q_fellegi_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fs_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall/F1 sweep over every distinct F-S posterior
-    threshold, truth = same-source pairs (operators/evaluate.py:
-    pr_curve — one groupBy to <=2^k rows, windows on the aggregate)."""
-    scored = FS.fellegi_sunter(
+    threshold, truth = same-source pairs. The output is a pure
+    INTEGER-count aggregate of the scored pairs, and the posterior is
+    pattern-determined — so the sweep runs on the <= 2^k pattern-count
+    table (fellegi.py:scored_pattern_counts + pr_curve weight_col)
+    and the pair table is traversed ONCE (the pattern groupBy) instead
+    of three times (pattern pass + per-pair score join + re-aggregate);
+    bit-identical by integer-sum equivalence, pinned by the unchanged
+    per-pair DuckDB twin. The shared persisted _fs_flagged is kept (an
+    unpersisted one-pass variant measured SLOWER in interleaved A/B —
+    the persist costs nothing on a single traversal and keeps the
+    helper semantics identical across the F-S family)."""
+    pat = FS.scored_pattern_counts(
         _fs_flagged(spark, sf_dir), _FS_FIELDS, iters=_FS_ITERS
     )
-    return E.pr_curve(scored, score_col="posterior", truth_col="g_source")
+    return E.pr_curve(
+        pat, score_col="posterior", truth_col="g_source", weight_col="n"
+    )
 
 
 def q_fs_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -406,6 +406,7 @@ def pr_curve(
     score_col: str = "posterior",
     truth_col: str = "is_match",
     decimals: int = 6,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Precision/recall/F1 at every distinct score threshold (the
     operating-characteristic sweep behind threshold selection — the
@@ -424,16 +425,26 @@ def pr_curve(
     Rows ordered by threshold descending, one per distinct score:
     predicting MATCH for score >= threshold yields the reported
     (pred_pairs, tp, precision, recall, f1).
+
+    `weight_col`: `scored` is already an aggregate — each row stands
+    for `weight_col` identically-scored pairs (e.g. the F-S pattern
+    table, fellegi.py:scored_pattern_counts). The integer sums are
+    bit-identical to running the per-pair form on the expanded table,
+    so pattern-based scorers can skip materializing per-pair scores
+    (guide §2.3).
     """
     from pyspark.sql import Window
 
-    agg = (
-        scored.select(
-            F.round(F.col(score_col), decimals).alias("threshold"),
-            F.col(truth_col).cast("int").alias("_t"),
-        )
-        .groupBy("threshold")
-        .agg(F.count("*").alias("_n"), F.sum("_t").alias("_tp"))
+    sel = scored.select(
+        F.round(F.col(score_col), decimals).alias("threshold"),
+        F.col(truth_col).cast("int").alias("_t"),
+        *([F.col(weight_col).cast("long").alias("_w")] if weight_col else []),
+    )
+    agg = sel.groupBy("threshold").agg(
+        (F.sum("_w") if weight_col else F.count("*")).alias("_n"),
+        F.sum(
+            (F.col("_w") * F.col("_t")) if weight_col else F.col("_t")
+        ).alias("_tp"),
     )
     cum = Window.orderBy(F.col("threshold").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

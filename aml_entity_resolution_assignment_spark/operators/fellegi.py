@@ -128,6 +128,52 @@ def fit_params(
     return fs_em(pats, len(fields), iters=iters, init=init)
 
 
+def scored_pattern_counts(
+    pairs: DataFrame,
+    fields: Sequence[str],
+    iters: int = 10,
+    init: dict | None = None,
+    fix_u: list[float] | None = None,
+) -> DataFrame:
+    """The pattern-level view of fellegi_sunter: ONE distributed
+    pattern-count pass + driver EM, returning the <= 2^k OBSERVED
+    patterns with their counts and the fitted per-pattern
+    match_weight/posterior — the same Python scoring arithmetic
+    fellegi_sunter broadcasts, with `n` attached.
+
+    For consumers whose output is a pure aggregate of the scored pairs
+    (a PR sweep, threshold counts), this skips the per-pair broadcast
+    score join and its re-aggregation entirely: the pair table is
+    traversed once instead of twice, and everything downstream runs on
+    an aggregate-sized table (guide §2.3: aggregate before you
+    shuffle). Integer-count aggregates over this table are
+    bit-identical to aggregating the per-pair scored output."""
+    rows = pattern_counts(pairs, fields).collect()
+    pats = [(tuple(int(r[f]) for f in fields), int(r["n"])) for r in rows]
+    k = len(fields)
+    lam, m, u = fs_em(pats, k, iters=iters, init=init, fix_u=fix_u)
+    scored = []
+    for g, n in pats:
+        wlog = 0.0
+        pm, pu = lam, 1.0 - lam
+        for j in range(k):
+            if g[j]:
+                wlog += math.log2(m[j] / u[j])
+                pm *= m[j]
+                pu *= u[j]
+            else:
+                wlog += math.log2((1.0 - m[j]) / (1.0 - u[j]))
+                pm *= 1.0 - m[j]
+                pu *= 1.0 - u[j]
+        post = pm / (pm + pu)
+        scored.append(tuple(g) + (int(n), float(wlog), float(post)))
+    schema = (
+        ", ".join(f"{f} int" for f in fields)
+        + ", n long, match_weight double, posterior double"
+    )
+    return pairs.sparkSession.createDataFrame(scored, schema)
+
+
 def fellegi_sunter(
     pairs: DataFrame,
     fields: Sequence[str],

@@ -330,3 +330,49 @@ def test_ml_oracle_cte_matches_python_em(spark):
         mw, po = want[(int(r.g1), int(r.g2), int(r.g3))]
         assert round(mw, 6) == round(r.match_weight, 6)
         assert round(po, 6) == round(r.posterior, 6)
+
+
+def test_scored_pattern_counts_matches_per_pair_scoring(spark):
+    """The pattern-level view must agree with fellegi_sunter exactly:
+    same per-pattern weights/posteriors, and counts that expand to the
+    per-pair scored table (the equivalence q_fs_pr_curve rests on)."""
+    df = _synth_pairs(spark, n=6000)
+    pat = FS.scored_pattern_counts(df, FIELDS, iters=10)
+    per_pair = FS.fellegi_sunter(df, FIELDS, iters=10)
+    got = {
+        tuple(r[f] for f in FIELDS): (r["n"], r["match_weight"], r["posterior"])
+        for r in pat.collect()
+    }
+    want = {
+        tuple(r[f] for f in FIELDS): (r["cnt"], r["match_weight"], r["posterior"])
+        for r in per_pair.groupBy(
+            *FIELDS, "match_weight", "posterior"
+        ).agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
+    assert sum(n for n, _, _ in got.values()) == df.count()
+
+
+def test_pr_curve_weighted_equals_per_pair(spark):
+    """pr_curve(weight_col=...) over an aggregate must be bit-identical
+    to pr_curve over the expanded per-row table (integer-sum
+    equivalence)."""
+    from aml_entity_resolution_assignment_spark.operators.evaluate import (
+        pr_curve,
+    )
+
+    df = _synth_pairs(spark, n=6000)
+    scored = FS.fellegi_sunter(df, FIELDS, iters=10)
+    agg = scored.groupBy("posterior", "g1").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = sorted(
+        map(tuple, pr_curve(scored, truth_col="g1").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pr_curve(agg, truth_col="g1", weight_col="n").collect(),
+        )
+    )
+    assert a == b
